@@ -1,0 +1,22 @@
+from amanogawa_spark.graph.build import (
+    build_edges,
+    build_graph,
+    build_vertices,
+    degrees,
+)
+from amanogawa_spark.graph.pagerank import pagerank
+from amanogawa_spark.graph.components import connected_components, connected_components_minlabel
+from amanogawa_spark.graph.lpa import label_propagation
+from amanogawa_spark.graph.triangles import triangle_count
+
+__all__ = [
+    "build_edges",
+    "build_graph",
+    "build_vertices",
+    "degrees",
+    "pagerank",
+    "connected_components",
+    "connected_components_minlabel",
+    "label_propagation",
+    "triangle_count",
+]

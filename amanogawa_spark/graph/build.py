@@ -1,0 +1,121 @@
+"""Graph construction: pages → vertex dictionary + deduplicated edge table.
+
+Reference semantics (``plugin/flow/to_graph/to_graph.cpp``):
+- vertices are the input rows; ids are dense ordinals (``to_graph.cpp:180-186``),
+- edges are deduplicated via an adjacency set (``to_graph.cpp:82-86``),
+- optional canonicalization min/max for undirected graphs (``to_graph.cpp:111-114``).
+
+Spark-first re-expression:
+- **dense ids** come from a global ``row_number() over (order by url)`` —
+  deterministic under any input partitioning (the north rule's invariance
+  requirement). This is one range-partitioned sort of the *distinct url*
+  set, not of the raw pages; at 10^12 pages it is the one unavoidable
+  dictionary-build shuffle and is embarrassingly range-parallel.
+- **hash ids** (``id_mode='hash'``): ``xxhash64(url)`` — shuffle-free,
+  collision-checked, for when dense ordinals aren't required.
+- edge resolution is two hash joins url→id; dedup is a hash aggregate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from amanogawa_spark.functions.html import extract_links
+
+
+@dataclass
+class Graph:
+    vertices: DataFrame  # (url string, id long)
+    edges: DataFrame  # (src_id long, dst_id long) — directed, deduped, no self-loops
+
+
+def build_vertices(pages: DataFrame, id_mode: str = "dense") -> DataFrame:
+    """url → int64 id dictionary over the pages table.
+
+    dense: ids are 0..N-1 by url sort order (repartition-invariant).
+    hash: xxhash64(url) (no global sort; caller should collision-check).
+    """
+    urls = pages.select("url").distinct()
+    if id_mode == "hash":
+        return urls.select("url", F.xxhash64("url").alias("id"))
+    if id_mode != "dense":
+        raise ValueError(f"unknown id_mode: {id_mode}")
+    # row_number over a single global ordering; Spark range-partitions the
+    # sort, so this scales, but it is a full shuffle of the url dictionary.
+    w = Window.orderBy("url")
+    return urls.select("url", (F.row_number().over(w) - F.lit(1)).cast("long").alias("id"))
+
+
+def extract_edges_urls(pages: DataFrame) -> DataFrame:
+    """pages → (src_url, dst_url): explode extracted hrefs, drop self-links, dedup."""
+    return (
+        pages.select(F.col("url").alias("src_url"), F.explode(extract_links("html")).alias("dst_url"))
+        .filter(F.col("src_url") != F.col("dst_url"))
+        .distinct()
+    )
+
+
+def build_edges(
+    pages: DataFrame,
+    vertices: DataFrame,
+    undirected: bool = False,
+    broadcast_vertices: bool = False,
+) -> DataFrame:
+    """Resolve url edges to int64 id edges; drop links to unknown urls.
+
+    ``broadcast_vertices`` skips the shuffle when the dictionary fits in
+    executor memory (small graphs / tests). At web scale both joins are
+    shuffle hash joins on url — AQE handles hub-domain skew on dst_url.
+    """
+    vsrc = vertices.select(F.col("url").alias("src_url"), F.col("id").alias("src_id"))
+    vdst = vertices.select(F.col("url").alias("dst_url"), F.col("id").alias("dst_id"))
+    if broadcast_vertices:
+        vsrc, vdst = F.broadcast(vsrc), F.broadcast(vdst)
+    e = (
+        extract_edges_urls(pages)
+        .join(vsrc, "src_url")
+        .join(vdst, "dst_url")
+        .select("src_id", "dst_id")
+    )
+    if undirected:
+        e = e.select(
+            F.least("src_id", "dst_id").alias("src_id"),
+            F.greatest("src_id", "dst_id").alias("dst_id"),
+        )
+    return e.distinct()
+
+
+def build_graph(pages: DataFrame, id_mode: str = "dense", undirected: bool = False) -> Graph:
+    vertices = build_vertices(pages, id_mode=id_mode)
+    edges = build_edges(pages, vertices, undirected=undirected)
+    return Graph(vertices=vertices, edges=edges)
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(id, out_degree, in_degree) — full outer of the two degree aggs."""
+    out_d = edges.groupBy(F.col("src_id").alias("id")).agg(F.count("*").alias("out_degree"))
+    in_d = edges.groupBy(F.col("dst_id").alias("id")).agg(F.count("*").alias("in_degree"))
+    return (
+        out_d.join(in_d, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def degree_histogram(edges: DataFrame, col: str = "dst_id") -> DataFrame:
+    """log2-bucketed degree histogram — the skew-detection job that sizes
+    salting factors for hub vertices (SURVEY.md §4.2)."""
+    deg = edges.groupBy(col).agg(F.count("*").alias("degree"))
+    return (
+        deg.select(F.floor(F.log2("degree")).cast("int").alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(F.count("*").alias("n_vertices"))
+        .orderBy("log2_bucket")
+    )

@@ -1,0 +1,154 @@
+"""Connected components over an edge DataFrame.
+
+Two implementations (SURVEY.md §7 step 5):
+
+1. ``connected_components`` — **small-star / large-star** (Kiveris et al.,
+   "Connected Components in MapReduce and Beyond", SoCC'14). Converges in
+   O(log^2 n) rounds on real graphs; each round is two join+agg passes.
+   This is the 100 TB path: no dependence on graph diameter.
+
+2. ``connected_components_minlabel`` — synchronous min-label propagation
+   (label = min over self ∪ neighbors). O(diameter) rounds; simple,
+   oracle-friendly; used for cross-checking and fixed-iteration oracles.
+
+Both return ``(id long, component long)`` where ``component`` is the
+minimum vertex id of the component (deterministic canonical label).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Directed (src_id, dst_id) → undirected neighbor pairs (u, v), u != v."""
+    fwd = edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+    rev = edges.select(F.col("dst_id").alias("u"), F.col("src_id").alias("v"))
+    return fwd.union(rev).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Small-star/large-star alternation until the edge set stops changing.
+
+    State is the parent-pointer edge set ``(u, v)`` with v a candidate
+    parent. Large-star: connect all strictly-larger neighbors of u to
+    min(N(u) ∪ {u}). Small-star: connect all smaller-or-equal neighbors
+    to the minimum. Fixed point: every u points at its component minimum.
+    """
+    spark = vertices.sparkSession
+    pairs = _symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient every pair so u >= v, group by u, link all v's (and u) to min
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            oriented.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return linked
+
+    e = pairs
+    for rnd in range(1, max_rounds + 1):
+        new_e = small_star(large_star(e)).persist(StorageLevel.MEMORY_AND_DISK)
+        if rnd % checkpoint_every == 0:
+            new_e = new_e.localCheckpoint(eager=True)
+        # converged when the (u,v) set is unchanged
+        changed = (
+            new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+        )
+        old = e
+        e = new_e
+        if old is not pairs:
+            old.unpersist()
+        if changed == 0:
+            break
+
+    comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    result = (
+        vertices.select("id")
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    pairs.unpersist()
+    return result
+
+
+def connected_components_minlabel(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 200,
+    fixed_rounds: int | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Synchronous min-label propagation. ``fixed_rounds`` runs exactly that
+    many rounds without a convergence test (the SQL-oracle variant)."""
+    pairs = _symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = vertices.select("id", F.col("id").alias("component")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for rnd in range(1, rounds + 1):
+        nbr_min = (
+            pairs.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if rnd % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        if fixed_rounds is None:
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("component", "old_component"), "id"
+                )
+                .filter(F.col("component") != F.col("old_component"))
+                .limit(1)
+                .count()
+            )
+            old = labels
+            labels = new_labels
+            old.unpersist()
+            if changed == 0:
+                break
+        else:
+            old = labels
+            labels = new_labels
+            old.unpersist()
+    pairs.unpersist()
+    return labels

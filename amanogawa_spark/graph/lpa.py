@@ -1,0 +1,55 @@
+"""Synchronous label propagation (community detection flavour).
+
+Each round, every vertex adopts the most frequent label among its
+neighbors; ties break to the SMALLEST label (deterministic — the north
+rule requires exact-match label assignments, so no random tie-breaks).
+Vertices with no neighbors keep their own label. All rounds are
+synchronous: round k+1 reads only round-k labels.
+
+Spark shape per round: one join (neighbor labels), one
+``groupBy(id, label).count()``, one top-1-per-id via ``max_by``-style
+struct ordering (no window shuffle beyond the agg), one left join back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from amanogawa_spark.graph.components import _symmetrize
+
+
+def label_propagation(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 10,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Returns (id long, label long) after ``max_rounds`` synchronous rounds."""
+    pairs = _symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = vertices.select("id", F.col("id").alias("label")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    for rnd in range(1, max_rounds + 1):
+        counts = (
+            pairs.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"), "label")
+            .agg(F.count("*").alias("freq"))
+        )
+        # top-1: max over (freq, -label) — highest frequency, then smallest label
+        best = counts.groupBy("id").agg(
+            F.max(F.struct(F.col("freq"), (-F.col("label")).alias("neg"))).alias("m")
+        ).select("id", (-F.col("m.neg")).cast("long").alias("new_label"))
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if rnd % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        old = labels
+        labels = new_labels
+        old.unpersist()
+    pairs.unpersist()
+    return labels

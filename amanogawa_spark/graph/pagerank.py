@@ -1,0 +1,161 @@
+"""PageRank as an iterative DataFrame program.
+
+Semantics (north rule): damping 0.85, dangling-mass redistribution,
+L1-delta convergence (default 1e-6), per-vertex scores.
+
+Scale design (SURVEY.md §4.2):
+- edges are joined with out-degrees ONCE, hash-repartitioned on ``src_id``
+  and persisted — per-iteration the ONLY shuffles are (a) the ranks side
+  of the contribution join and (b) the ``groupBy(dst_id)`` partial+final
+  hash aggregate. The persisted edge partitioning is reused every round.
+- the dangling-vertex set is precomputed and persisted; per-iteration
+  dangling mass is one cheap scalar agg (``left_semi`` join + sum).
+- lineage is cut every ``checkpoint_every`` iterations via
+  ``localCheckpoint`` or a durable :class:`CheckpointManager` snapshot
+  (resumable path); per-iteration metrics (delta, dangling mass, wall
+  time) go to the metrics journal.
+- hub-vertex skew in ``groupBy(dst_id)`` is handled by AQE skew handling
+  plus the optional two-level salted aggregate in ``graph/skew.py``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from amanogawa_spark.checkpoint import CheckpointManager
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id long, rank double)
+    iterations: int
+    delta: float
+    history: list[dict] = field(default_factory=list)
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_every: int = 5,
+    checkpoint: CheckpointManager | None = None,
+    num_partitions: int | None = None,
+) -> PageRankResult:
+    """Power iteration: r' = (1-d)/N + d * (A^T r/outdeg + dangling/N)."""
+    spark = vertices.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    ids = vertices.select("id").distinct().repartition(
+        n_part, "id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = ids.count()
+    if n == 0:
+        return PageRankResult(ranks=ids.withColumn("rank", F.lit(0.0)), iterations=0, delta=0.0)
+
+    out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(F.count("*").alias("out_degree"))
+    # one-time: edge list annotated with src out-degree, partitioned on src
+    # so each iteration's contribution join only shuffles the (tiny) ranks side
+    edges_w = (
+        edges.join(out_deg.withColumnRenamed("id", "src_id"), "src_id")
+        .repartition(n_part, "src_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges_w.count()  # materialize
+    dangling_ids = ids.join(out_deg, "id", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    dangling_ids.count()
+
+    start_iter = 0
+    ranks = None
+    if checkpoint is not None:
+        last = checkpoint.latest_iteration()
+        if last is not None:
+            ranks = checkpoint.load(last)
+            start_iter = last
+    if ranks is None:
+        ranks = ids.select("id", F.lit(1.0 / n).alias("rank"))
+    ranks = ranks.repartition(n_part, "id").persist(StorageLevel.MEMORY_AND_DISK)
+
+    base = (1.0 - damping) / n
+    history: list[dict] = []
+    delta = float("inf")
+    it = start_iter
+    while it < max_iter and delta > tol:
+        t0 = time.time()
+        it += 1
+        dangling_mass = (
+            ranks.join(dangling_ids, "id", "left_semi").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            edges_w.join(ranks.withColumnRenamed("id", "src_id"), "src_id")
+            .select(
+                F.col("dst_id").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        new_ranks = (
+            ids.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling_mass / n))
+                ).alias("rank"),
+            )
+            .repartition(n_part, "id")
+        )
+        joined = new_ranks.join(
+            ranks.select("id", F.col("rank").alias("old_rank")), "id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        delta = joined.agg(F.sum(F.abs(F.col("rank") - F.col("old_rank")))).collect()[0][0]
+        old = ranks
+        ranks = joined.select("id", "rank")
+        if it % checkpoint_every == 0:
+            if checkpoint is not None:
+                ranks = checkpoint.save(ranks, it)
+            else:
+                ranks = ranks.localCheckpoint(eager=True)
+        old.unpersist()
+        row = {
+            "iteration": it,
+            "l1_delta": float(delta),
+            "dangling_mass": float(dangling_mass),
+            "seconds": time.time() - t0,
+        }
+        history.append(row)
+        if checkpoint is not None:
+            checkpoint.log_metrics(it, l1_delta=float(delta), dangling_mass=float(dangling_mass), seconds=row["seconds"])
+
+    edges_w.unpersist()
+    dangling_ids.unpersist()
+    ids.unpersist()
+    return PageRankResult(ranks=ranks, iterations=it, delta=float(delta), history=history)
+
+
+def pagerank_fixed_iterations(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Exactly-k-iteration PageRank (no convergence test) — the oracle-
+    friendly variant matched against unrolled SQL CTEs in DuckDB."""
+    res = pagerank(
+        vertices,
+        edges,
+        damping=damping,
+        tol=-1.0,  # never converge early
+        max_iter=iterations,
+        checkpoint_every=10**9,
+    )
+    return res.ranks

@@ -1,0 +1,204 @@
+"""Deduplication operators for web-scale corpora.
+
+- exact: hash-groupBy on a normalized fingerprint (one shuffle).
+- MinHash + LSH: shingle → k minhashes → band buckets → candidate pairs
+  via bucket self-join → Jaccard verify. The self-join is on (band,
+  signature-slice) so only near-dup candidates ever meet — the standard
+  way to avoid the O(n^2) pair explosion at 100 TB.
+- SimHash: 64-bit hyperplane-free sketch from token hashes; near-dups =
+  identical sketch in any of 4 16-bit bands (Hamming ≤ 3-ish recall).
+- n-gram Jaccard: exact verify step (and small-scale standalone dedup).
+
+Minhashing runs inside Catalyst: per-shingle hashes via ``xxhash64`` with
+per-permutation seeds, ``array_min`` per permutation — no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-equal (normalized) documents: (dup_key, keep_id, n_dups).
+
+    keep_id = min id per group — the canonical survivor. Rows with n_dups=1
+    are unique. One hash shuffle on the 64-bit fingerprint.
+    """
+    keyed = df.select(
+        F.col(id_col), F.xxhash64(normalized_text(text_col)).alias("dup_key")
+    )
+    return keyed.groupBy("dup_key").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups")
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each exact-dup group."""
+    keep = exact_duplicates(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) from normalized text."""
+    toks = F.split(normalized_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """array<long> of length num_hashes: min over shingles of seeded xxhash64."""
+    sigs = [
+        F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) — docs sharing >= 1 band bucket."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs: (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    )
+    pa = candidates.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+    pab = pa.join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pab.select(
+            "id_a",
+            "id_b",
+            (inter / F.when(union > 0, union).otherwise(F.lit(1))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → Jaccard verify → drop the
+    higher id of each verified pair (union-find-free greedy for pairs)."""
+    cand = minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    dups = jaccard_verify(cand, df, id_col, text_col, shingle_n, threshold)
+    drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+def simhash(col: Column | str, text_normalize: bool = True) -> Column:
+    """64-bit SimHash over whitespace tokens, bit-majority per position.
+
+    Catalyst-only: per-token xxhash64, then for each bit position sum
+    (+1/-1) and take the sign. Expressed as 64 aggregates over the token
+    array via ``F.aggregate`` — heavy expression tree but JVM-side.
+    """
+    c = normalized_text(col) if text_normalize else (F.col(col) if isinstance(col, str) else col)
+    toks = F.split(c, " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = []
+    for i in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        bits.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, band, band_value) — docs sharing any 16-bit band are candidates."""
+    withsh = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    return withsh.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_value"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.band_value")

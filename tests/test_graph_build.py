@@ -1,0 +1,44 @@
+"""Vertex dictionary + edge table construction invariants (FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amanogawa_spark.graph.build import build_edges, build_vertices, degrees
+
+
+def test_vertices_dense_bijective(spark, corpus, pages_df):
+    v = build_vertices(pages_df).collect()
+    ids = sorted(r.id for r in v)
+    assert ids == list(range(len(corpus.pages)))
+    assert len({r.url for r in v}) == len(v)
+
+
+def test_vertices_invariant_under_repartitioning(spark, pages_df):
+    a = {(r.url, r.id) for r in build_vertices(pages_df.repartition(1)).collect()}
+    b = {(r.url, r.id) for r in build_vertices(pages_df.repartition(17)).collect()}
+    assert a == b
+
+
+def test_vertices_hash_mode_no_collisions(spark, pages_df):
+    v = build_vertices(pages_df, id_mode="hash")
+    assert v.select("id").distinct().count() == v.count()
+
+
+def test_edges_exact_vs_planted(spark, corpus, pages_df):
+    v = build_vertices(pages_df)
+    url_to_id = {r.url: r.id for r in v.collect()}
+    got = {(r.src_id, r.dst_id) for r in build_edges(pages_df, v).collect()}
+    expected = {(url_to_id[s], url_to_id[d]) for s, d in corpus.expected_edges}
+    assert got == expected
+    # no self loops
+    assert all(s != d for s, d in got)
+
+
+def test_degrees(spark, corpus, pages_df):
+    v = build_vertices(pages_df)
+    e = build_edges(pages_df, v)
+    d = degrees(e)
+    total_out = d.agg(F.sum("out_degree")).collect()[0][0]
+    total_in = d.agg(F.sum("in_degree")).collect()[0][0]
+    assert total_out == total_in == len(corpus.expected_edges)

@@ -1,0 +1,66 @@
+"""Pipeline DAG builder + structured streaming smoke tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amanogawa_spark.operators.etl import key_join, row_filter
+from amanogawa_spark.plans.pipeline import Pipeline
+
+
+def test_pipeline_basic_dag(spark, tmp_path):
+    """Mirrors the reference's basic.toml: source → filter → branch → join → sinks."""
+    out_dir = str(tmp_path / "sink_out")
+
+    p = Pipeline()
+    p.source(
+        "kinmosa",
+        lambda s: s.createDataFrame(
+            [(1, "youko", 1), (2, "aya", 2), (3, "shino", 3)],
+            "id int, name string, blood_type int",
+        ),
+    )
+    p.source(
+        "blood",
+        lambda s: s.createDataFrame([(1, "A"), (2, "B"), (3, "O")], "id int, type_string string"),
+    )
+    p.flow("filtered", frm="kinmosa", fn=lambda df: row_filter(df, "id", "<=", 2))
+    p.branch(
+        "split",
+        frm="filtered",
+        fn=lambda df: {"id_name": df.select("id", "name"), "blood": df.select("id", "blood_type")},
+    )
+    p.confluence(
+        "joined",
+        left="split.blood",
+        right="blood",
+        fn=lambda l, r: key_join(l, r, "blood_type", "id"),
+    )
+    p.sink("out", frm="joined", fn=lambda df: df.write.mode("overwrite").parquet(out_dir))
+    slots = p.run(spark)
+
+    assert slots["filtered"].count() == 2
+    back = spark.read.parquet(out_dir)
+    assert {(r.id, r.type_string) for r in back.collect()} == {(1, "A"), (2, "B")}
+
+
+def test_pipeline_cycle_detection(spark):
+    p = Pipeline()
+    p.flow("a", frm="b", fn=lambda df: df)
+    p.flow("b", frm="a", fn=lambda df: df)
+    with pytest.raises(ValueError, match="Not a DAG"):
+        p.run(spark)
+
+
+def test_streaming_windowed_counts(spark):
+    from amanogawa_spark.streaming.events import run_stream_once, streaming_event_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    agg = streaming_event_counts(spark, f"{sf_dir}/events.parquet", window="1 hour")
+    name = run_stream_once(agg, "evt_counts")
+    out = spark.sql(f"SELECT * FROM {name}")
+    assert out.count() > 0
+    # streaming totals equal the batch totals
+    batch_total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.agg(F.sum("n")).collect()[0][0] == batch_total

@@ -1,0 +1,108 @@
+"""Similarity search (brute/LSH/kNN-graph) + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from amanogawa_spark.operators.multimodal import (
+    extract_features,
+    fake_decoder,
+    frame_sample_plan,
+    synth_media,
+)
+from amanogawa_spark.operators.similarity import (
+    cosine_topk_brute,
+    cosine_topk_lsh,
+    knn_graph,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(11)
+    n, dim = 60, 8
+    data = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in data[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, data
+
+
+def _topk_oracle(data: np.ndarray, k: int) -> dict[int, list[int]]:
+    # float32 first (matching the array<float> storage), then double math
+    d32 = data.astype(np.float32).astype(np.float64)
+    unit = d32 / np.linalg.norm(d32, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    out = {}
+    for i in range(len(d32)):
+        order = sorted(
+            (j for j in range(len(d32)) if j != i),
+            key=lambda j: (-sims[i, j], j),
+        )
+        out[i] = order[:k]
+    return out
+
+
+def test_brute_topk_matches_numpy(spark, vecs):
+    df, data = vecs
+    k = 5
+    got = cosine_topk_brute(df, k=k).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, -r.cosine, r.neighbor_id)):
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    expected = _topk_oracle(data, k)
+    assert by_q == expected
+
+
+def test_lsh_recall_reasonable(spark, vecs):
+    df, data = vecs
+    k = 5
+    expected = _topk_oracle(data, k)
+    got = cosine_topk_lsh(df, k=k, n_tables=8, n_planes=4).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(by_q.get(q, set()) & set(nb)) for q, nb in expected.items())
+    recall = hits / (len(expected) * k)
+    assert recall > 0.5, f"LSH recall too low: {recall}"
+
+
+def test_knn_graph_undirected_dedup(spark, vecs):
+    df, _ = vecs
+    e = knn_graph(df, k=3, mode="exact").collect()
+    pairs = [(r.src_id, r.dst_id) for r in e]
+    assert len(pairs) == len(set(pairs))  # deduped
+    assert all(s < d for s, d in pairs)  # canonical min/max orientation
+    assert all(s != d for s, d in pairs)
+
+
+def test_media_features_deterministic(spark):
+    media = synth_media(spark, n=30)
+    f1 = {r.media_id: r.feature for r in extract_features(media, dim=8).collect()}
+    f2 = {
+        r.media_id: r.feature
+        for r in extract_features(media.repartition(7), dim=8).collect()
+    }
+    assert f1 == f2  # byte-stable across partitionings
+    assert all(len(v) == 8 for v in f1.values())
+
+
+def test_media_decode_stub_raises():
+    from amanogawa_spark.operators.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"png")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"wav")
+    # the fake decoder is a pure function of bytes
+    assert fake_decoder(b"abc").tolist() == fake_decoder(b"abc").tolist()
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, n=9)
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert all(r.frame_ms % 1000 == 0 for r in rows)
+    vids = media.filter(F.col("kind") == "video").count()
+    assert len(rows) == vids * 6  # 0..5000 inclusive step 1000

@@ -1,0 +1,104 @@
+"""Text analysis + dedup operators over deterministic synthetic documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amanogawa_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard_verify,
+    minhash_candidates,
+    minhash_dedup,
+    shingles,
+    simhash,
+)
+from amanogawa_spark.operators.text import (
+    bpe_ish_token_count,
+    detect_language,
+    fingerprint,
+    quality_features,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "The  quick brown   fox jumps over the lazy DOG"),  # normalized dup of 0
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup (1 word)
+        (4, "der hund und die katze sind nicht zu hause mit dem ball"),
+        (5, "completely different content about spark dataframes and shuffles"),
+        (6, "le chat et le chien sont dans la maison pour une heure"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    dup_group = [g for g in groups if g.n_dups == 3]
+    assert len(dup_group) == 1 and dup_group[0].keep_id == 0
+    kept = dedup_exact(docs)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert {3, 4, 5, 6, 7} <= ids
+
+
+def test_token_counts(spark, docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got[0] == 9
+    assert got[7] == 0
+    bpe = docs.select("doc_id", bpe_ish_token_count("text").alias("n")).collect()
+    assert {r.doc_id: r.n for r in bpe}[0] == 9
+
+
+def test_quality_and_language(spark, docs):
+    q = quality_features(docs).collect()
+    by_id = {r.doc_id: r for r in q}
+    assert by_id[0].stopword_ratio > 0.2  # 'the' x2 + 'over' -> >= 2/9
+    assert by_id[7].n_tokens == 0
+    langs = {r.doc_id: r.lang_pred for r in detect_language(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "de"
+    assert langs[6] == "fr"
+    assert langs[7] == "und"
+
+
+def test_fingerprint_normalization(spark, docs):
+    fps = {r.doc_id: r.fp for r in docs.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[0] != fps[3]
+
+
+def test_shingles(spark, docs):
+    sh = docs.filter(F.col("doc_id") == 0).select(shingles("text", 3).alias("s")).first().s
+    assert "the quick brown" in sh
+    assert len(sh) == 7  # 9 tokens -> 7 trigrams
+
+
+def test_minhash_near_dup_pipeline(spark, docs):
+    cand = minhash_candidates(docs, num_hashes=64, bands=16)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs  # exact dups always collide
+    assert (0, 3) in pairs  # near dup: 1-word diff should share a band
+    verified = jaccard_verify(cand, docs, threshold=0.5)
+    vpairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert (0, 1) in vpairs and (0, 3) in vpairs
+    assert all(p[0] != 5 and p[1] != 5 for p in vpairs)  # unique doc never verified
+    deduped = minhash_dedup(docs, threshold=0.5)
+    ids = {r.doc_id for r in deduped.collect()}
+    assert 0 in ids and {1, 2, 3}.isdisjoint(ids)
+    assert {4, 5, 6} <= ids
+
+
+def test_simhash_near_dup(spark, docs):
+    sh = {r.doc_id: r.sh for r in docs.select("doc_id", simhash("text").alias("sh")).collect()}
+    assert sh[0] == sh[1] == sh[2]
+    # near-dup differs in few bits; unrelated differs in many
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(sh[0], sh[3]) < ham(sh[0], sh[5])
