@@ -51,6 +51,9 @@ def pagerank(
     """Power iteration: r' = (1-d)/N + d * (A^T r/outdeg + dangling/N)."""
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # lineage MUST be truncated periodically regardless of durable-checkpoint
+    # cadence: an unbounded iterative plan tree stack-overflows Catalyst
+    truncate_every = min(checkpoint_every, 5)
 
     ids = vertices.select("id").distinct().repartition(
         n_part, "id"
@@ -120,11 +123,10 @@ def pagerank(
         delta = joined.agg(F.sum(F.abs(F.col("rank") - F.col("old_rank")))).collect()[0][0]
         old = ranks
         ranks = joined.select("id", "rank")
-        if it % checkpoint_every == 0:
-            if checkpoint is not None:
-                ranks = checkpoint.save(ranks, it)
-            else:
-                ranks = ranks.localCheckpoint(eager=True)
+        if checkpoint is not None and it % checkpoint_every == 0:
+            ranks = checkpoint.save(ranks, it)
+        elif it % truncate_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
         old.unpersist()
         row = {
             "iteration": it,

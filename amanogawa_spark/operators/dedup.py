@@ -62,9 +62,13 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """array<long> of length num_hashes: min over shingles of seeded xxhash64."""
+    def _perm(i: int):
+        # closure factory: a 1-arg lambda per permutation (a default-arg
+        # lambda would be read by Spark as the (element, index) 2-arg form)
+        return lambda s: F.xxhash64(s, F.lit(i))
+
     sigs = [
-        F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
+        F.array_min(F.transform(shingle_col, _perm(i))) for i in range(num_hashes)
     ]
     return F.array(*sigs)
 
@@ -168,17 +172,19 @@ def simhash(col: Column | str, text_normalize: bool = True) -> Column:
     c = normalized_text(col) if text_normalize else (F.col(col) if isinstance(col, str) else col)
     toks = F.split(c, " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def _vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
     bits = []
     for i in range(64):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(i))
+        bits.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-        bits.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)

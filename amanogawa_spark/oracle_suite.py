@@ -1,0 +1,644 @@
+"""The driver-facing query suite: every operator as (Spark impl, DuckDB oracle).
+
+Each entry in :data:`QUERIES` is a callable ``(spark, sf_dir) -> DataFrame``;
+:data:`ORACLE_SQL` holds the equivalent ANSI SQL for DuckDB over the same
+parquet tables. Column names and types are aligned on both sides; computed
+doubles are rounded in-query (both sides) so order-of-summation noise can't
+break the driver's value hash. Queries without an oracle entry are
+iterative/hash-seeded ops the driver checks rows-only (their real oracles
+live in tests/ as numpy/BFS/brute-force cross-checks).
+
+Graph queries run over a deterministic edge table derived from ``lineitem``
+(``src_id = l_orderkey % M, dst_id = l_partkey % M``) so both engines build
+the identical graph with no data exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from amanogawa_spark.graph.build import degrees
+from amanogawa_spark.graph.components import connected_components_minlabel
+from amanogawa_spark.graph.lpa import label_propagation
+from amanogawa_spark.graph.pagerank import pagerank_fixed_iterations
+from amanogawa_spark.graph.triangles import triangle_total
+from amanogawa_spark.operators.etl import branch_columns, key_join, row_filter
+
+M = 2000  # vertex-id modulus for the derived graph
+_EDGES_SQL = f"""
+edges AS (
+  SELECT DISTINCT l_orderkey % {M} AS src_id, l_partkey % {M} AS dst_id
+  FROM lineitem
+  WHERE l_orderkey % {M} <> l_partkey % {M}
+)"""
+_VERTS_SQL = """
+verts AS (
+  SELECT DISTINCT id FROM (
+    SELECT src_id AS id FROM edges UNION ALL SELECT dst_id AS id FROM edges
+  )
+)"""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derived_edges(spark: SparkSession, sf_dir: str, m: int = M) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % m).alias("src_id"),
+            (F.col("l_partkey") % m).alias("dst_id"),
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+
+
+def derived_vertices(spark: SparkSession, sf_dir: str, m: int = M) -> DataFrame:
+    e = derived_edges(spark, sf_dir, m)
+    return (
+        e.select(F.col("src_id").alias("id"))
+        .unionAll(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# ETL / SQL parity
+# --------------------------------------------------------------------------
+
+def q_filter_numeric(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = row_filter(row_filter(ev, "value", ">", 50.0), "event_type", "==", "click")
+    return out.select("event_id", "user_id", F.round("value", 6).alias("value_r"))
+
+
+def q_filter_contains(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return row_filter(docs, "text", "contains", "the").select("doc_id", "n_chars")
+
+
+def q_filter_not_contains(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return row_filter(docs, "text", "!contains", "the").select("doc_id", "lang")
+
+
+def q_branch_project(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    outs = branch_columns(
+        cust, {"idname": ["c_custkey", "c_name"], "bal": ["c_custkey", "c_acctbal"]}
+    )
+    return outs["idname"]
+
+
+def q_key_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return key_join(cust, nat, "c_nationkey", "n_nationkey", broadcast_right=True)
+
+
+def q_agg_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.round(F.avg("l_discount"), 8).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 4).alias("price_r"), "rn")
+    )
+
+
+def q_join_agg_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_sort_limit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 4).alias("price_r"))
+    )
+
+
+def q_distinct_union(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.select(F.col("c_custkey").alias("key"))
+    b = orders.select(F.col("o_custkey").alias("key"))
+    return a.union(b).distinct()
+
+
+def q_cube_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+def q_user_sessions(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session; sessions per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    return flagged.groupBy("user_id").agg(F.sum("new_sess").cast("long").alias("n_sessions"))
+
+
+# --------------------------------------------------------------------------
+# Graph queries over the derived edge table
+# --------------------------------------------------------------------------
+
+def q_edges_build(spark, sf_dir):
+    return derived_edges(spark, sf_dir)
+
+
+def q_edges_canonical_undirected(spark, sf_dir):
+    e = derived_edges(spark, sf_dir)
+    return e.select(
+        F.least("src_id", "dst_id").alias("a"), F.greatest("src_id", "dst_id").alias("b")
+    ).distinct()
+
+
+def q_degrees(spark, sf_dir):
+    return degrees(derived_edges(spark, sf_dir))
+
+
+def q_pagerank5(spark, sf_dir):
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    r = pagerank_fixed_iterations(v, e, iterations=5)
+    return r.select("id", F.round("rank", 8).alias("pr_value"))
+
+
+def q_cc_minlabel8(spark, sf_dir):
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return connected_components_minlabel(v, e, fixed_rounds=8)
+
+
+def q_lpa3(spark, sf_dir):
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return label_propagation(v, e, max_rounds=3)
+
+
+def q_triangle_count(spark, sf_dir):
+    return triangle_total(derived_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: dedup, text analysis, similarity
+# --------------------------------------------------------------------------
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+def _norm_text_col():
+    return F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(_norm_text_col().alias("norm"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(F.size(toks)).cast("long")
+    return docs.select("doc_id", n_tok.alias("n_tokens"))
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = F.split(F.trim(c), r"\s+")
+    n_tok = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(toks)).cast("long")
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    stop = F.array(*[F.lit(w) for w in ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    return docs.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars_q"),
+        n_tok.alias("n_tokens"),
+        F.round(F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)), 6).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+_LANG_SQL_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "que", "de", "los", "una", "por", "con", "para", "las"],
+}
+
+
+def q_lang_detect(spark, sf_dir):
+    from amanogawa_spark.operators.text import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return detect_language(docs).select("doc_id", "lang_pred")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact token-set Jaccard on all pairs of a doc_id<120 subset."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    toks = F.array_distinct(F.split(_norm_text_col(), " "))
+    sh = docs.select(F.col("doc_id").alias("id"), toks.alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.when(union > 0, union).otherwise(F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-3 per query over vec_id<150 (raw-cosine formula)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select(F.col("id").alias("query_id"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("neighbor_id"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", (dot / (na * nb)).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle — iterative / hash-seeded; tested in tests/)
+# --------------------------------------------------------------------------
+
+def q_pagerank_converged(spark, sf_dir):
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    from amanogawa_spark.graph.pagerank import pagerank
+
+    res = pagerank(v, e, tol=1e-6, max_iter=60)
+    return res.ranks.select("id", F.round("rank", 8).alias("pr_value"))
+
+
+def q_cc_star(spark, sf_dir):
+    from amanogawa_spark.graph.components import connected_components
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return connected_components(v, e)
+
+
+def q_minhash_dedup(spark, sf_dir):
+    from amanogawa_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.8).select("doc_id")
+
+
+def q_simhash_bands(spark, sf_dir):
+    from amanogawa_spark.operators.dedup import simhash_bands
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_bands(docs)
+
+
+def q_knn_graph_exact(spark, sf_dir):
+    from amanogawa_spark.operators.similarity import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    return knn_graph(emb, k=3, mode="exact")
+
+
+def q_ann_lsh(spark, sf_dir):
+    from amanogawa_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return cosine_topk_lsh(emb, k=3, n_tables=6, n_planes=6).select(
+        "query_id", "neighbor_id"
+    )
+
+
+QUERIES = {
+    "q_filter_numeric": q_filter_numeric,
+    "q_filter_contains": q_filter_contains,
+    "q_filter_not_contains": q_filter_not_contains,
+    "q_branch_project": q_branch_project,
+    "q_key_join": q_key_join,
+    "q_agg_pricing": q_agg_pricing,
+    "q_topk_per_group": q_topk_per_group,
+    "q_join_agg_revenue": q_join_agg_revenue,
+    "q_sort_limit": q_sort_limit,
+    "q_distinct_union": q_distinct_union,
+    "q_cube_counts": q_cube_counts,
+    "q_user_sessions": q_user_sessions,
+    "q_edges_build": q_edges_build,
+    "q_edges_canonical_undirected": q_edges_canonical_undirected,
+    "q_degrees": q_degrees,
+    "q_pagerank5": q_pagerank5,
+    "q_cc_minlabel8": q_cc_minlabel8,
+    "q_lpa3": q_lpa3,
+    "q_triangle_count": q_triangle_count,
+    "q_dedup_exact_groups": q_dedup_exact_groups,
+    "q_token_stats": q_token_stats,
+    "q_quality_scores": q_quality_scores,
+    "q_lang_detect": q_lang_detect,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_ann_topk": q_ann_topk,
+    # rows-only (no oracle_sql entry):
+    "q_pagerank_converged": q_pagerank_converged,
+    "q_cc_star": q_cc_star,
+    "q_minhash_dedup": q_minhash_dedup,
+    "q_simhash_bands": q_simhash_bands,
+    "q_knn_graph_exact": q_knn_graph_exact,
+    "q_ann_lsh": q_ann_lsh,
+}
+
+
+def _pagerank5_sql() -> str:
+    parts = [f"WITH {_EDGES_SQL.strip()}", _VERTS_SQL.strip()]
+    parts.append("nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)")
+    parts.append(
+        "outdeg AS (SELECT src_id AS id, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY src_id)"
+    )
+    parts.append("r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS pr FROM verts)")
+    for k in range(1, 6):
+        p, c = k - 1, k
+        parts.append(
+            f"d{c} AS (SELECT COALESCE(SUM(r.pr), 0.0) AS dm FROM r{p} r "
+            f"LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"c{c} AS (SELECT e.dst_id AS id, SUM(r.pr / o.od) AS mass FROM edges e "
+            f"JOIN r{p} r ON e.src_id = r.id JOIN outdeg o ON e.src_id = o.id "
+            f"GROUP BY e.dst_id)"
+        )
+        parts.append(
+            f"r{c} AS (SELECT v.id, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.mass, 0.0) "
+            f"+ (SELECT dm FROM d{c})/(SELECT n FROM nn)) AS pr FROM verts v "
+            f"LEFT JOIN c{c} c ON v.id = c.id)"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return body + "\nSELECT id, ROUND(CAST(pr AS DOUBLE), 8) AS pr_value FROM r5"
+
+
+def _cc_minlabel_sql(rounds: int = 8) -> str:
+    parts = [f"WITH {_EDGES_SQL.strip()}", _VERTS_SQL.strip()]
+    parts.append(
+        "sym AS (SELECT src_id AS u, dst_id AS v FROM edges "
+        "UNION SELECT dst_id AS u, src_id AS v FROM edges)"
+    )
+    parts.append("l0 AS (SELECT id, id AS lab FROM verts)")
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"m{k} AS (SELECT s.u AS id, MIN(l.lab) AS nl FROM sym s "
+            f"JOIN l{p} l ON s.v = l.id GROUP BY s.u)"
+        )
+        parts.append(
+            f"l{k} AS (SELECT l.id, LEAST(l.lab, COALESCE(m.nl, l.lab)) AS lab "
+            f"FROM l{p} l LEFT JOIN m{k} m ON l.id = m.id)"
+        )
+    return (
+        parts[0] + ",\n" + ",\n".join(parts[1:])
+        + f"\nSELECT id, lab AS component FROM l{rounds}"
+    )
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    parts = [f"WITH {_EDGES_SQL.strip()}", _VERTS_SQL.strip()]
+    parts.append(
+        "sym AS (SELECT src_id AS u, dst_id AS v FROM edges "
+        "UNION SELECT dst_id AS u, src_id AS v FROM edges)"
+    )
+    parts.append("l0 AS (SELECT id, id AS lab FROM verts)")
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"cnt{k} AS (SELECT s.u AS id, l.lab AS lab, COUNT(*) AS freq FROM sym s "
+            f"JOIN l{p} l ON s.v = l.id GROUP BY s.u, l.lab)"
+        )
+        parts.append(
+            f"best{k} AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY freq DESC, lab ASC) AS rn FROM cnt{k}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{k} AS (SELECT l.id, COALESCE(b.lab, l.lab) AS lab FROM l{p} l "
+            f"LEFT JOIN best{k} b ON l.id = b.id)"
+        )
+    return (
+        parts[0] + ",\n" + ",\n".join(parts[1:])
+        + f"\nSELECT id, lab AS label FROM l{rounds}"
+    )
+
+
+def _lang_detect_sql() -> str:
+    toks = f"list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x))"
+    score_cols = []
+    for lang, words in _LANG_SQL_MARKERS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(
+            f"len(list_filter({toks}, x -> list_contains({arr}, x))) AS s_{lang}"
+        )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {", ".join(score_cols)} FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       WHEN s_en >= s_de THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM scored"""
+
+
+_STOP_ARR = "['the','and','of','to','in','is','that','it','for','was']"
+
+ORACLE_SQL = {
+    "q_filter_numeric": (
+        "SELECT event_id, user_id, ROUND(CAST(value AS DOUBLE), 6) AS value_r "
+        "FROM events WHERE value > 50.0 AND event_type = 'click'"
+    ),
+    "q_filter_contains": (
+        "SELECT doc_id, n_chars FROM documents WHERE contains(text, 'the')"
+    ),
+    "q_filter_not_contains": (
+        "SELECT doc_id, lang FROM documents WHERE NOT contains(text, 'the')"
+    ),
+    "q_branch_project": "SELECT c_custkey, c_name FROM customer",
+    "q_key_join": (
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+        "n_name, n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey"
+    ),
+    "q_agg_pricing": (
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty, "
+        "ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue, "
+        "ROUND(CAST(AVG(l_discount) AS DOUBLE), 8) AS avg_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "q_topk_per_group": (
+        "SELECT o_orderpriority, o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE), 4) AS price_r, rn "
+        "FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, ROW_NUMBER() OVER "
+        "(PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn "
+        "FROM orders) WHERE rn <= 3"
+    ),
+    "q_join_agg_revenue": (
+        "SELECT n_name, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS total_revenue, "
+        "COUNT(*) AS n_orders FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "q_sort_limit": (
+        "SELECT l_orderkey, l_linenumber, ROUND(CAST(l_extendedprice AS DOUBLE), 4) AS price_r "
+        "FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20"
+    ),
+    "q_distinct_union": (
+        "SELECT DISTINCT key FROM (SELECT c_custkey AS key FROM customer "
+        "UNION ALL SELECT o_custkey AS key FROM orders)"
+    ),
+    "q_cube_counts": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+        "GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+    "q_user_sessions": (
+        "SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM ("
+        "SELECT user_id, CASE WHEN prev_ts IS NULL OR "
+        "date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess FROM ("
+        "SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+        "FROM events)) GROUP BY user_id"
+    ),
+    "q_edges_build": f"WITH {_EDGES_SQL.strip()} SELECT src_id, dst_id FROM edges",
+    "q_edges_canonical_undirected": (
+        f"WITH {_EDGES_SQL.strip()} SELECT DISTINCT LEAST(src_id, dst_id) AS a, "
+        "GREATEST(src_id, dst_id) AS b FROM edges"
+    ),
+    "q_degrees": (
+        f"WITH {_EDGES_SQL.strip()}, "
+        "o AS (SELECT src_id AS id, COUNT(*) AS out_degree FROM edges GROUP BY src_id), "
+        "i AS (SELECT dst_id AS id, COUNT(*) AS in_degree FROM edges GROUP BY dst_id) "
+        "SELECT COALESCE(o.id, i.id) AS id, COALESCE(out_degree, 0) AS out_degree, "
+        "COALESCE(in_degree, 0) AS in_degree FROM o FULL OUTER JOIN i ON o.id = i.id"
+    ),
+    "q_pagerank5": _pagerank5_sql(),
+    "q_cc_minlabel8": _cc_minlabel_sql(8),
+    "q_lpa3": _lpa_sql(3),
+    "q_triangle_count": (
+        f"WITH {_EDGES_SQL.strip()}, "
+        "und AS (SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b FROM edges), "
+        "deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) GROUP BY id), "
+        "ori AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u, "
+        "CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v "
+        "FROM und u JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id), "
+        "wed AS (SELECT e1.v AS x, e2.v AS y, e1.u AS pivot FROM ori e1 JOIN ori e2 ON e1.u = e2.u WHERE e1.v < e2.v), "
+        "clo AS (SELECT u AS x, v AS y FROM ori UNION SELECT v AS x, u AS y FROM ori) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM wed JOIN clo USING (x, y)"
+    ),
+    "q_dedup_exact_groups": (
+        f"SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY {_NORM}"
+    ),
+    "q_token_stats": (
+        "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens FROM documents"
+    ),
+    "q_quality_scores": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens, "
+        "ROUND(CAST(CASE WHEN length(text) > 0 THEN "
+        "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) "
+        "ELSE 0.0 END AS DOUBLE), 6) AS punct_ratio, "
+        "ROUND(CAST(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE "
+        f"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains({_STOP_ARR}, lower(x)))) * 1.0 "
+        "/ len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE), 6) AS stopword_ratio "
+        "FROM documents"
+    ),
+    "q_lang_detect": _lang_detect_sql(),
+    "q_ngram_jaccard_pairs": (
+        "SELECT * FROM ("
+        "WITH sh AS (SELECT doc_id AS id, "
+        f"list_distinct(string_split({_NORM}, ' ')) AS s FROM documents WHERE doc_id < 120) "
+        "SELECT a.id AS id_a, b.id AS id_b, "
+        "ROUND(CAST(len(list_intersect(a.s, b.s)) * 1.0 / "
+        "CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0 "
+        "THEN len(list_distinct(list_concat(a.s, b.s))) ELSE 1 END AS DOUBLE), 6) AS jaccard "
+        "FROM sh a JOIN sh b ON a.id < b.id"
+        ") WHERE jaccard >= 0.05"
+    ),
+    "q_ann_topk": (
+        "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150), "
+        "sims AS (SELECT a.id AS query_id, b.id AS neighbor_id, "
+        "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cosine "
+        "FROM v a JOIN v b ON a.id <> b.id), "
+        "ranked AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM sims) "
+        "SELECT query_id, neighbor_id, ROUND(CAST(cosine AS DOUBLE), 6) AS cosine_r, rn "
+        "FROM ranked WHERE rn <= 3"
+    ),
+}

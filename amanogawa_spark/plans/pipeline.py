@@ -82,16 +82,21 @@ class Pipeline:
         deps = {
             n.name: {i.split(".")[0] for i in n.inputs} for n in self._nodes.values()
         }
-        ready = [n for n, d in deps.items() if not d]
+        ready = sorted(n for n, d in deps.items() if not d)
+        queued = set(ready)
         order: list[str] = []
-        remaining = dict(deps)
+        remaining = {n: set(d) for n, d in deps.items() if n not in queued}
         while ready:
-            cur = ready.pop()
+            cur = ready.pop(0)
             order.append(cur)
-            remaining.pop(cur)
+            freed = []
             for n, d in remaining.items():
                 d.discard(cur)
-            ready = [n for n, d in remaining.items() if not d and n not in order and n not in ready]
+                if not d:
+                    freed.append(n)
+            for n in sorted(freed):
+                remaining.pop(n)
+                ready.append(n)
         if remaining:
             raise ValueError(f"Not a DAG: cycle among {sorted(remaining)}")
         return [self._nodes[n] for n in order]

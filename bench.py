@@ -1,0 +1,204 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` mode runs the PageRank superjob at two parallelism levels
+(local[8] vs local[32] by default) on identical input and reports
+throughput + scaling efficiency — the sandbox stand-in for the north
+rule's N vs 4N executor clusters (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    name = os.path.basename(path.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def build_pages(spark, n_pages: int, seed: int = 7):
+    """Deterministic in-memory pages corpus → DataFrame (bench fixture)."""
+    from amanogawa_spark.fixtures.pages import generate_pages
+
+    corpus = generate_pages(n_pages=n_pages, seed=seed)
+    df = spark.createDataFrame(corpus.pages)
+    return df
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Headline per-query wall times. Mix: link-graph pipeline on the pages
+    corpus + heavy testdata queries (agg, dedup, similarity)."""
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+    from amanogawa_spark.graph.components import connected_components
+    from amanogawa_spark.graph.pagerank import pagerank
+    from amanogawa_spark.graph.triangles import triangle_total
+    from amanogawa_spark.operators.dedup import minhash_dedup
+    from amanogawa_spark.oracle_suite import (
+        q_agg_pricing,
+        q_ann_topk,
+        q_join_agg_revenue,
+        q_user_sessions,
+    )
+
+    sf = _sf_of(sf_dir)
+    n_pages = max(2000, int(100_000 * sf))  # 10k pages at sf0.1
+    results: dict[str, float] = {}
+
+    pages = build_pages(spark, n_pages).persist()
+    pages.count()
+
+    # end-to-end graph construction: extract → dictionary → edges
+    vertices = edges = None
+
+    def _build():
+        nonlocal vertices, edges
+        vertices = build_vertices(pages).persist()
+        edges = build_edges(pages, vertices).persist()
+        edges.count()
+        vertices.count()
+
+    results["graph_build"] = _timed(_build)
+
+    pr_res = {}
+
+    def _pr():
+        res = pagerank(vertices, edges, tol=1e-6, max_iter=100)
+        pr_res["iters"] = res.iterations
+        pr_res["edges"] = edges.count()
+
+    results["pagerank_converge"] = _timed(_pr)
+    results["pagerank_iters"] = float(pr_res["iters"])
+    results["pagerank_edges_per_sec"] = round(
+        pr_res["edges"] * pr_res["iters"] / results["pagerank_converge"], 2
+    )
+
+    results["connected_components"] = _timed(
+        lambda: connected_components(vertices, edges).count()
+    )
+    results["triangle_count"] = _timed(lambda: triangle_total(edges).collect())
+
+    results["agg_pricing"] = _timed(lambda: q_agg_pricing(spark, sf_dir).collect())
+    results["join_agg_revenue"] = _timed(lambda: q_join_agg_revenue(spark, sf_dir).collect())
+    results["sessionize"] = _timed(lambda: q_user_sessions(spark, sf_dir).collect())
+    results["minhash_dedup"] = _timed(
+        lambda: minhash_dedup(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).count()
+    )
+    results["ann_topk"] = _timed(lambda: q_ann_topk(spark, sf_dir).count())
+    pages.unpersist()
+    return results
+
+
+def run_default() -> dict:
+    from amanogawa_spark.session import get_spark
+
+    spark = get_spark(cpus=CPUS, app_name="amanogawa_bench")
+    qtimes = bench_queries(spark, SF_DIR)
+    total = sum(v for k, v in qtimes.items() if not k.startswith("pagerank_iters") and not k.endswith("_per_sec"))
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in qtimes.items()},
+        "sf": _sf_of(SF_DIR),
+        "cpus": CPUS,
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling(levels=(8, 32)) -> dict:
+    """Same PageRank superjob at two parallelism levels, identical input."""
+    import subprocess
+
+    outs = {}
+    for cpus in levels:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single-pagerank"],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        outs[cpus] = json.loads(line)
+    lo, hi = levels
+    tput_lo = outs[lo]["edges_iter_per_sec"]
+    tput_hi = outs[hi]["edges_iter_per_sec"]
+    efficiency = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 4),
+        "unit": "ratio",
+        "queries": {
+            f"local[{lo}]_edges_iter_per_sec": tput_lo,
+            f"local[{hi}]_edges_iter_per_sec": tput_hi,
+            f"local[{lo}]_sec": outs[lo]["seconds"],
+            f"local[{hi}]_sec": outs[hi]["seconds"],
+        },
+        "sf": _sf_of(SF_DIR),
+    }
+
+
+def run_single_pagerank() -> dict:
+    """One PageRank-to-convergence run at the current CPU level (subprocess
+    worker for --scaling)."""
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+    from amanogawa_spark.graph.pagerank import pagerank
+    from amanogawa_spark.session import get_spark
+
+    sf = _sf_of(SF_DIR)
+    n_pages = max(2000, int(100_000 * sf))
+    spark = get_spark(cpus=CPUS, app_name=f"pr_scaling_{CPUS}")
+    pages = build_pages(spark, n_pages).persist()
+    pages.count()
+    vertices = build_vertices(pages).persist()
+    edges = build_edges(pages, vertices).persist()
+    n_edges = edges.count()
+    t0 = time.time()
+    res = pagerank(vertices, edges, tol=1e-6, max_iter=100)
+    dt = time.time() - t0
+    spark.stop()
+    return {
+        "seconds": round(dt, 3),
+        "iterations": res.iterations,
+        "n_edges": n_edges,
+        "edges_iter_per_sec": round(n_edges * res.iterations / dt, 2),
+        "cpus": CPUS,
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single-pagerank", action="store_true")
+    args = ap.parse_args()
+    if args.single_pagerank:
+        print(json.dumps(run_single_pagerank()))
+    elif args.scaling:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_default()))

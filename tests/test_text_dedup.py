@@ -81,15 +81,21 @@ def test_shingles(spark, docs):
 
 
 def test_minhash_near_dup_pipeline(spark, docs):
-    cand = minhash_candidates(docs, num_hashes=64, bands=16)
+    # banding math: the (0,3) pair has trigram Jaccard 0.4 (4 shared / 10
+    # union), so 32 bands x 2 rows gives P(collide) ≈ 1-(1-0.4^2)^32 ≈ 0.996
+    cand = minhash_candidates(docs, num_hashes=64, bands=32)
     pairs = {(r.id_a, r.id_b) for r in cand.collect()}
     assert (0, 1) in pairs and (0, 2) in pairs  # exact dups always collide
-    assert (0, 3) in pairs  # near dup: 1-word diff should share a band
-    verified = jaccard_verify(cand, docs, threshold=0.5)
+    assert (0, 3) in pairs  # near dup at J=0.4
+    verified = jaccard_verify(cand, docs, threshold=0.35)
     vpairs = {(r.id_a, r.id_b) for r in verified.collect()}
     assert (0, 1) in vpairs and (0, 3) in vpairs
     assert all(p[0] != 5 and p[1] != 5 for p in vpairs)  # unique doc never verified
-    deduped = minhash_dedup(docs, threshold=0.5)
+    # exact-jaccard values: identical docs = 1.0, near dup = 0.4
+    vals = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert vals[(0, 1)] == 1.0
+    assert abs(vals[(0, 3)] - 0.4) < 1e-9
+    deduped = minhash_dedup(docs, num_hashes=64, bands=32, threshold=0.35)
     ids = {r.doc_id for r in deduped.collect()}
     assert 0 in ids and {1, 2, 3}.isdisjoint(ids)
     assert {4, 5, 6} <= ids
