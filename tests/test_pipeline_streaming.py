@@ -53,11 +53,17 @@ def test_pipeline_cycle_detection(spark):
         p.run(spark)
 
 
-def test_streaming_windowed_counts(spark):
+def test_streaming_windowed_counts(spark, tmp_path):
+    import shutil
+
     from amanogawa_spark.streaming.events import run_stream_once, streaming_event_counts
 
     sf_dir = "/root/testdata/sf0.001"
-    agg = streaming_event_counts(spark, f"{sf_dir}/events.parquet", window="1 hour")
+    # the file-stream source requires a directory of files, not a single file
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    agg = streaming_event_counts(spark, str(stream_dir), window="1 hour")
     name = run_stream_once(agg, "evt_counts")
     out = spark.sql(f"SELECT * FROM {name}")
     assert out.count() > 0
