@@ -33,7 +33,7 @@ def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_rounds: int = 50,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Small-star/large-star alternation until the edge set stops changing.
 
@@ -74,21 +74,32 @@ def connected_components(
         )
         return linked
 
+    def _sig(df: DataFrame):
+        """(count, xor-of-row-hashes) set signature — one cheap action per
+        round instead of two exceptAll scans; 2^-64 false-stop risk."""
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),  # xor: no ANSI overflow
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     e = pairs
+    prev_sig = _sig(e)
     for rnd in range(1, max_rounds + 1):
         new_e = small_star(large_star(e)).persist(StorageLevel.MEMORY_AND_DISK)
+        # each round references the previous edge set ~16x (nbrs/oriented
+        # reuse), so the LOGICAL plan grows 16^rounds and Catalyst
+        # re-analysis goes exponential — truncate every round by default
         if rnd % checkpoint_every == 0:
             new_e = new_e.localCheckpoint(eager=True)
-        # converged when the (u,v) set is unchanged
-        changed = (
-            new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
-        )
+        sig = _sig(new_e)
         old = e
         e = new_e
         if old is not pairs:
             old.unpersist()
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
 
     comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     result = (

@@ -8,12 +8,14 @@ Scale design (SURVEY.md §4.2):
   and persisted — per-iteration the ONLY shuffles are (a) the ranks side
   of the contribution join and (b) the ``groupBy(dst_id)`` partial+final
   hash aggregate. The persisted edge partitioning is reused every round.
-- the dangling-vertex set is precomputed and persisted; per-iteration
-  dangling mass is one cheap scalar agg (``left_semi`` join + sum).
-- lineage is cut every ``checkpoint_every`` iterations via
-  ``localCheckpoint`` or a durable :class:`CheckpointManager` snapshot
-  (resumable path); per-iteration metrics (delta, dangling mass, wall
-  time) go to the metrics journal.
+- ONE driver action per iteration: the L1 delta and the NEXT iteration's
+  dangling mass (``sum(rank * is_dangling)``) come out of a single
+  aggregate over the materialized new-ranks DataFrame. (Two separate
+  collects per iteration doubles the job count — measured 2x wall cost
+  on overhead-bound graphs.)
+- lineage is cut every few iterations via ``localCheckpoint`` or a durable
+  :class:`CheckpointManager` snapshot (resumable path); per-iteration
+  metrics (delta, dangling mass, wall time) go to the metrics journal.
 - hub-vertex skew in ``groupBy(dst_id)`` is handled by AQE skew handling
   plus the optional two-level salted aggregate in ``graph/skew.py``.
 """
@@ -55,24 +57,31 @@ def pagerank(
     # cadence: an unbounded iterative plan tree stack-overflows Catalyst
     truncate_every = min(checkpoint_every, 5)
 
-    ids = vertices.select("id").distinct().repartition(
-        n_part, "id"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    n = ids.count()
-    if n == 0:
-        return PageRankResult(ranks=ids.withColumn("rank", F.lit(0.0)), iterations=0, delta=0.0)
-
     out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(F.count("*").alias("out_degree"))
+    # vertex table with a dangling indicator, partitioned on id for the
+    # per-iteration joins; built once
+    verts = (
+        vertices.select("id")
+        .distinct()
+        .join(out_deg, "id", "left")
+        .select("id", F.col("out_degree").isNull().cast("double").alias("dang"))
+        .repartition(n_part, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = verts.count()
+    if n == 0:
+        return PageRankResult(
+            ranks=verts.select("id", F.lit(0.0).alias("rank")), iterations=0, delta=0.0
+        )
+
     # one-time: edge list annotated with src out-degree, partitioned on src
-    # so each iteration's contribution join only shuffles the (tiny) ranks side
+    # so each iteration's contribution join only shuffles the (small) ranks side
     edges_w = (
         edges.join(out_deg.withColumnRenamed("id", "src_id"), "src_id")
         .repartition(n_part, "src_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    edges_w.count()  # materialize
-    dangling_ids = ids.join(out_deg, "id", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
-    dangling_ids.count()
+    edges_w.count()
 
     start_iter = 0
     ranks = None
@@ -82,8 +91,15 @@ def pagerank(
             ranks = checkpoint.load(last)
             start_iter = last
     if ranks is None:
-        ranks = ids.select("id", F.lit(1.0 / n).alias("rank"))
-    ranks = ranks.repartition(n_part, "id").persist(StorageLevel.MEMORY_AND_DISK)
+        ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    # dangling mass of the CURRENT ranks (used by the next update)
+    dangling_mass = (
+        ranks.join(verts.select("id", "dang"), "id")
+        .agg(F.sum(F.col("rank") * F.col("dang")))
+        .collect()[0][0]
+        or 0.0
+    )
 
     base = (1.0 - damping) / n
     history: list[dict] = []
@@ -92,10 +108,6 @@ def pagerank(
     while it < max_iter and delta > tol:
         t0 = time.time()
         it += 1
-        dangling_mass = (
-            ranks.join(dangling_ids, "id", "left_semi").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
         contribs = (
             edges_w.join(ranks.withColumnRenamed("id", "src_id"), "src_id")
             .select(
@@ -105,22 +117,28 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        new_ranks = (
-            ids.join(contribs, "id", "left")
+        joined = (
+            verts.join(contribs, "id", "left")
+            .join(ranks.select("id", F.col("rank").alias("old_rank")), "id")
             .select(
                 "id",
+                "dang",
                 (
                     F.lit(base)
                     + F.lit(damping)
                     * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling_mass / n))
                 ).alias("rank"),
+                "old_rank",
             )
-            .repartition(n_part, "id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        joined = new_ranks.join(
-            ranks.select("id", F.col("rank").alias("old_rank")), "id"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        delta = joined.agg(F.sum(F.abs(F.col("rank") - F.col("old_rank")))).collect()[0][0]
+        # the single per-iteration action: L1 delta + next dangling mass
+        stats = joined.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+            F.sum(F.col("rank") * F.col("dang")).alias("dm"),
+        ).collect()[0]
+        delta = stats["delta"] or 0.0
+        next_dangling = stats["dm"] or 0.0
         old = ranks
         ranks = joined.select("id", "rank")
         if checkpoint is not None and it % checkpoint_every == 0:
@@ -134,13 +152,18 @@ def pagerank(
             "dangling_mass": float(dangling_mass),
             "seconds": time.time() - t0,
         }
+        dangling_mass = next_dangling
         history.append(row)
         if checkpoint is not None:
-            checkpoint.log_metrics(it, l1_delta=float(delta), dangling_mass=float(dangling_mass), seconds=row["seconds"])
+            checkpoint.log_metrics(
+                it,
+                l1_delta=row["l1_delta"],
+                dangling_mass=row["dangling_mass"],
+                seconds=row["seconds"],
+            )
 
     edges_w.unpersist()
-    dangling_ids.unpersist()
-    ids.unpersist()
+    verts.unpersist()
     return PageRankResult(ranks=ranks, iterations=it, delta=float(delta), history=history)
 
 
@@ -158,6 +181,5 @@ def pagerank_fixed_iterations(
         damping=damping,
         tol=-1.0,  # never converge early
         max_iter=iterations,
-        checkpoint_every=10**9,
     )
     return res.ranks

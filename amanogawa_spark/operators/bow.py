@@ -1,0 +1,102 @@
+"""Bag-of-words cosine kNN graph — reference ``to_graph`` bow-mode parity.
+
+The reference tokenizes one string column (MeCab wakati,
+``plugin/flow/to_graph/to_graph.cpp:118-130``, ``measure.h:80-88``),
+builds per-row term-count maps, and takes cosine top-k over them
+(``measure.h:54-78``). Here the same semantics run as a **sparse
+similarity self-join**: docs only meet on shared terms, so the pair
+explosion is bounded by the posting-list sizes instead of O(n²) — the
+classic scalable formulation (and optionally capped by dropping
+ultra-common terms, the standard df-cut).
+
+Pipeline (all built-in ops, one shuffle per stage):
+  tokenize → explode → groupBy(doc, term).count  [term counts]
+  → join on term (posting-list self-join) → groupBy(pair).sum  [dots]
+  → join norms → cosine → window top-k per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def term_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, cnt) — whitespace tokenization (wakati stand-in)."""
+    toks = F.explode(
+        F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+    ).alias("term")
+    return (
+        df.select(F.col(id_col).alias("id"), toks)
+        .filter(F.length("term") > 0)
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+
+
+def bow_cosine_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine) — exact BoW cosine top-k per doc.
+
+    ``max_df`` drops terms appearing in more than that many docs (hub-term
+    skew cut: a term in f docs contributes f² join pairs — the df-cut
+    bounds the worst posting list, the BoW analogue of hub-vertex salting).
+    """
+    tc = term_counts(df, id_col, text_col)
+    if max_df is not None:
+        rare = (
+            tc.groupBy("term").agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_df)
+            .select("term")
+        )
+        tc = tc.join(rare, "term", "left_semi")
+    tc = tc.persist()
+    norms = tc.groupBy("id").agg(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("norm"))
+    a = tc.select(F.col("id").alias("query_id"), "term", F.col("cnt").alias("ca"))
+    b = tc.select(F.col("id").alias("neighbor_id"), "term", F.col("cnt").alias("cb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    sims = (
+        dots.join(norms.select(F.col("id").alias("query_id"), F.col("norm").alias("na")), "query_id")
+        .join(norms.select(F.col("id").alias("neighbor_id"), F.col("norm").alias("nb")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    tc.unpersist()
+    return out
+
+
+def bow_knn_graph(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Undirected deduped (src_id, dst_id) edges from BoW top-k — mirrors the
+    reference's min/max-canonicalized edge emission (to_graph.cpp:82-86)."""
+    topk = bow_cosine_topk(df, id_col, text_col, k, max_df)
+    return (
+        topk.select(
+            F.least("query_id", "neighbor_id").alias("src_id"),
+            F.greatest("query_id", "neighbor_id").alias("dst_id"),
+        )
+        .distinct()
+    )

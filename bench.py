@@ -163,23 +163,29 @@ def run_scaling(levels=(8, 32)) -> dict:
     }
 
 
+SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "150000"))
+SCALING_ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "12"))
+
+
 def run_single_pagerank() -> dict:
-    """One PageRank-to-convergence run at the current CPU level (subprocess
-    worker for --scaling)."""
+    """One fixed-iteration PageRank run at the current CPU level (subprocess
+    worker for --scaling). Fixed iteration count (not convergence) so both
+    parallelism levels perform IDENTICAL work and throughput is comparable.
+    The graph is sized (SPARK_GRAFT_SCALING_PAGES) so per-iteration compute
+    dominates fixed per-job scheduling overhead — the regime that models a
+    real cluster at 100 TB."""
     from amanogawa_spark.graph.build import build_edges, build_vertices
     from amanogawa_spark.graph.pagerank import pagerank
     from amanogawa_spark.session import get_spark
 
-    sf = _sf_of(SF_DIR)
-    n_pages = max(2000, int(100_000 * sf))
     spark = get_spark(cpus=CPUS, app_name=f"pr_scaling_{CPUS}")
-    pages = build_pages(spark, n_pages).persist()
+    pages = build_pages(spark, SCALING_PAGES).persist()
     pages.count()
     vertices = build_vertices(pages).persist()
     edges = build_edges(pages, vertices).persist()
     n_edges = edges.count()
     t0 = time.time()
-    res = pagerank(vertices, edges, tol=1e-6, max_iter=100)
+    res = pagerank(vertices, edges, tol=-1.0, max_iter=SCALING_ITERS)
     dt = time.time() - t0
     spark.stop()
     return {

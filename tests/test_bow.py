@@ -1,0 +1,70 @@
+"""BoW cosine kNN graph vs a pure-python oracle (reference to_graph bow parity)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+
+def _bow_cosine(a: str, b: str) -> float:
+    ca = Counter(a.lower().split())
+    cb = Counter(b.lower().split())
+    dot = sum(ca[t] * cb[t] for t in ca)
+    na = math.sqrt(sum(v * v for v in ca.values()))
+    nb = math.sqrt(sum(v * v for v in cb.values()))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "spark graph engine for link analysis"),
+        (1, "spark graph engine for web analysis"),
+        (2, "spark streaming engine"),
+        (3, "recipe for chocolate cake with cream"),
+        (4, "recipe for lemon cake with sugar"),
+        (5, "zebra quantum xylophone"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def test_bow_topk_matches_oracle(spark, docs):
+    from amanogawa_spark.operators.bow import bow_cosine_topk
+
+    df, rows = docs
+    got = bow_cosine_topk(df, k=2).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, -r.cosine, r.neighbor_id)):
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, round(r.cosine, 9)))
+    for i, ti in rows:
+        sims = sorted(
+            ((j, _bow_cosine(ti, tj)) for j, tj in rows if j != i and _bow_cosine(ti, tj) > 0),
+            key=lambda p: (-p[1], p[0]),
+        )[:2]
+        expected = [(j, round(s, 9)) for j, s in sims]
+        assert by_q.get(i, []) == expected, f"doc {i}"
+
+
+def test_bow_knn_graph_shape(spark, docs):
+    from amanogawa_spark.operators.bow import bow_knn_graph
+
+    df, _ = docs
+    e = bow_knn_graph(df, k=2).collect()
+    pairs = [(r.src_id, r.dst_id) for r in e]
+    assert len(pairs) == len(set(pairs))
+    assert all(s < d for s, d in pairs)
+    # doc 5 shares no terms → contributes no edges
+    assert all(5 not in p for p in pairs)
+
+
+def test_bow_max_df_cut(spark, docs):
+    from amanogawa_spark.operators.bow import bow_cosine_topk
+
+    df, _ = docs
+    # "for" appears in 4 docs; max_df=3 removes it from all dots
+    got = bow_cosine_topk(df, k=2, max_df=3).collect()
+    # docs 0 and 3 now share no terms ("for" was their only overlap)
+    pairs = {(r.query_id, r.neighbor_id) for r in got}
+    assert (3, 0) not in pairs and (0, 3) not in pairs
