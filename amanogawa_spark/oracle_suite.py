@@ -332,6 +332,57 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_degree_histogram(spark, sf_dir):
+    from amanogawa_spark.graph.build import degree_histogram
+
+    return degree_histogram(derived_edges(spark, sf_dir), "dst_id")
+
+
+def q_pivot_qty(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return piv.select(
+        "l_returnflag",
+        F.round("O", 4).alias("qty_o"),
+        F.round("F", 4).alias("qty_f"),
+    )
+
+
+def q_hourly_event_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def q_bow_topk(spark, sf_dir):
+    from amanogawa_spark.operators.bow import bow_cosine_topk
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    out = bow_cosine_topk(docs, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
+def q_knn_edges(spark, sf_dir):
+    """Undirected canonical kNN edge table (reference to_graph parity,
+    raw-cosine formula shared with the SQL oracle)."""
+    topk = q_ann_topk(spark, sf_dir)
+    return topk.select(
+        F.least("query_id", "neighbor_id").alias("src_id"),
+        F.greatest("query_id", "neighbor_id").alias("dst_id"),
+    ).distinct()
+
+
 # --------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle — iterative / hash-seeded; tested in tests/)
 # --------------------------------------------------------------------------
@@ -409,6 +460,11 @@ QUERIES = {
     "q_lang_detect": q_lang_detect,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_ann_topk": q_ann_topk,
+    "q_degree_histogram": q_degree_histogram,
+    "q_pivot_qty": q_pivot_qty,
+    "q_hourly_event_stats": q_hourly_event_stats,
+    "q_bow_topk": q_bow_topk,
+    "q_knn_edges": q_knn_edges,
     # rows-only (no oracle_sql entry):
     "q_pagerank_converged": q_pagerank_converged,
     "q_cc_star": q_cc_star,
@@ -630,6 +686,48 @@ ORACLE_SQL = {
         "THEN len(list_distinct(list_concat(a.s, b.s))) ELSE 1 END AS DOUBLE), 6) AS jaccard "
         "FROM sh a JOIN sh b ON a.id < b.id"
         ") WHERE jaccard >= 0.05"
+    ),
+    "q_degree_histogram": (
+        f"WITH {_EDGES_SQL.strip()}, "
+        "deg AS (SELECT dst_id, COUNT(*) AS degree FROM edges GROUP BY dst_id) "
+        "SELECT CAST(FLOOR(LOG2(degree)) AS INT) AS log2_bucket, "
+        "COUNT(*) AS n_vertices FROM deg GROUP BY 1"
+    ),
+    "q_pivot_qty": (
+        "SELECT l_returnflag, "
+        "ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE), 4) AS qty_o, "
+        "ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE), 4) AS qty_f "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "q_hourly_event_stats": (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, "
+        "COUNT(*) AS n, ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "q_bow_topk": (
+        "WITH tc AS (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM ("
+        "SELECT doc_id AS id, unnest(string_split("
+        f"{_NORM}, ' ')) AS term FROM documents WHERE doc_id < 80"
+        ") WHERE length(term) > 0 GROUP BY id, term), "
+        "norms AS (SELECT id, sqrt(SUM(cnt * cnt)) AS nrm FROM tc GROUP BY id), "
+        "dots AS (SELECT a.id AS qid, b.id AS nid, SUM(a.cnt * b.cnt) AS dot "
+        "FROM tc a JOIN tc b USING (term) WHERE a.id <> b.id GROUP BY a.id, b.id), "
+        "sims AS (SELECT qid, nid, dot / (na.nrm * nb.nrm) AS cosine FROM dots "
+        "JOIN norms na ON qid = na.id JOIN norms nb ON nid = nb.id), "
+        "ranked AS (SELECT qid AS query_id, nid AS neighbor_id, cosine, ROW_NUMBER() "
+        "OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rn FROM sims) "
+        "SELECT query_id, neighbor_id, ROUND(CAST(cosine AS DOUBLE), 6) AS cosine_r "
+        "FROM ranked WHERE rn <= 3"
+    ),
+    "q_knn_edges": (
+        "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150), "
+        "sims AS (SELECT a.id AS query_id, b.id AS neighbor_id, "
+        "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cosine "
+        "FROM v a JOIN v b ON a.id <> b.id), "
+        "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM sims) "
+        "SELECT DISTINCT LEAST(query_id, neighbor_id) AS src_id, "
+        "GREATEST(query_id, neighbor_id) AS dst_id FROM ranked WHERE rn <= 3"
     ),
     "q_ann_topk": (
         "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150), "
