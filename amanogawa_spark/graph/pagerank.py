@@ -53,9 +53,10 @@ def pagerank(
     """Power iteration: r' = (1-d)/N + d * (A^T r/outdeg + dangling/N)."""
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # lineage MUST be truncated periodically regardless of durable-checkpoint
-    # cadence: an unbounded iterative plan tree stack-overflows Catalyst
-    truncate_every = min(checkpoint_every, 5)
+    # lineage MUST be truncated aggressively: ranks is referenced twice per
+    # iteration, so the logical plan (and Catalyst re-analysis time) grows
+    # ~2-3x per iteration — measured 0.5s → 80s within a 5-iteration window
+    truncate_every = min(checkpoint_every, 2)
 
     out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(F.count("*").alias("out_degree"))
     # vertex table with a dangling indicator, partitioned on id for the
