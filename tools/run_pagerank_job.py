@@ -1,0 +1,61 @@
+"""Cluster entry point: pages table → link graph → converged PageRank.
+
+Ships with ``--py-files dist/amanogawa_spark.zip`` (see tools/package.sh).
+The same superjob the tests/bench run locally, parameterized for a real
+deployment: reads a pages table (parquet directory or, with the Iceberg
+catalog configured, an Iceberg table name), writes vertices/edges/ranks,
+checkpoints every k iterations so the job is resumable.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="pages parquet path or iceberg table")
+    ap.add_argument("--out", required=True, help="output root (vertices/, edges/, ranks/)")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--id-mode", choices=["dense", "hash"], default="dense")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from amanogawa_spark.checkpoint import CheckpointManager
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+    from amanogawa_spark.graph.pagerank import pagerank
+
+    spark = SparkSession.builder.appName("amanogawa_pagerank").getOrCreate()
+    pages = (
+        spark.read.table(args.pages)
+        if "." in args.pages and not args.pages.startswith("/") and "://" not in args.pages
+        else spark.read.parquet(args.pages)
+    )
+    vertices = build_vertices(pages, id_mode=args.id_mode).persist()
+    edges = build_edges(pages, vertices).persist()
+    vertices.write.mode("overwrite").parquet(f"{args.out}/vertices")
+    edges.write.mode("overwrite").parquet(f"{args.out}/edges")
+
+    ckpt = (
+        CheckpointManager(spark, args.checkpoint_dir) if args.checkpoint_dir else None
+    )
+    res = pagerank(
+        vertices,
+        edges,
+        damping=args.damping,
+        tol=args.tol,
+        max_iter=args.max_iter,
+        checkpoint=ckpt,
+    )
+    res.ranks.write.mode("overwrite").parquet(f"{args.out}/ranks")
+    print(
+        f"pagerank converged: iterations={res.iterations} delta={res.delta:.3e}"
+    )
+
+
+if __name__ == "__main__":
+    main()
