@@ -132,13 +132,45 @@ def run_default() -> dict:
     return out
 
 
+def _prepare_scaling_input(work_dir: str) -> str:
+    """Generate the scaling corpus ONCE (distributed, deterministic) and
+    persist the derived edge/vertex tables so both parallelism levels read
+    byte-identical input from disk."""
+    from amanogawa_spark.fixtures.distributed import distributed_pages
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+    from amanogawa_spark.session import get_spark
+
+    edges_path = os.path.join(work_dir, "edges.parquet")
+    verts_path = os.path.join(work_dir, "vertices.parquet")
+    if os.path.exists(os.path.join(edges_path, "_SUCCESS")):
+        return work_dir
+    spark = get_spark(cpus=CPUS, app_name="scaling_prep")
+    pages = distributed_pages(spark, SCALING_PAGES).persist()
+    vertices = build_vertices(pages, id_mode="hash").persist()
+    edges = build_edges(pages, vertices)
+    edges.write.mode("overwrite").parquet(edges_path)
+    vertices.select("id").write.mode("overwrite").parquet(verts_path)
+    spark.stop()
+    return work_dir
+
+
 def run_scaling(levels=(8, 32)) -> dict:
-    """Same PageRank superjob at two parallelism levels, identical input."""
+    """Same fixed-iteration PageRank superjob at two parallelism levels,
+    identical on-disk input (sandbox stand-in for N vs 4N executors)."""
     import subprocess
+
+    work_dir = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/amanogawa_scaling")
+    os.makedirs(work_dir, exist_ok=True)
+    _prepare_scaling_input(work_dir)
 
     outs = {}
     for cpus in levels:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SF_DIR=SF_DIR,
+            SPARK_GRAFT_SCALING_DIR=work_dir,
+        )
         proc = subprocess.run(
             [sys.executable, __file__, "--single-pagerank"],
             capture_output=True, text=True, env=env, timeout=3600,
@@ -158,6 +190,8 @@ def run_scaling(levels=(8, 32)) -> dict:
             f"local[{hi}]_edges_iter_per_sec": tput_hi,
             f"local[{lo}]_sec": outs[lo]["seconds"],
             f"local[{hi}]_sec": outs[hi]["seconds"],
+            "n_edges": outs[hi]["n_edges"],
+            "iterations": outs[hi]["iterations"],
         },
         "sf": _sf_of(SF_DIR),
     }
@@ -173,16 +207,15 @@ def run_single_pagerank() -> dict:
     parallelism levels perform IDENTICAL work and throughput is comparable.
     The graph is sized (SPARK_GRAFT_SCALING_PAGES) so per-iteration compute
     dominates fixed per-job scheduling overhead — the regime that models a
-    real cluster at 100 TB."""
-    from amanogawa_spark.graph.build import build_edges, build_vertices
+    real cluster at 100 TB. Input is read from the pre-generated parquet in
+    SPARK_GRAFT_SCALING_DIR (identical bytes at both levels)."""
     from amanogawa_spark.graph.pagerank import pagerank
     from amanogawa_spark.session import get_spark
 
+    work_dir = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/amanogawa_scaling")
     spark = get_spark(cpus=CPUS, app_name=f"pr_scaling_{CPUS}")
-    pages = build_pages(spark, SCALING_PAGES).persist()
-    pages.count()
-    vertices = build_vertices(pages).persist()
-    edges = build_edges(pages, vertices).persist()
+    vertices = spark.read.parquet(os.path.join(work_dir, "vertices.parquet"))
+    edges = spark.read.parquet(os.path.join(work_dir, "edges.parquet"))
     n_edges = edges.count()
     t0 = time.time()
     res = pagerank(vertices, edges, tol=-1.0, max_iter=SCALING_ITERS)
