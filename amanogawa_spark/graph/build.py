@@ -33,6 +33,58 @@ class Graph:
     edges: DataFrame  # (src_id long, dst_id long) — directed, deduped, no self-loops
 
 
+def dense_rank_ids(
+    df: DataFrame,
+    order_col: str,
+    num_partitions: int | None = None,
+    out_col: str = "id",
+) -> DataFrame:
+    """Append a global dense 0..N-1 ``id`` by ``order_col`` sort order —
+    WITHOUT the single-partition global window (``Window.orderBy(col)``
+    with no partitionBy funnels every row through one task; at 10^12 urls
+    that is the whole dictionary on one executor).
+
+    Scalable formulation: ``repartitionByRange`` gives range-ordered
+    partitions; a tiny per-partition count job gives each range's global
+    offset; ``row_number`` *within* each range partition (a parallel
+    window keyed by partition id) + offset = global rank. The result is
+    invariant to where the sampled range boundaries fall — the final id
+    always equals the global sorted rank — so ids are stable under input
+    repartitioning (the north rule's determinism requirement).
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n_part, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    out = (
+        ranged.join(offset_df, "_pid")
+        .withColumn(
+            out_col, (F.row_number().over(w) - 1 + F.col("_offset")).cast("long")
+        )
+        .drop("_pid", "_offset")
+    )
+    # materialization note: caller should persist/write `out` then unpersist
+    # `ranged`; we leave `ranged` cached so the two passes see one scan.
+    return out
+
+
 def build_vertices(pages: DataFrame, id_mode: str = "dense") -> DataFrame:
     """url → int64 id dictionary over the pages table.
 
@@ -44,10 +96,7 @@ def build_vertices(pages: DataFrame, id_mode: str = "dense") -> DataFrame:
         return urls.select("url", F.xxhash64("url").alias("id"))
     if id_mode != "dense":
         raise ValueError(f"unknown id_mode: {id_mode}")
-    # row_number over a single global ordering; Spark range-partitions the
-    # sort, so this scales, but it is a full shuffle of the url dictionary.
-    w = Window.orderBy("url")
-    return urls.select("url", (F.row_number().over(w) - F.lit(1)).cast("long").alias("id"))
+    return dense_rank_ids(urls, "url").select("url", "id")
 
 
 def extract_edges_urls(pages: DataFrame) -> DataFrame:

@@ -72,9 +72,15 @@ def nn_descent(
         )
         return NNDescentResult(sims, 0, 0)
 
-    # dense ordinal index for random-init addressing (one sort of the id set)
-    w_ord = Window.orderBy("id")
-    idx = unit.select("id").withColumn("ord", F.row_number().over(w_ord) - 1).persist()
+    # dense ordinal index for random-init addressing; built with the
+    # range-partitioned two-pass ranker (NOT a global single-partition window)
+    from amanogawa_spark.graph.build import dense_rank_ids
+
+    idx = (
+        dense_rank_ids(unit.select("id"), "id", out_col="ord")
+        .select("id", "ord")
+        .persist()
+    )
     idx.count()
 
     # init: K pseudo-random distinct neighbors per id (h:148-196)

@@ -149,6 +149,100 @@ def cosine_topk_lsh(
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    stride: int = 25,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to centroids, probe ``nprobe`` inverted lists.
+
+    Centroids are chosen deterministically (every ``stride``-th id) so the
+    result is reproducible and SQL-expressible for the oracle. Structure is
+    the 100 TB path: the centroid table is tiny (broadcast to every
+    executor for assignment — no shuffle), points land in inverted lists
+    keyed by centroid id, and the only shuffle is the candidate join on
+    ``cid`` — each query compares against its ``nprobe`` lists instead of
+    the whole corpus (cross-join cost drops from O(n^2) to O(n^2·nprobe/C)).
+    At real scale the centroid set comes from a k-means job; the list
+    layout, probe join, and exact rerank are identical.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = v.filter(F.col("id") % stride == 0).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv")
+    )
+    # assignment pass: broadcast the centroid table; cosine uses the same
+    # raw dot/(|a||b|) association order as the DuckDB oracle formula
+    scored = v.join(F.broadcast(cents)).select(
+        "id",
+        "v",
+        "cid",
+        (
+            _dot(F.col("v"), F.col("cv"))
+            / (_norm(F.col("v")) * _norm(F.col("cv")))
+        ).alias("csim"),
+    )
+    from pyspark.sql.window import Window
+
+    wc = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+    ranked = scored.withColumn("crn", F.row_number().over(wc))
+    assigned = ranked.filter(F.col("crn") == 1).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("vb"), "cid"
+    )
+    probes = ranked.filter(F.col("crn") <= nprobe).select(
+        F.col("id").alias("query_id"), F.col("v").alias("va"), "cid"
+    )
+    cand = (
+        probes.join(assigned, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "va", "vb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias(
+            "cosine"
+        ),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return sims.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= k).drop("rn")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= threshold).
+
+    Brute-force pair scan (the correctness baseline); at scale, feed the
+    candidate pairs from :func:`cosine_topk_lsh` / :func:`ivf_topk` into the
+    same threshold instead of the cross join.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sims = pairs.select(
+        "id_a",
+        "id_b",
+        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias(
+            "cosine"
+        ),
+    )
+    return sims.filter(F.col("cosine") >= threshold)
+
+
 def knn_graph(
     df: DataFrame,
     id_col: str = "vec_id",

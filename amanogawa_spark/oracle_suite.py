@@ -332,6 +332,26 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN (deterministic centroids id%25, nprobe=2) over vec_id<150."""
+    from amanogawa_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return ivf_topk(emb, k=3, stride=25, nprobe=2).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.35) over vec_id<300."""
+    from amanogawa_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return embedding_neardup_pairs(emb, threshold=0.35).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
 def q_degree_histogram(spark, sf_dir):
     from amanogawa_spark.graph.build import degree_histogram
 
@@ -460,6 +480,8 @@ QUERIES = {
     "q_lang_detect": q_lang_detect,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_ann_topk": q_ann_topk,
+    "q_ann_ivf": q_ann_ivf,
+    "q_embed_neardup": q_embed_neardup,
     "q_degree_histogram": q_degree_histogram,
     "q_pivot_qty": q_pivot_qty,
     "q_hourly_event_stats": q_hourly_event_stats,
@@ -728,6 +750,32 @@ ORACLE_SQL = {
         "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM sims) "
         "SELECT DISTINCT LEAST(query_id, neighbor_id) AS src_id, "
         "GREATEST(query_id, neighbor_id) AS dst_id FROM ranked WHERE rn <= 3"
+    ),
+    "q_ann_ivf": (
+        "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150), "
+        "c AS (SELECT id AS cid, v AS cv FROM v WHERE id % 25 = 0), "
+        "scored AS (SELECT v.id, c.cid, "
+        "list_inner_product(v.v, c.cv) / (sqrt(list_inner_product(v.v, v.v)) * sqrt(list_inner_product(c.cv, c.cv))) AS csim "
+        "FROM v CROSS JOIN c), "
+        "ranked AS (SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid ASC) AS crn FROM scored), "
+        "assigned AS (SELECT id AS neighbor_id, cid FROM ranked WHERE crn = 1), "
+        "probes AS (SELECT id AS query_id, cid FROM ranked WHERE crn <= 2), "
+        "cand AS (SELECT DISTINCT query_id, neighbor_id FROM probes JOIN assigned USING (cid) "
+        "WHERE query_id <> neighbor_id), "
+        "sims AS (SELECT query_id, neighbor_id, "
+        "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cosine "
+        "FROM cand JOIN v a ON query_id = a.id JOIN v b ON neighbor_id = b.id), "
+        "rk AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM sims) "
+        "SELECT query_id, neighbor_id, ROUND(CAST(cosine AS DOUBLE), 6) AS cosine_r "
+        "FROM rk WHERE rn <= 3"
+    ),
+    "q_embed_neardup": (
+        "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), "
+        "s AS (SELECT a.id AS id_a, b.id AS id_b, "
+        "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cosine "
+        "FROM v a JOIN v b ON a.id < b.id) "
+        "SELECT id_a, id_b, ROUND(CAST(cosine AS DOUBLE), 6) AS cosine_r FROM s WHERE cosine >= 0.35"
     ),
     "q_ann_topk": (
         "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150), "

@@ -15,6 +15,8 @@ from amanogawa_spark.operators.multimodal import (
 from amanogawa_spark.operators.similarity import (
     cosine_topk_brute,
     cosine_topk_lsh,
+    embedding_neardup_pairs,
+    ivf_topk,
     knn_graph,
 )
 
@@ -66,6 +68,43 @@ def test_lsh_recall_reasonable(spark, vecs):
     hits = sum(len(by_q.get(q, set()) & set(nb)) for q, nb in expected.items())
     recall = hits / (len(expected) * k)
     assert recall > 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_recall_and_candidate_discipline(spark, vecs):
+    df, data = vecs
+    k = 5
+    expected = _topk_oracle(data, k)
+    got = ivf_topk(df, k=k, stride=10, nprobe=3).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # every query probes >=1 non-empty list, so it gets candidates
+    assert set(by_q) == set(expected)
+    hits = sum(len(by_q.get(q, set()) & set(nb)) for q, nb in expected.items())
+    recall = hits / (len(expected) * k)
+    assert recall > 0.4, f"IVF recall too low: {recall}"
+    # no self-pairs, at most k results per query
+    assert all(q not in nbrs for q, nbrs in by_q.items())
+    assert all(len(nbrs) <= k for nbrs in by_q.values())
+
+
+def test_embedding_neardup_matches_numpy(spark, vecs):
+    df, data = vecs
+    tau = 0.3
+    d32 = data.astype(np.float32).astype(np.float64)
+    unit = d32 / np.linalg.norm(d32, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    expected = {
+        (i, j)
+        for i in range(len(d32))
+        for j in range(i + 1, len(d32))
+        if sims[i, j] >= tau - 1e-9
+    }
+    got = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(df, threshold=tau).collect()}
+    # fp tolerance: only boundary pairs may differ
+    assert not {
+        p for p in got ^ expected if abs(sims[p[0], p[1]] - tau) > 1e-6
+    }
 
 
 def test_knn_graph_undirected_dedup(spark, vecs):
