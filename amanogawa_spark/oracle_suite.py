@@ -352,6 +352,15 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint over normalized text — md5 flavour so DuckDB can
+    verify (the production key is xxhash64, same normalization; text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.encode(_norm_text_col(), "UTF-8")).alias("fp")
+    )
+
+
 def q_degree_histogram(spark, sf_dir):
     from amanogawa_spark.graph.build import degree_histogram
 
@@ -482,6 +491,7 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_embed_neardup": q_embed_neardup,
+    "q_doc_fingerprint": q_doc_fingerprint,
     "q_degree_histogram": q_degree_histogram,
     "q_pivot_qty": q_pivot_qty,
     "q_hourly_event_stats": q_hourly_event_stats,
@@ -750,6 +760,9 @@ ORACLE_SQL = {
         "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM sims) "
         "SELECT DISTINCT LEAST(query_id, neighbor_id) AS src_id, "
         "GREATEST(query_id, neighbor_id) AS dst_id FROM ranked WHERE rn <= 3"
+    ),
+    "q_doc_fingerprint": (
+        f"SELECT doc_id, md5({_NORM}) AS fp FROM documents"
     ),
     "q_ann_ivf": (
         "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150), "
