@@ -61,7 +61,14 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """array<long> of length num_hashes: min over shingles of seeded xxhash64."""
+    """array<long> of length num_hashes: min over shingles of seeded xxhash64.
+
+    Column-expression form — convenient for small inputs, but Catalyst
+    substitutes ``shingle_col`` into all ``num_hashes`` branches and
+    evaluates the whole shingling num_hashes times per row, interpreted
+    (higher-order funcs break whole-stage codegen). For corpora use
+    :func:`minhash_signature_table` (measured ~100x faster at sf0.1).
+    """
     def _perm(i: int):
         # closure factory: a 1-arg lambda per permutation (a default-arg
         # lambda would be read by Spark as the (element, index) 2-arg form)
@@ -71,6 +78,42 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
         F.array_min(F.transform(shingle_col, _perm(i))) for i in range(num_hashes)
     ]
     return F.array(*sigs)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the input up to the session's shuffle parallelism when it
+    arrives under-partitioned (e.g. one small parquet file) — per-row heavy
+    operators must never run single-task. No-op when already parallel, so
+    at real scale (many input splits) it costs nothing."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — the scalable minhash formulation.
+
+    Shingles are exploded once, each hashed ``num_hashes`` times with flat
+    ``xxhash64(s, i)`` calls (whole-stage codegen), and the per-permutation
+    minima come from ONE hash aggregate with map-side partial combine — the
+    shuffle carries only num_hashes longs per doc per map partition.
+    Identical values to :func:`minhash_signature`.
+    """
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    sh = base.select("id", F.explode(shingles("t", shingle_n)).alias("s"))
+    sig = sh.groupBy("id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_candidates(
@@ -83,10 +126,7 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) — docs sharing >= 1 band bucket."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
-    )
+    sig = minhash_signature_table(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "id",
         F.explode(
@@ -128,8 +168,8 @@ def jaccard_verify(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs: (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))).select(
+        "id", shingles("t", shingle_n).alias("sh")
     )
     pa = candidates.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
     pab = pa.join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -191,9 +231,40 @@ def simhash(col: Column | str, text_normalize: bool = True) -> Column:
     return out
 
 
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh long) — scalable SimHash: explode tokens once, one hash per
+    token, 64 signed-bit sums in ONE map-side-combined aggregate. Identical
+    values to the :func:`simhash` column form (which re-evaluates the token
+    expression 64x, interpreted)."""
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), normalized_text(text_col).alias("t"))
+    )
+    toks = base.select("id", F.explode(F.split("t", " ")).alias("tok")).select(
+        "id", F.xxhash64("tok").alias("h")
+    )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("id", out.alias("sh"))
+
+
 def simhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, band, band_value) — docs sharing any 16-bit band are candidates."""
-    withsh = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    withsh = simhash_table(df, id_col, text_col)
     return withsh.select(
         "id",
         F.explode(
