@@ -106,6 +106,7 @@ def pagerank(
     history: list[dict] = []
     delta = float("inf")
     it = start_iter
+    prev_joined = None  # last iteration's persisted 4-col frame (unpersist after successor materializes)
     while it < max_iter and delta > tol:
         t0 = time.time()
         it += 1
@@ -147,6 +148,12 @@ def pagerank(
         elif it % truncate_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
         old.unpersist()
+        # the stats action fully materialized `joined`; its predecessor's
+        # cache blocks are now unreachable from live lineage heads — drop
+        # them (leaving every iteration's frame cached OOMs a real cluster)
+        if prev_joined is not None:
+            prev_joined.unpersist()
+        prev_joined = joined
         row = {
             "iteration": it,
             "l1_delta": float(delta),

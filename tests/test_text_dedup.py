@@ -11,8 +11,11 @@ from amanogawa_spark.operators.dedup import (
     jaccard_verify,
     minhash_candidates,
     minhash_dedup,
+    minhash_signature,
+    minhash_signature_table,
     shingles,
     simhash,
+    simhash_table,
 )
 from amanogawa_spark.operators.text import (
     bpe_ish_token_count,
@@ -108,3 +111,31 @@ def test_simhash_near_dup(spark, docs):
     def ham(a, b):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert ham(sh[0], sh[3]) < ham(sh[0], sh[5])
+
+
+def test_minhash_table_equals_column_form(spark, docs):
+    """The scalable agg formulation must produce byte-identical signatures
+    to the column-expression form (same seeded hashes, same minima)."""
+    old = {
+        r.id: list(r.sig)
+        for r in docs.select(
+            F.col("doc_id").alias("id"),
+            minhash_signature(shingles("text", 3), 16).alias("sig"),
+        ).collect()
+    }
+    new = {
+        r.id: list(r.sig)
+        for r in minhash_signature_table(docs, num_hashes=16).collect()
+    }
+    assert old == new
+
+
+def test_simhash_table_equals_column_form(spark, docs):
+    old = {
+        r.id: r.sh
+        for r in docs.select(
+            F.col("doc_id").alias("id"), simhash("text").alias("sh")
+        ).collect()
+    }
+    new = {r.id: r.sh for r in simhash_table(docs).collect()}
+    assert old == new
