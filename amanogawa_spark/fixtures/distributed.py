@@ -67,7 +67,7 @@ def _domain_index(h: int, n_domains: int) -> int:
     return int(np.searchsorted(_zipf_cdf(n_domains), r)) + 1
 
 
-def _row(i: int, n: int, seed: int, n_domains: int, n_b: int):
+def _row(i: int, n: int, seed: int, n_domains: int, n_b: int, out_links=(1, 6)):
     dom = _domain_index(_h(seed, i, 0), n_domains)
     url = f"https://d{dom}.example.org/p{i}"
     h1 = _h(seed, i, 1)
@@ -80,7 +80,8 @@ def _row(i: int, n: int, seed: int, n_domains: int, n_b: int):
     lo, hi = (0, n_a) if i < n_a else (n_a, n)
     links: list[int] = []
     if _h(seed, i, 3) % 100 >= 8:  # 8% dangling
-        out_deg = 1 + _h(seed, i, 4) % 6
+        lo_d, hi_d = out_links
+        out_deg = lo_d + _h(seed, i, 4) % max(1, hi_d - lo_d + 1)
         for t in range(out_deg):
             ht = _h(seed, i, 200 + t)
             if ht % 10 < 6 and i > lo + 1:
@@ -113,14 +114,21 @@ def distributed_pages(
     n_domains: int = 1000,
     second_component_frac: float = 0.1,
     num_partitions: int | None = None,
+    out_links: tuple[int, int] = (1, 6),
 ) -> DataFrame:
+    """``out_links=(lo, hi)`` bounds per-page out-degree — (1, 6) keeps the
+    sparse unit-test shape; scaling benches use ~(30, 80) to match real web
+    pages (Common Crawl averages ~50-100 hyperlinks per page)."""
     n_b = max(3, int(n_pages * second_component_frac))
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = spark.range(0, n_pages, 1, n_part)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_row(int(i), n_pages, seed, n_domains, n_b) for i in pdf["id"]]
+            rows = [
+                _row(int(i), n_pages, seed, n_domains, n_b, out_links)
+                for i in pdf["id"]
+            ]
             out = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
             yield out
 

@@ -110,8 +110,17 @@ def pagerank(
     while it < max_iter and delta > tol:
         t0 = time.time()
         it += 1
+        # shuffle_hash hints: the ranks/contribs sides are O(V) rows — always
+        # the build side. A broadcast would ship all ranks through the driver
+        # every iteration (impossible at 10^12 vertices, and measured pure
+        # overhead locally); sort-merge would re-sort the cached edge table
+        # every iteration. SHJ against the hash-partitioned edges is the
+        # plan that survives scale-up — partition-local build ≈ V/n_part rows.
         contribs = (
-            edges_w.join(ranks.withColumnRenamed("id", "src_id"), "src_id")
+            edges_w.join(
+                ranks.withColumnRenamed("id", "src_id").hint("shuffle_hash"),
+                "src_id",
+            )
             .select(
                 F.col("dst_id").alias("id"),
                 (F.col("rank") / F.col("out_degree")).alias("contrib"),
@@ -120,8 +129,13 @@ def pagerank(
             .agg(F.sum("contrib").alias("in_mass"))
         )
         joined = (
-            verts.join(contribs, "id", "left")
-            .join(ranks.select("id", F.col("rank").alias("old_rank")), "id")
+            verts.join(contribs.hint("shuffle_hash"), "id", "left")
+            .join(
+                ranks.select("id", F.col("rank").alias("old_rank")).hint(
+                    "shuffle_hash"
+                ),
+                "id",
+            )
             .select(
                 "id",
                 "dang",
@@ -146,7 +160,9 @@ def pagerank(
         if checkpoint is not None and it % checkpoint_every == 0:
             ranks = checkpoint.save(ranks, it)
         elif it % truncate_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            # lazy: the truncated RDD materializes inside the NEXT iteration's
+            # stats job instead of paying a dedicated job/barrier here
+            ranks = ranks.localCheckpoint(eager=False)
         old.unpersist()
         # the stats action fully materialized `joined`; its predecessor's
         # cache blocks are now unreachable from live lineage heads — drop

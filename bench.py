@@ -145,7 +145,9 @@ def _prepare_scaling_input(work_dir: str) -> str:
     if os.path.exists(os.path.join(edges_path, "_SUCCESS")):
         return work_dir
     spark = get_spark(cpus=CPUS, app_name="scaling_prep")
-    pages = distributed_pages(spark, SCALING_PAGES).persist()
+    pages = distributed_pages(
+        spark, SCALING_PAGES, out_links=SCALING_OUT_LINKS
+    ).persist()
     vertices = build_vertices(pages, id_mode="hash").persist()
     edges = build_edges(pages, vertices)
     edges.write.mode("overwrite").parquet(edges_path)
@@ -197,8 +199,14 @@ def run_scaling(levels=(8, 32)) -> dict:
     }
 
 
-SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "150000"))
+SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1500000"))
 SCALING_ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "12"))
+# realistic web out-degree (Common Crawl ~50-100 links/page) — the scaling
+# run must be compute-bound, not driver-barrier-bound, to model a cluster
+SCALING_OUT_LINKS = (
+    int(os.environ.get("SPARK_GRAFT_SCALING_LINKS_LO", "30")),
+    int(os.environ.get("SPARK_GRAFT_SCALING_LINKS_HI", "80")),
+)
 
 
 def run_single_pagerank() -> dict:
