@@ -56,8 +56,51 @@ class CheckpointManager:
         """
         path = self._iter_dir(iteration)
         df.write.mode("overwrite").parquet(path)
+        self._write_partition_manifest(path, iteration)
         self._gc(iteration)
         return self.spark.read.parquet(path)
+
+    def _write_partition_manifest(self, path: str, iteration: int) -> None:
+        """Per-partition lineage record (north rule: "checkpoints
+        per-partition lineage and metrics"): one row per written partition
+        file with its row count and byte size, read from the parquet footers
+        — no extra Spark job. On resume or audit this tells exactly which
+        partitions a snapshot holds and how balanced they are."""
+        try:
+            import pyarrow.parquet as pq
+
+            parts = []
+            for fname in sorted(os.listdir(path)):
+                if not fname.endswith(".parquet"):
+                    continue
+                fp = os.path.join(path, fname)
+                parts.append(
+                    {
+                        "file": fname,
+                        "rows": pq.ParquetFile(fp).metadata.num_rows,
+                        "bytes": os.path.getsize(fp),
+                    }
+                )
+            manifest = {
+                "iteration": iteration,
+                "wall_ts": time.time(),
+                "n_partitions": len(parts),
+                "partitions": parts,
+            }
+            with open(os.path.join(path, "_partition_manifest.json"), "w") as f:
+                json.dump(manifest, f)
+        except Exception:  # manifest is advisory — never fail a checkpoint
+            pass
+
+    def read_partition_manifest(self, iteration: int | None = None) -> dict | None:
+        it = iteration if iteration is not None else self.latest_iteration()
+        if it is None:
+            return None
+        mp = os.path.join(self._iter_dir(it), "_partition_manifest.json")
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            return json.load(f)
 
     def latest_iteration(self) -> int | None:
         state = os.path.join(self.root, "state")

@@ -199,7 +199,7 @@ def run_scaling(levels=(8, 32)) -> dict:
     }
 
 
-SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1500000"))
+SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "2000000"))
 SCALING_ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "12"))
 # realistic web out-degree (Common Crawl ~50-100 links/page) — the scaling
 # run must be compute-bound, not driver-barrier-bound, to model a cluster
@@ -242,10 +242,16 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--single-pagerank", action="store_true")
+    ap.add_argument(
+        "--levels",
+        default="8,32",
+        help="comma-separated N,4N core counts for --scaling (N vs 4N)",
+    )
     args = ap.parse_args()
     if args.single_pagerank:
         print(json.dumps(run_single_pagerank()))
     elif args.scaling:
-        print(json.dumps(run_scaling()))
+        lo, hi = (int(x) for x in args.levels.split(","))
+        print(json.dumps(run_scaling(levels=(lo, hi))))
     else:
         print(json.dumps(run_default()))

@@ -74,3 +74,8 @@ def test_checkpoint_manager_roundtrip(spark, tmp_path):
     assert {r.x for r in back.collect()} == {i * 2 + 2 for i in range(10)}
     cm.log_metrics(3, delta=0.5)
     assert cm.read_metrics()[-1]["delta"] == 0.5
+    # per-partition lineage manifest: rows across partition files == total
+    man = cm.read_partition_manifest()
+    assert man is not None and man["iteration"] == 3
+    assert sum(p["rows"] for p in man["partitions"]) == 10
+    assert man["n_partitions"] == len(man["partitions"]) >= 1
