@@ -26,6 +26,8 @@ pick buckets ≈ total cores × small constant and let AQE handle residue).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,6 +39,18 @@ def write_bucketed_edges(
     sort_cols: tuple[str, str] = ("src_id", "dst_id"),
 ) -> None:
     """Persist edges hash-bucketed on src_id, sorted within buckets."""
+    spark = edges.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a fresh session's catalog may not know a previous run's table, in which
+    # case the orphaned warehouse dir blocks CREATE — remove it explicitly
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    stale = os.path.join(warehouse, table.split(".")[-1].lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
     (
         edges.write.mode("overwrite")
         .format("parquet")

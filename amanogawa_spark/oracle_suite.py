@@ -352,6 +352,23 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+def q_salted_indegree(spark, sf_dir):
+    """In-degree per vertex via the two-level SALTED aggregate (skew path,
+    graph/skew.py) — integer sums so the result is exactly the plain
+    GROUP BY COUNT the DuckDB oracle runs."""
+    from amanogawa_spark.graph.skew import salted_group_sum
+
+    e = derived_edges(spark, sf_dir)
+    out = salted_group_sum(
+        e.select("dst_id", F.lit(1).cast("long").alias("one")),
+        "dst_id",
+        "one",
+        "in_degree",
+        salt_factor=8,
+    )
+    return out.select("dst_id", F.col("in_degree").cast("long").alias("in_degree"))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprint over normalized text — md5 flavour so DuckDB can
     verify (the production key is xxhash64, same normalization; text.py)."""
@@ -454,6 +471,16 @@ def q_knn_graph_exact(spark, sf_dir):
     return knn_graph(emb, k=3, mode="exact")
 
 
+def q_knn_nndescent(spark, sf_dir):
+    """NN-Descent approximate kNN edge graph (reference to_graph approx mode,
+    nndescent.h parity) — iterative/seeded, rows-only check; recall vs the
+    exact graph is asserted in tests/test_knn_descent.py."""
+    from amanogawa_spark.graph.knn_descent import nn_descent_knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return nn_descent_knn_graph(emb, k=3, max_epochs=4)
+
+
 def q_ann_lsh(spark, sf_dir):
     from amanogawa_spark.operators.similarity import cosine_topk_lsh
 
@@ -492,6 +519,7 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_embed_neardup": q_embed_neardup,
     "q_doc_fingerprint": q_doc_fingerprint,
+    "q_salted_indegree": q_salted_indegree,
     "q_degree_histogram": q_degree_histogram,
     "q_pivot_qty": q_pivot_qty,
     "q_hourly_event_stats": q_hourly_event_stats,
@@ -504,6 +532,7 @@ QUERIES = {
     "q_simhash_bands": q_simhash_bands,
     "q_knn_graph_exact": q_knn_graph_exact,
     "q_ann_lsh": q_ann_lsh,
+    "q_knn_nndescent": q_knn_nndescent,
 }
 
 
@@ -763,6 +792,10 @@ ORACLE_SQL = {
     ),
     "q_doc_fingerprint": (
         f"SELECT doc_id, md5({_NORM}) AS fp FROM documents"
+    ),
+    "q_salted_indegree": (
+        f"WITH {_EDGES_SQL.strip()} "
+        "SELECT dst_id, COUNT(*) AS in_degree FROM edges GROUP BY dst_id"
     ),
     "q_ann_ivf": (
         "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150), "

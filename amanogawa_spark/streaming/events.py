@@ -52,6 +52,69 @@ def streaming_event_counts(
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "session_start double, last_ts double, n_events long"
+
+
+def streaming_sessionize(
+    spark: SparkSession, path: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Custom stateful operator: per-user sessionization over an event stream
+    via ``applyInPandasWithState`` — the Spark-native replacement for a
+    hand-written stateful plugin. A session closes when the gap between
+    consecutive events exceeds ``gap_seconds``; only CLOSED sessions are
+    emitted (append mode), the open tail lives in the state store and
+    survives micro-batches. Deterministic (no processing-time timeouts):
+    closure is driven purely by event timestamps.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+    def fn(key, pdf_iter, state: GroupState):
+        ts: list[float] = []
+        for pdf in pdf_iter:
+            ts.extend(t.timestamp() for t in pdf["ts"])
+        ts.sort()
+        if state.exists:
+            s_start, s_last, s_n = state.get
+        else:
+            s_start = s_last = None
+            s_n = 0
+        closed = []
+        for t in ts:
+            if s_start is None:
+                s_start, s_last, s_n = t, t, 1
+            elif t - s_last > gap_seconds:
+                closed.append((s_start, s_last, s_n))
+                s_start, s_last, s_n = t, t, 1
+            else:
+                s_last = max(s_last, t)
+                s_n += 1
+        if s_start is not None:
+            state.update((float(s_start), float(s_last), int(s_n)))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="s") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="s") for c in closed],
+                    "n_events": [int(c[2]) for c in closed],
+                }
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_once(df: DataFrame, query_name: str = "stream_out"):
     """Drive a streaming DF to completion over currently-available input."""
     q = (

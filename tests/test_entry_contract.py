@@ -36,4 +36,5 @@ def test_queries_oracle_keys_consistent():
         "q_simhash_bands",
         "q_knn_graph_exact",
         "q_ann_lsh",
+        "q_knn_nndescent",
     }

@@ -70,3 +70,54 @@ def test_streaming_windowed_counts(spark, tmp_path):
     # streaming totals equal the batch totals
     batch_total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert out.agg(F.sum("n")).collect()[0][0] == batch_total
+
+
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): sessions survive
+    across micro-batches in the state store; closure is event-time-driven."""
+    import pandas as pd
+
+    from amanogawa_spark.streaming.events import streaming_sessionize
+
+    stream_dir = tmp_path / "sess_stream"
+    stream_dir.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True)
+        # Spark TimestampType is microseconds; pandas defaults to nanos
+        pdf.to_parquet(
+            stream_dir / name, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    t0 = "2025-06-01 10:00:00"
+    # batch 1: user 1 has two events 5 min apart (one open session)
+    write_batch(
+        "b1.parquet",
+        [
+            (1, t0, 1, "click", 1.0, "{}"),
+            (2, "2025-06-01 10:05:00", 1, "click", 1.0, "{}"),
+        ],
+    )
+    sessions = streaming_sessionize(spark, str(stream_dir), gap_seconds=1800)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM sess_out").count() == 0  # still open
+
+    # batch 2: user 1 reappears 2 h later -> first session must close
+    write_batch("b2.parquet", [(3, "2025-06-01 12:00:00", 1, "click", 1.0, "{}")])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == 1 and r.n_events == 2
+    assert r.session_start.strftime("%H:%M") == "10:00"
+    assert r.session_end.strftime("%H:%M") == "10:05"
