@@ -49,14 +49,31 @@ def pagerank(
     checkpoint_every: int = 5,
     checkpoint: CheckpointManager | None = None,
     num_partitions: int | None = None,
+    check_every: int = 1,
 ) -> PageRankResult:
-    """Power iteration: r' = (1-d)/N + d * (A^T r/outdeg + dangling/N)."""
+    """Power iteration: r' = (1-d)/N + d * (A^T r/outdeg + dangling/N).
+
+    ``check_every`` chunks k update steps into ONE driver action: the
+    dangling mass is folded in-plan (1-row aggregate + broadcast cross
+    join) instead of collected per iteration, so the only global barrier
+    is the convergence check every k steps. At 10^12 scale fewer barriers
+    = fewer straggler waits; in the sandbox it halves per-iteration driver
+    latency. Convergence may overshoot by at most k-1 iterations (the L1
+    delta is measured across the chunk — a conservative stop test). Keep
+    k small (<= 4): each step references the rank plan ~3x, so the
+    un-truncated logical plan grows ~3^k per chunk. Default 1 (the scalar
+    fast path) measured fastest in BOTH sandbox regimes — the chunk's
+    in-plan dangling aggregate costs an extra rank-vector pass per step and
+    the cross-chunk L1 overshoots convergence; keep k=1 unless driver
+    round-trip latency itself dominates (e.g. a remote driver with
+    100ms+ RTT per action).
+    """
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # lineage MUST be truncated aggressively: ranks is referenced twice per
-    # iteration, so the logical plan (and Catalyst re-analysis time) grows
-    # ~2-3x per iteration — measured 0.5s → 80s within a 5-iteration window
-    truncate_every = min(checkpoint_every, 2)
+    # lineage MUST be truncated aggressively: ranks is referenced ~3x per
+    # step, so the un-truncated logical plan (and Catalyst re-analysis time)
+    # grows ~3^k within a chunk — measured 0.5s → 80s within a 5-iteration
+    # window. Every chunk ends with a lazy localCheckpoint (or durable save).
 
     out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(F.count("*").alias("out_degree"))
     # vertex table with a dangling indicator, partitioned on id for the
@@ -94,31 +111,40 @@ def pagerank(
     if ranks is None:
         ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-    # dangling mass of the CURRENT ranks (used by the next update)
-    dangling_mass = (
-        ranks.join(verts.select("id", "dang"), "id")
-        .agg(F.sum(F.col("rank") * F.col("dang")))
-        .collect()[0][0]
-        or 0.0
-    )
 
     base = (1.0 - damping) / n
     history: list[dict] = []
     delta = float("inf")
     it = start_iter
-    prev_joined = None  # last iteration's persisted 4-col frame (unpersist after successor materializes)
-    while it < max_iter and delta > tol:
-        t0 = time.time()
-        it += 1
-        # shuffle_hash hints: the ranks/contribs sides are O(V) rows — always
-        # the build side. A broadcast would ship all ranks through the driver
-        # every iteration (impossible at 10^12 vertices, and measured pure
-        # overhead locally); sort-merge would re-sort the cached edge table
-        # every iteration. SHJ against the hash-partitioned edges is the
-        # plan that survives scale-up — partition-local build ≈ V/n_part rows.
+    prev_joined = None  # last chunk's persisted frame (unpersist after successor materializes)
+
+    # scalar fast path (check_every == 1): the dangling mass rides along in
+    # the per-iteration stats action as a driver scalar — zero extra passes
+    # over the rank vector. The chunked path (> 1) can't, because steps 2..k
+    # run without any driver action, so it folds the mass in-plan (1-row
+    # aggregate + broadcast cross join) at the cost of one extra rank-vector
+    # pass per step: fewer barriers, more compute. Measured: scalar wins
+    # when compute-bound (big graphs), chunked wins when overhead-bound.
+    scalar_dangling: float | None = None
+    if check_every <= 1:
+        scalar_dangling = (
+            ranks.join(verts.select("id", "dang"), "id")
+            .agg(F.sum(F.col("rank") * F.col("dang")))
+            .collect()[0][0]
+            or 0.0
+        )
+
+    def _step(cur: DataFrame, dm_scalar: float | None) -> DataFrame:
+        """One update. shuffle_hash hints: the ranks/contribs sides are O(V)
+        rows — always the build side. A broadcast join would ship all ranks
+        through the driver every iteration (impossible at 10^12 vertices);
+        sort-merge would re-sort the cached edge table every round. SHJ
+        against the hash-partitioned edges is the plan that survives
+        scale-up — partition-local build ≈ V/n_part rows."""
+        cur = cur.select("id", "rank")  # steps 2+ carry a dang column; drop it
         contribs = (
             edges_w.join(
-                ranks.withColumnRenamed("id", "src_id").hint("shuffle_hash"),
+                cur.withColumnRenamed("id", "src_id").hint("shuffle_hash"),
                 "src_id",
             )
             .select(
@@ -128,45 +154,65 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("in_mass"))
         )
+        out = verts.join(contribs.hint("shuffle_hash"), "id", "left")
+        if dm_scalar is not None:
+            dangling_term = F.lit(dm_scalar / n)
+        else:
+            dm = (
+                cur.join(verts.hint("shuffle_hash"), "id")
+                .agg(F.sum(F.col("rank") * F.col("dang")).alias("_dm"))
+            )
+            out = out.crossJoin(F.broadcast(dm))
+            dangling_term = F.coalesce(F.col("_dm"), F.lit(0.0)) / n
+        return out.select(
+            "id",
+            "dang",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + dangling_term)
+            ).alias("rank"),
+        )
+
+    while it < max_iter and delta > tol:
+        t0 = time.time()
+        steps = min(max(1, check_every), max_iter - it)
+        cur = ranks
+        for _ in range(steps):
+            cur = _step(cur, scalar_dangling)
+        it += steps
         joined = (
-            verts.join(contribs.hint("shuffle_hash"), "id", "left")
-            .join(
+            cur.join(
                 ranks.select("id", F.col("rank").alias("old_rank")).hint(
                     "shuffle_hash"
                 ),
                 "id",
-            )
-            .select(
-                "id",
-                "dang",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling_mass / n))
-                ).alias("rank"),
-                "old_rank",
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # the single per-iteration action: L1 delta + next dangling mass
+        # the single per-chunk action: L1 delta across the chunk + the new
+        # dangling mass (metrics only — the update itself reads it in-plan)
         stats = joined.agg(
             F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
             F.sum(F.col("rank") * F.col("dang")).alias("dm"),
         ).collect()[0]
         delta = stats["delta"] or 0.0
-        next_dangling = stats["dm"] or 0.0
+        dangling_mass = stats["dm"] or 0.0
+        if scalar_dangling is not None:
+            scalar_dangling = dangling_mass  # feeds the next scalar-path step
         old = ranks
         ranks = joined.select("id", "rank")
-        if checkpoint is not None and it % checkpoint_every == 0:
+        if checkpoint is not None and it % checkpoint_every < steps:
             ranks = checkpoint.save(ranks, it)
-        elif it % truncate_every == 0:
-            # lazy: the truncated RDD materializes inside the NEXT iteration's
-            # stats job instead of paying a dedicated job/barrier here
+        elif steps > 1 or it % 2 == 0:
+            # lazy: the truncated RDD materializes inside the NEXT chunk's
+            # stats job instead of paying a dedicated job/barrier here.
+            # Scalar path truncates every 2 iterations (plan growth is 2x
+            # per iteration and `joined` is cached in between).
             ranks = ranks.localCheckpoint(eager=False)
         old.unpersist()
         # the stats action fully materialized `joined`; its predecessor's
         # cache blocks are now unreachable from live lineage heads — drop
-        # them (leaving every iteration's frame cached OOMs a real cluster)
+        # them (leaving every chunk's frame cached OOMs a real cluster)
         if prev_joined is not None:
             prev_joined.unpersist()
         prev_joined = joined
@@ -176,7 +222,6 @@ def pagerank(
             "dangling_mass": float(dangling_mass),
             "seconds": time.time() - t0,
         }
-        dangling_mass = next_dangling
         history.append(row)
         if checkpoint is not None:
             checkpoint.log_metrics(

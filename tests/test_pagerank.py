@@ -63,3 +63,18 @@ def test_pagerank_resume_from_checkpoint(spark, graph, tmp_path):
     metrics = ckpt.read_metrics()
     assert [m["iteration"] for m in metrics] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
     assert all("l1_delta" in m and "dangling_mass" in m for m in metrics)
+
+
+def test_pagerank_chunked_check_allclose(spark, graph):
+    """check_every=2 (the throughput path: in-plan dangling mass, one driver
+    action per 2 iterations) must still satisfy the north rule's
+    allclose(1e-6) — it may only overshoot convergence by <= 1 iteration."""
+    v, e, n, id_edges = graph
+    expected = pagerank_numpy(n, id_edges, tol=1e-6, max_iter=200)
+    res = pagerank(v, e, tol=1e-6, max_iter=200, check_every=2)
+    got = np.zeros(n)
+    for r in res.ranks.collect():
+        got[r.id] = r["rank"]
+    assert res.delta <= 1e-6
+    assert np.allclose(got, expected, atol=1e-6, rtol=0)
+    assert abs(got.sum() - 1.0) < 1e-9
