@@ -65,7 +65,20 @@ class CheckpointManager:
         per-partition lineage and metrics"): one row per written partition
         file with its row count and byte size, read from the parquet footers
         — no extra Spark job. On resume or audit this tells exactly which
-        partitions a snapshot holds and how balanced they are."""
+        partitions a snapshot holds and how balanced they are.
+
+        Local-filesystem roots only for now: on hdfs://s3a:// roots the
+        footer walk would need the Hadoop FS API — we warn once instead of
+        silently writing nothing."""
+        if "://" in path and not path.startswith("file:"):
+            import warnings
+
+            warnings.warn(
+                f"partition manifest skipped for non-local checkpoint root {path}; "
+                "metrics journal is still written",
+                stacklevel=2,
+            )
+            return
         try:
             import pyarrow.parquet as pq
 
@@ -89,8 +102,10 @@ class CheckpointManager:
             }
             with open(os.path.join(path, "_partition_manifest.json"), "w") as f:
                 json.dump(manifest, f)
-        except Exception:  # manifest is advisory — never fail a checkpoint
-            pass
+        except OSError as exc:  # manifest is advisory — never fail a checkpoint
+            import warnings
+
+            warnings.warn(f"partition manifest not written for {path}: {exc}", stacklevel=2)
 
     def read_partition_manifest(self, iteration: int | None = None) -> dict | None:
         it = iteration if iteration is not None else self.latest_iteration()

@@ -79,9 +79,14 @@ def dense_rank_ids(
             out_col, (F.row_number().over(w) - 1 + F.col("_offset")).cast("long")
         )
         .drop("_pid", "_offset")
+        .persist()
     )
-    # materialization note: caller should persist/write `out` then unpersist
-    # `ranged`; we leave `ranged` cached so the two passes see one scan.
+    # materialize the result BEFORE dropping the intermediate cache — the
+    # ranked output must not silently leak a second cached copy of the
+    # whole dictionary for the session lifetime (callers may unpersist the
+    # returned frame when done)
+    out.count()
+    ranged.unpersist()
     return out
 
 

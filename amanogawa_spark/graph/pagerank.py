@@ -70,16 +70,6 @@ def pagerank(
     """
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if num_partitions is None:
-        # size-aware partitioning: the iteration re-touches the SAME cached
-        # partitioning ~41 times, and AQE cannot coalesce cached partitions —
-        # a 33k-edge graph spread over 32 partitions pays 32 task launches
-        # per stage for microseconds of work each. Target >=250k edges per
-        # partition, capped at the session's shuffle parallelism (big graphs
-        # keep the full width; only small graphs shrink). One extra count()
-        # job, amortized over every iteration.
-        n_edges_est = edges.count()
-        n_part = max(2, min(n_part, n_edges_est // 250_000 + 1))
     # lineage MUST be truncated aggressively: ranks is referenced ~3x per
     # step, so the un-truncated logical plan (and Catalyst re-analysis time)
     # grows ~3^k within a chunk — measured 0.5s → 80s within a 5-iteration
@@ -109,7 +99,27 @@ def pagerank(
         .repartition(n_part, "src_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    edges_w.count()
+    n_edges = edges_w.count()
+    if num_partitions is None:
+        # size-aware partitioning: the iteration re-touches the SAME cached
+        # partitioning ~41 times, and AQE cannot coalesce cached partitions —
+        # a 33k-edge graph spread over 32 partitions pays 32 task launches
+        # per stage for microseconds of work each. Target >=250k edges per
+        # partition; big graphs keep the full session width (zero cost —
+        # this branch only runs for small graphs, where the one-time
+        # re-repartition of the tiny cached frames is <1s).
+        ideal = max(2, min(n_part, n_edges // 250_000 + 1))
+        if ideal < n_part:
+            old_v, old_e = verts, edges_w
+            verts = verts.repartition(ideal, "id").persist(StorageLevel.MEMORY_AND_DISK)
+            verts.count()
+            edges_w = edges_w.repartition(ideal, "src_id").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            edges_w.count()
+            old_v.unpersist()
+            old_e.unpersist()
+            n_part = ideal
 
     start_iter = 0
     ranks = None

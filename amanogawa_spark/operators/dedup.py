@@ -241,8 +241,13 @@ def simhash_table(
     base = _spread(
         df.select(F.col(id_col).alias("id"), normalized_text(text_col).alias("t"))
     )
-    toks = base.select("id", F.explode(F.split("t", " ")).alias("tok")).select(
-        "id", F.xxhash64("tok").alias("h")
+    # explode_outer: NULL text must keep its row (plain explode would drop
+    # the document). The hash must stay NULL for the NULL token — xxhash64
+    # of NULL returns the seed, not NULL — so that every vote condition is
+    # NULL → -1 votes → all bits 0 → sh=0, matching the column form.
+    toks = base.select("id", F.explode_outer(F.split("t", " ")).alias("tok")).select(
+        "id",
+        F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"),
     )
     votes = toks.groupBy("id").agg(
         *[

@@ -169,8 +169,21 @@ def _prepare_scaling_input(work_dir: str) -> str:
 
     edges_path = os.path.join(work_dir, "edges.parquet")
     verts_path = os.path.join(work_dir, "vertices.parquet")
-    if os.path.exists(os.path.join(edges_path, "_SUCCESS")):
-        return work_dir
+    # the cache is only valid for the exact corpus parameters that built it —
+    # a _SUCCESS marker alone would silently serve a stale (e.g. smaller /
+    # sparser) corpus after a default change or env override
+    params = {"pages": SCALING_PAGES, "out_links": list(SCALING_OUT_LINKS), "seed": 7}
+    params_path = os.path.join(work_dir, "corpus_params.json")
+    if os.path.exists(os.path.join(edges_path, "_SUCCESS")) and os.path.exists(
+        params_path
+    ):
+        with open(params_path) as f:
+            if json.load(f) == params:
+                return work_dir
+        import shutil
+
+        shutil.rmtree(edges_path, ignore_errors=True)
+        shutil.rmtree(verts_path, ignore_errors=True)
     spark = get_spark(cpus=CPUS, app_name="scaling_prep")
     pages = distributed_pages(
         spark, SCALING_PAGES, out_links=SCALING_OUT_LINKS
@@ -180,6 +193,8 @@ def _prepare_scaling_input(work_dir: str) -> str:
     edges.write.mode("overwrite").parquet(edges_path)
     vertices.select("id").write.mode("overwrite").parquet(verts_path)
     spark.stop()
+    with open(params_path, "w") as f:
+        json.dump(params, f)
     return work_dir
 
 

@@ -7,8 +7,16 @@ from amanogawa_spark.session import get_spark
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(cpus=8, app_name="amanogawa_tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    # warehouse in a temp dir so bucketed-table tests never write build
+    # artifacts into the repo root
+    wh = str(tmp_path_factory.mktemp("spark_warehouse"))
+    s = get_spark(
+        cpus=8,
+        app_name="amanogawa_tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
 
 

@@ -139,3 +139,21 @@ def test_simhash_table_equals_column_form(spark, docs):
     }
     new = {r.id: r.sh for r in simhash_table(docs).collect()}
     assert old == new
+
+
+def test_simhash_table_null_text_parity(spark):
+    """NULL-text documents must neither vanish (explode dropping) nor hash
+    to a non-zero sketch (xxhash64(NULL)==seed trap) — both forms give 0."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "some text here")], "doc_id long, text string"
+    )
+    old = {
+        r.id: r.sh
+        for r in df.select(
+            F.col("doc_id").alias("id"), simhash("text").alias("sh")
+        ).collect()
+    }
+    new = {r.id: r.sh for r in simhash_table(df).collect()}
+    assert set(new) == {1, 2, 3}  # nothing dropped
+    assert old == new
+    assert new[1] == 0
