@@ -481,6 +481,15 @@ def q_knn_nndescent(spark, sf_dir):
     return nn_descent_knn_graph(emb, k=3, max_epochs=4)
 
 
+def q_triangle_approx(spark, sf_dir):
+    """DOULION approximate triangle count (rows-only: xxhash64 edge coin is
+    Spark-specific; the estimator is validated vs the exact count in
+    tests/test_components_lpa_triangles.py)."""
+    from amanogawa_spark.graph.triangles import triangle_total_approx
+
+    return triangle_total_approx(derived_edges(spark, sf_dir), p=0.5)
+
+
 def q_ann_lsh(spark, sf_dir):
     from amanogawa_spark.operators.similarity import cosine_topk_lsh
 
@@ -533,6 +542,7 @@ QUERIES = {
     "q_knn_graph_exact": q_knn_graph_exact,
     "q_ann_lsh": q_ann_lsh,
     "q_knn_nndescent": q_knn_nndescent,
+    "q_triangle_approx": q_triangle_approx,
 }
 
 

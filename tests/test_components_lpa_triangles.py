@@ -54,3 +54,30 @@ def test_triangles_exact(spark, graph):
     res = triangle_count(e)
     assert res.total == expected
     assert expected > 0  # fixture must make the test non-trivial
+
+
+def test_triangle_approx_estimator(spark):
+    """DOULION estimator: unbiased on a triangle-rich graph; deterministic."""
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.graph.triangles import triangle_total, triangle_total_approx
+
+    # dense-ish random graph: ids 0..199, edge (i,j) if hash coin < 0.15
+    ids = spark.range(0, 200).select(F.col("id").alias("a"))
+    pairs = ids.crossJoin(spark.range(0, 200).select(F.col("id").alias("b"))).filter(
+        F.col("a") < F.col("b")
+    )
+    edges = pairs.filter(
+        (F.xxhash64("a", "b", F.lit(3)).bitwiseAND(F.lit((1 << 20) - 1)))
+        < int(0.15 * (1 << 20))
+    ).select(F.col("a").alias("src_id"), F.col("b").alias("dst_id")).persist()
+    exact = triangle_total(edges).collect()[0][0]
+    assert exact > 100  # rich enough for a meaningful estimate
+    est_row = triangle_total_approx(edges, p=0.5, seed=11).collect()[0]
+    est = est_row["n_triangles_est"]
+    assert abs(est - exact) / exact < 0.5  # ~1/sqrt(p^3 T) regime
+    # deterministic: same seed, different partitioning -> same estimate
+    est2 = triangle_total_approx(edges.repartition(7), p=0.5, seed=11).collect()[0][
+        "n_triangles_est"
+    ]
+    assert est == est2

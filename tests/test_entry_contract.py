@@ -37,4 +37,5 @@ def test_queries_oracle_keys_consistent():
         "q_knn_graph_exact",
         "q_ann_lsh",
         "q_knn_nndescent",
+        "q_triangle_approx",
     }
