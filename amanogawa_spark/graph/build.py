@@ -101,7 +101,9 @@ def build_vertices(pages: DataFrame, id_mode: str = "dense") -> DataFrame:
         return urls.select("url", F.xxhash64("url").alias("id"))
     if id_mode != "dense":
         raise ValueError(f"unknown id_mode: {id_mode}")
-    return dense_rank_ids(urls, "url").select("url", "id")
+    # returned frame IS the persisted ranker output (columns url, id) — no
+    # projection wrapper, so callers can release the cache with .unpersist()
+    return dense_rank_ids(urls, "url")
 
 
 def extract_edges_urls(pages: DataFrame) -> DataFrame:

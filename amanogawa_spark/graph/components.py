@@ -85,21 +85,29 @@ def connected_components(
 
     e = pairs
     prev_sig = _sig(e)
+    prev_cached = None  # the persisted handle (NOT the checkpoint wrapper —
+    # unpersisting the wrapper is a no-op on the cache-manager entry)
     for rnd in range(1, max_rounds + 1):
-        new_e = small_star(large_star(e)).persist(StorageLevel.MEMORY_AND_DISK)
+        cached = small_star(large_star(e)).persist(StorageLevel.MEMORY_AND_DISK)
         # each round references the previous edge set ~16x (nbrs/oriented
         # reuse), so the LOGICAL plan grows 16^rounds and Catalyst
         # re-analysis goes exponential — truncate every round by default
-        if rnd % checkpoint_every == 0:
-            new_e = new_e.localCheckpoint(eager=True)
+        new_e = (
+            cached.localCheckpoint(eager=True)
+            if rnd % checkpoint_every == 0
+            else cached
+        )
         sig = _sig(new_e)
-        old = e
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = cached
         e = new_e
-        if old is not pairs:
-            old.unpersist()
         if sig == prev_sig:
             break
         prev_sig = sig
+    if prev_cached is not None and e is not prev_cached:
+        # e is a checkpoint wrapper; its blocks live independently of the cache
+        prev_cached.unpersist()
 
     comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     result = (
@@ -125,13 +133,18 @@ def connected_components_minlabel(
         StorageLevel.MEMORY_AND_DISK
     )
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    # persisted handles pending release — freed at each eager checkpoint
+    # (whose blocks supersede them); unpersisting the checkpoint WRAPPER
+    # (the old code) is a no-op on the cache-manager entry and leaked one
+    # cached label set per checkpointed round
+    pending = [labels]
     for rnd in range(1, rounds + 1):
         nbr_min = (
             pairs.join(labels.withColumnRenamed("id", "v"), "v")
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        cached = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
@@ -141,25 +154,28 @@ def connected_components_minlabel(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        prev_labels = labels
         if rnd % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            labels = cached.localCheckpoint(eager=True)
+            for p in pending + [cached]:
+                p.unpersist()
+            pending = []
+        else:
+            pending.append(cached)
+            labels = cached
         if fixed_rounds is None:
             changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("component", "old_component"), "id"
+                labels.join(
+                    prev_labels.withColumnRenamed("component", "old_component"), "id"
                 )
                 .filter(F.col("component") != F.col("old_component"))
                 .limit(1)
                 .count()
             )
-            old = labels
-            labels = new_labels
-            old.unpersist()
             if changed == 0:
                 break
-        else:
-            old = labels
-            labels = new_labels
-            old.unpersist()
+    for p in pending:
+        if p is not labels:
+            p.unpersist()
     pairs.unpersist()
     return labels

@@ -76,12 +76,9 @@ def nn_descent(
     # range-partitioned two-pass ranker (NOT a global single-partition window)
     from amanogawa_spark.graph.build import dense_rank_ids
 
-    idx = (
-        dense_rank_ids(unit.select("id"), "id", out_col="ord")
-        .select("id", "ord")
-        .persist()
-    )
-    idx.count()
+    # the ranker's returned frame IS persisted (columns id, ord) — keep the
+    # handle directly so the unpersist at the end actually releases it
+    idx = dense_rank_ids(unit.select("id"), "id", out_col="ord")
 
     # init: K pseudo-random distinct neighbors per id (h:148-196)
     cand_init = (
@@ -124,7 +121,10 @@ def nn_descent(
     )
 
     sample_k = max(1, int(rho * k))
-    threshold = int(delta * k * n)
+    # reference stop rule: updates <= delta * rho * K * N (nndescent.h:127-136),
+    # compared as a float — int truncation would demand exactly 0 updates on
+    # small graphs
+    threshold = delta * rho * k * n
     epochs = 0
     updates = threshold + 1
     while epochs < max_epochs and updates > threshold:
@@ -184,7 +184,12 @@ def nn_descent(
             .drop("rn")
             .localCheckpoint(eager=True)
         )
-        updates = newB.filter("is_new").count()
+        # convergence counter = THIS epoch's list insertions (reference
+        # nndescent.h:127-136 counts per-epoch inserts). Counting the
+        # standing `is_new` inventory instead never converges: with ρ<1
+        # unsampled entries keep is_new=True across epochs, so that count
+        # stays ~O(kN) >> δkN even on a fully converged graph.
+        updates = newB.join(B.select("id", "nbr"), ["id", "nbr"], "left_anti").count()
         cand.unpersist()
         B = newB
 

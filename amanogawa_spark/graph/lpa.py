@@ -31,6 +31,12 @@ def label_propagation(
     labels = vertices.select("id", F.col("id").alias("label")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # cache discipline: persisted handles accumulate in `pending` and are
+    # released at each eager checkpoint (whose blocks supersede them). The
+    # old `old.unpersist()` targeted the checkpoint WRAPPER on checkpoint
+    # rounds — a no-op on the cache-manager entry — leaking one cached label
+    # set per checkpointed round for the session lifetime.
+    pending = [labels]
     for rnd in range(1, max_rounds + 1):
         counts = (
             pairs.join(labels.withColumnRenamed("id", "v"), "v")
@@ -41,15 +47,22 @@ def label_propagation(
         best = counts.groupBy("id").agg(
             F.max(F.struct(F.col("freq"), (-F.col("label")).alias("neg"))).alias("m")
         ).select("id", (-F.col("m.neg")).cast("long").alias("new_label"))
-        new_labels = (
+        cached = (
             labels.join(best, "id", "left")
             .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         if rnd % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        old = labels
-        labels = new_labels
-        old.unpersist()
+            labels = cached.localCheckpoint(eager=True)
+            for p in pending + [cached]:
+                p.unpersist()
+            pending = []
+        else:
+            pending.append(cached)
+            labels = cached
+    # keep the final frame (the caller's result) cached; release the rest
+    for p in pending:
+        if p is not labels:
+            p.unpersist()
     pairs.unpersist()
     return labels

@@ -251,6 +251,14 @@ def pagerank(
                 seconds=row["seconds"],
             )
 
+    # materialize the result BEFORE tearing down the caches it is lazily
+    # derived from (a lazy final localCheckpoint would otherwise recompute
+    # through the now-unpersisted edge/vertex frames at the caller's first
+    # action), then release the final chunk's cached frame — the old code
+    # leaked it for the session lifetime
+    ranks = ranks.localCheckpoint(eager=True)
+    if prev_joined is not None:
+        prev_joined.unpersist()
     edges_w.unpersist()
     verts.unpersist()
     return PageRankResult(ranks=ranks, iterations=it, delta=float(delta), history=history)

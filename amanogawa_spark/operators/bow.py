@@ -58,7 +58,12 @@ def bow_cosine_topk(
             .select("term")
         )
         tc = tc.join(rare, "term", "left_semi")
-    tc = tc.persist()
+    # tc is referenced 3x (norms + both join sides); an eager localCheckpoint
+    # materializes it once with truncated lineage and its blocks are freed
+    # when the returned frame is GC'd — a persist()/unpersist() pair here
+    # would deregister the cache before the caller ever materializes the
+    # (lazy) result, recomputing the tokenize+aggregate three times
+    tc = tc.localCheckpoint(eager=True)
     norms = tc.groupBy("id").agg(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("norm"))
     a = tc.select(F.col("id").alias("query_id"), "term", F.col("cnt").alias("ca"))
     b = tc.select(F.col("id").alias("neighbor_id"), "term", F.col("cnt").alias("cb"))
@@ -78,9 +83,7 @@ def bow_cosine_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    out = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
-    tc.unpersist()
-    return out
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
 def bow_knn_graph(

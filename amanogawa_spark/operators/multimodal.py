@@ -110,7 +110,14 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.explode(
                 F.sequence(
                     F.lit(0).cast("long"),
-                    F.coalesce(F.col("duration_ms"), F.lit(0)).cast("long"),
+                    # exclusive upper bound: a decoder seeking t == duration
+                    # of a duration-long stream gets EOF, so the last valid
+                    # frame instant is duration-1 (sequence() is inclusive)
+                    F.greatest(
+                        F.coalesce(F.col("duration_ms"), F.lit(1)).cast("long")
+                        - F.lit(1),
+                        F.lit(0).cast("long"),
+                    ),
                     F.lit(every_ms).cast("long"),
                 )
             ).alias("frame_ms"),

@@ -28,16 +28,21 @@ def tokens(col: Column | str) -> Column:
 
 def token_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
-        F.size(tokens(c))
-    ).cast("long")
+    # NULL text counts as 0 tokens — without the coalesce the empty-check is
+    # NULL, falls through, and size(split(NULL)) yields -1 (legacy) or NULL
+    return F.when(
+        F.coalesce(F.length(F.trim(c)), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.size(tokens(c))).cast("long")
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Sub-word-ish count: words + punctuation runs + digit runs, the usual
-    cheap stand-in for a BPE tokenizer when estimating token budgets."""
+    cheap stand-in for a BPE tokenizer when estimating token budgets.
+    NULL text counts as 0."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0)
+    pieces = F.regexp_extract_all(
+        F.coalesce(c, F.lit("")), F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0
+    )
     return F.size(pieces).cast("long")
 
 
@@ -74,7 +79,9 @@ def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-marker language heuristic → ``lang_pred`` column.
 
     Scores each candidate language by marker-word hits in the (lowercased,
-    whitespace-split) token set; ties and zero-hit rows → 'und'. Pure
+    whitespace-split) token set; zero-hit rows → 'und'; equal-score ties
+    break deterministically to the lexicographically LAST language code
+    (max over (score, lang) structs — matched by the SQL oracle). Pure
     Catalyst expressions, deterministic.
     """
     toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))

@@ -143,5 +143,7 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(media, every_ms=1000)
     rows = plan.collect()
     assert all(r.frame_ms % 1000 == 0 for r in rows)
+    # frame instants are < duration: seeking t == duration is EOF
+    assert all(r.frame_ms < 5000 for r in rows)
     vids = media.filter(F.col("kind") == "video").count()
-    assert len(rows) == vids * 6  # 0..5000 inclusive step 1000
+    assert len(rows) == vids * 5  # 0..4999 step 1000
