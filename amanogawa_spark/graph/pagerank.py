@@ -264,6 +264,134 @@ def pagerank(
     return PageRankResult(ranks=ranks, iterations=it, delta=float(delta), history=history)
 
 
+def personalized_pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> PageRankResult:
+    """Personalized PageRank: restart vector concentrated on ``seeds``.
+
+    r' = (1-d)·s + d·(Aᵀ r/outdeg + dangling_mass·s), r₀ = s, where
+    s_i = 1/|S| on the seed set and 0 elsewhere — random walks teleport
+    back to the seeds, so scores measure proximity to them (the standard
+    seeded-relevance ranking over a link graph). Same execution shape as
+    :func:`pagerank`: edges_w hash-partitioned+persisted once, shuffle_hash
+    hints on the O(V) sides, lineage truncated every 2 iterations, ONE
+    driver action per iteration (delta + dangling mass).
+    """
+    spark = vertices.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    seed_ids = seeds.select("id").distinct()
+    n_seeds = seed_ids.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank requires a non-empty seed set")
+    verts = (
+        vertices.select("id")
+        .distinct()
+        .join(out_deg, "id", "left")
+        .join(seed_ids.withColumn("_is_seed", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.col("out_degree").isNull().cast("double").alias("dang"),
+            F.when(F.col("_is_seed"), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("sv"),
+        )
+        .repartition(n_part, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verts.count()
+    edges_w = (
+        edges.join(out_deg.withColumnRenamed("id", "src_id"), "src_id")
+        .repartition(n_part, "src_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges_w.count()
+
+    ranks = verts.select("id", F.col("sv").alias("rank")).localCheckpoint(eager=True)
+    dangling_mass = (
+        ranks.join(verts.select("id", "dang"), "id")
+        .agg(F.sum(F.col("rank") * F.col("dang")))
+        .collect()[0][0]
+        or 0.0
+    )
+    history: list[dict] = []
+    delta = float("inf")
+    it = 0
+    prev_joined = None
+    while it < max_iter and delta > tol:
+        t0 = time.time()
+        it += 1
+        contribs = (
+            edges_w.join(
+                ranks.withColumnRenamed("id", "src_id").hint("shuffle_hash"),
+                "src_id",
+            )
+            .select(
+                F.col("dst_id").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        joined = (
+            verts.join(contribs.hint("shuffle_hash"), "id", "left")
+            .join(
+                ranks.select("id", F.col("rank").alias("old_rank")).hint(
+                    "shuffle_hash"
+                ),
+                "id",
+            )
+            .select(
+                "id",
+                "dang",
+                (
+                    F.col("sv")
+                    * (F.lit(1.0 - damping) + F.lit(damping * dangling_mass))
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+                "old_rank",
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        stats = joined.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+            F.sum(F.col("rank") * F.col("dang")).alias("dm"),
+        ).collect()[0]
+        delta = stats["delta"] or 0.0
+        next_dangling = stats["dm"] or 0.0
+        ranks = joined.select("id", "rank")
+        if it % 2 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+        if prev_joined is not None:
+            prev_joined.unpersist()
+        prev_joined = joined
+        history.append(
+            {
+                "iteration": it,
+                "l1_delta": float(delta),
+                "dangling_mass": float(dangling_mass),
+                "seconds": time.time() - t0,
+            }
+        )
+        dangling_mass = next_dangling
+
+    ranks = ranks.localCheckpoint(eager=True)
+    if prev_joined is not None:
+        prev_joined.unpersist()
+    edges_w.unpersist()
+    verts.unpersist()
+    return PageRankResult(ranks=ranks, iterations=it, delta=float(delta), history=history)
+
+
 def pagerank_fixed_iterations(
     vertices: DataFrame,
     edges: DataFrame,

@@ -378,6 +378,52 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_ppr4(spark, sf_dir):
+    """Personalized PageRank, 4 fixed iterations, seeds = ids % 100 == 0."""
+    from amanogawa_spark.graph.pagerank import personalized_pagerank
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    seeds = v.filter(F.col("id") % 100 == 0)
+    res = personalized_pagerank(v, e, seeds, tol=-1.0, max_iter=4)
+    return res.ranks.select("id", F.round("rank", 8).alias("ppr_value"))
+
+
+def _ppr_sql(iters: int = 4) -> str:
+    parts = [f"WITH {_EDGES_SQL.strip()}", _VERTS_SQL.strip()]
+    parts.append("seeds AS (SELECT id FROM verts WHERE id % 100 = 0)")
+    parts.append("sn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds)")
+    parts.append(
+        "sv AS (SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0/(SELECT ns FROM sn) "
+        "ELSE 0.0 END AS s FROM verts v LEFT JOIN seeds s ON v.id = s.id)"
+    )
+    parts.append(
+        "outdeg AS (SELECT src_id AS id, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY src_id)"
+    )
+    parts.append("r0 AS (SELECT id, s AS pr FROM sv)")
+    for k in range(1, iters + 1):
+        p, c = k - 1, k
+        parts.append(
+            f"d{c} AS (SELECT COALESCE(SUM(r.pr), 0.0) AS dm FROM r{p} r "
+            f"LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"c{c} AS (SELECT e.dst_id AS id, SUM(r.pr / o.od) AS mass FROM edges e "
+            f"JOIN r{p} r ON e.src_id = r.id JOIN outdeg o ON e.src_id = o.id "
+            f"GROUP BY e.dst_id)"
+        )
+        parts.append(
+            f"r{c} AS (SELECT sv.id, sv.s * (0.15 + 0.85*(SELECT dm FROM d{c})) "
+            f"+ 0.85*COALESCE(c.mass, 0.0) AS pr FROM sv "
+            f"LEFT JOIN c{c} c ON sv.id = c.id)"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return (
+        body
+        + f"\nSELECT id, ROUND(CAST(pr AS DOUBLE), 8) AS ppr_value FROM r{iters}"
+    )
+
+
 def q_degree_histogram(spark, sf_dir):
     from amanogawa_spark.graph.build import degree_histogram
 
@@ -529,6 +575,7 @@ QUERIES = {
     "q_embed_neardup": q_embed_neardup,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_salted_indegree": q_salted_indegree,
+    "q_ppr4": q_ppr4,
     "q_degree_histogram": q_degree_histogram,
     "q_pivot_qty": q_pivot_qty,
     "q_hourly_event_stats": q_hourly_event_stats,
@@ -715,6 +762,7 @@ ORACLE_SQL = {
         "COALESCE(in_degree, 0) AS in_degree FROM o FULL OUTER JOIN i ON o.id = i.id"
     ),
     "q_pagerank5": _pagerank5_sql(),
+    "q_ppr4": _ppr_sql(4),
     "q_cc_minlabel8": _cc_minlabel_sql(8),
     "q_lpa3": _lpa_sql(3),
     "q_triangle_count": (

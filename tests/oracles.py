@@ -102,3 +102,33 @@ def triangles_brute(edges: set[tuple[int, int]]) -> int:
     for a, b in und:
         count += len(adj[a] & adj[b] - {a, b})
     return count // 3
+
+
+def personalized_pagerank_numpy(
+    n: int,
+    edges: set[tuple[int, int]],
+    seeds: set[int],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+) -> np.ndarray:
+    """Seeded restart vector; dangling mass redistributed to the seeds."""
+    out_deg = np.zeros(n, dtype=np.int64)
+    by_dst: dict[int, list[int]] = defaultdict(list)
+    for s, d in edges:
+        out_deg[s] += 1
+        by_dst[d].append(s)
+    sv = np.zeros(n)
+    for s in seeds:
+        sv[s] = 1.0 / len(seeds)
+    r = sv.copy()
+    for _ in range(max_iter):
+        dangling = r[out_deg == 0].sum()
+        new = sv * ((1.0 - damping) + damping * dangling)
+        for d, srcs in by_dst.items():
+            new[d] += damping * sum(r[s] / out_deg[s] for s in srcs)
+        delta = np.abs(new - r).sum()
+        r = new
+        if delta <= tol:
+            break
+    return r

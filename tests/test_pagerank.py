@@ -78,3 +78,22 @@ def test_pagerank_chunked_check_allclose(spark, graph):
     assert res.delta <= 1e-6
     assert np.allclose(got, expected, atol=1e-6, rtol=0)
     assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_converged_allclose(spark, graph):
+    from amanogawa_spark.graph.pagerank import personalized_pagerank
+
+    from tests.oracles import personalized_pagerank_numpy
+
+    v, e, n, id_edges = graph
+    seed_ids = {i for i in range(n) if i % 25 == 0}
+    expected = personalized_pagerank_numpy(n, id_edges, seed_ids, tol=1e-6)
+    seeds = v.filter((v.id % 25) == 0)
+    res = personalized_pagerank(v, e, seeds, tol=1e-6, max_iter=200)
+    got = np.zeros(n)
+    for r in res.ranks.collect():
+        got[r.id] = r["rank"]
+    assert res.delta <= 1e-6
+    assert np.allclose(got, expected, atol=1e-9, rtol=0)
+    # scores concentrate near the seeds: total seed mass exceeds uniform share
+    assert got[list(seed_ids)].sum() > len(seed_ids) / n
