@@ -424,6 +424,33 @@ def _ppr_sql(iters: int = 4) -> str:
     )
 
 
+def q_kcore45(spark, sf_dir):
+    """45-core vertex set after 6 fixed peeling rounds (oracle-unrolled)."""
+    from amanogawa_spark.graph.kcore import k_core
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return k_core(v, e, k=45, fixed_rounds=6)
+
+
+def _kcore_sql(k: int = 5, rounds: int = 6) -> str:
+    parts = [f"WITH {_EDGES_SQL.strip()}", _VERTS_SQL.strip()]
+    parts.append(
+        "sym AS (SELECT src_id AS u, dst_id AS v FROM edges "
+        "UNION SELECT dst_id AS u, src_id AS v FROM edges)"
+    )
+    parts.append("a0 AS (SELECT id FROM verts)")
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"a{r} AS (SELECT s.u AS id FROM sym s "
+            f"JOIN a{p} x ON s.u = x.id JOIN a{p} y ON s.v = y.id "
+            f"GROUP BY s.u HAVING COUNT(*) >= {k})"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return body + f"\nSELECT id FROM a{rounds}"
+
+
 def q_degree_histogram(spark, sf_dir):
     from amanogawa_spark.graph.build import degree_histogram
 
@@ -576,6 +603,7 @@ QUERIES = {
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_salted_indegree": q_salted_indegree,
     "q_ppr4": q_ppr4,
+    "q_kcore45": q_kcore45,
     "q_degree_histogram": q_degree_histogram,
     "q_pivot_qty": q_pivot_qty,
     "q_hourly_event_stats": q_hourly_event_stats,
@@ -763,6 +791,7 @@ ORACLE_SQL = {
     ),
     "q_pagerank5": _pagerank5_sql(),
     "q_ppr4": _ppr_sql(4),
+    "q_kcore45": _kcore_sql(45, 6),
     "q_cc_minlabel8": _cc_minlabel_sql(8),
     "q_lpa3": _lpa_sql(3),
     "q_triangle_count": (

@@ -81,3 +81,22 @@ def test_triangle_approx_estimator(spark):
         "n_triangles_est"
     ]
     assert est == est2
+
+
+def test_k_core_peeling(spark):
+    """Triangle 0-1-2 plus a pendant chain 2-3-4: the 2-core is exactly the
+    triangle (3 and 4 peel off in cascading rounds)."""
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.graph.kcore import k_core
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], "src_id long, dst_id long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    core2 = {r.id for r in k_core(verts, edges, k=2).collect()}
+    assert core2 == {0, 1, 2}
+    core3 = {r.id for r in k_core(verts, edges, k=3).collect()}
+    assert core3 == set()  # no 3-core in a single triangle
+    core1 = {r.id for r in k_core(verts, edges, k=1).collect()}
+    assert core1 == {0, 1, 2, 3, 4}
