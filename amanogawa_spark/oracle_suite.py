@@ -160,6 +160,38 @@ def q_distinct_union(spark, sf_dir):
     return a.union(b).distinct()
 
 
+def q_semi_join(spark, sf_dir):
+    """Customers that have at least one order (left_semi)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_anti_join(spark, sf_dir):
+    """Customers with no order above 300k (left_anti with predicate)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(big, "c_custkey", "left_anti").select("c_custkey", "c_acctbal")
+
+
+def q_window_lag_delta(spark, sf_dir):
+    """Per-user event-value delta vs the previous event (lag window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 6
+        ).alias("value_delta"),
+    )
+
+
 def q_cube_counts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
@@ -604,6 +636,9 @@ QUERIES = {
     "q_salted_indegree": q_salted_indegree,
     "q_ppr4": q_ppr4,
     "q_kcore45": q_kcore45,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_window_lag_delta": q_window_lag_delta,
     "q_degree_histogram": q_degree_histogram,
     "q_pivot_qty": q_pivot_qty,
     "q_hourly_event_stats": q_hourly_event_stats,
@@ -792,6 +827,19 @@ ORACLE_SQL = {
     "q_pagerank5": _pagerank5_sql(),
     "q_ppr4": _ppr_sql(4),
     "q_kcore45": _kcore_sql(45, 6),
+    "q_semi_join": (
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    "q_anti_join": (
+        "SELECT c_custkey, c_acctbal FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"
+    ),
+    "q_window_lag_delta": (
+        "SELECT event_id, user_id, ROUND(CAST(value - COALESCE("
+        "LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0"
+        ") AS DOUBLE), 6) AS value_delta FROM events"
+    ),
     "q_cc_minlabel8": _cc_minlabel_sql(8),
     "q_lpa3": _lpa_sql(3),
     "q_triangle_count": (
