@@ -483,6 +483,51 @@ def _kcore_sql(k: int = 5, rounds: int = 6) -> str:
     return body + f"\nSELECT id FROM a{rounds}"
 
 
+def q_hits3(spark, sf_dir):
+    """HITS hubs/authorities, 3 fixed iterations, L1-normalized."""
+    from amanogawa_spark.graph.hits import hits_fixed_iterations
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    s = hits_fixed_iterations(v, e, iterations=3)
+    return s.select(
+        "id",
+        F.round("hub", 8).alias("hub_r"),
+        F.round("authority", 8).alias("auth_r"),
+    )
+
+
+def _hits_sql(iters: int = 3) -> str:
+    parts = [f"WITH {_EDGES_SQL.strip()}", _VERTS_SQL.strip()]
+    parts.append("nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)")
+    parts.append(
+        "s0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS hub, 1.0/(SELECT n FROM nn) AS auth FROM verts)"
+    )
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"ar{k} AS (SELECT v.id, COALESCE(t.s, 0.0) AS auth_raw FROM verts v LEFT JOIN "
+            f"(SELECT e.dst_id AS id, SUM(s.hub) AS s FROM edges e JOIN s{p} s ON e.src_id = s.id "
+            f"GROUP BY e.dst_id) t ON v.id = t.id)"
+        )
+        parts.append(
+            f"hr{k} AS (SELECT v.id, COALESCE(t.s, 0.0) AS hub_raw FROM verts v LEFT JOIN "
+            f"(SELECT e.src_id AS id, SUM(a.auth_raw) AS s FROM edges e JOIN ar{k} a ON e.dst_id = a.id "
+            f"GROUP BY e.src_id) t ON v.id = t.id)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT a.id, h.hub_raw/(SELECT SUM(hub_raw) FROM hr{k}) AS hub, "
+            f"a.auth_raw/(SELECT SUM(auth_raw) FROM ar{k}) AS auth "
+            f"FROM ar{k} a JOIN hr{k} h ON a.id = h.id)"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return (
+        body
+        + f"\nSELECT id, ROUND(CAST(hub AS DOUBLE), 8) AS hub_r, "
+        f"ROUND(CAST(auth AS DOUBLE), 8) AS auth_r FROM s{iters}"
+    )
+
+
 def q_degree_histogram(spark, sf_dir):
     from amanogawa_spark.graph.build import degree_histogram
 
@@ -636,6 +681,7 @@ QUERIES = {
     "q_salted_indegree": q_salted_indegree,
     "q_ppr4": q_ppr4,
     "q_kcore45": q_kcore45,
+    "q_hits3": q_hits3,
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
     "q_window_lag_delta": q_window_lag_delta,
@@ -827,6 +873,7 @@ ORACLE_SQL = {
     "q_pagerank5": _pagerank5_sql(),
     "q_ppr4": _ppr_sql(4),
     "q_kcore45": _kcore_sql(45, 6),
+    "q_hits3": _hits_sql(3),
     "q_semi_join": (
         "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"

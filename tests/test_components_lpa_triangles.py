@@ -100,3 +100,21 @@ def test_k_core_peeling(spark):
     assert core3 == set()  # no 3-core in a single triangle
     core1 = {r.id for r in k_core(verts, edges, k=1).collect()}
     assert core1 == {0, 1, 2, 3, 4}
+
+
+def test_hits_star_graph(spark):
+    """Star 1..4 -> 0: vertex 0 is the pure authority, 1..4 equal pure hubs."""
+    from amanogawa_spark.graph.hits import hits
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)], "src_id long, dst_id long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    res = hits(verts, edges, tol=1e-9, max_iter=20)
+    s = {r.id: (r.hub, r.authority) for r in res.scores.collect()}
+    assert abs(s[0][1] - 1.0) < 1e-9  # all authority mass on the center
+    assert abs(s[0][0]) < 1e-9  # center has no out-links -> zero hub
+    for i in range(1, 5):
+        assert abs(s[i][0] - 0.25) < 1e-9  # equal hubs
+        assert abs(s[i][1]) < 1e-9
+    assert res.iterations < 20  # converges immediately on a star
