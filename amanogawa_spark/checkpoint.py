@@ -102,7 +102,9 @@ class CheckpointManager:
             }
             with open(os.path.join(path, "_partition_manifest.json"), "w") as f:
                 json.dump(manifest, f)
-        except OSError as exc:  # manifest is advisory — never fail a checkpoint
+        except Exception as exc:  # noqa: BLE001 — manifest is advisory; any
+            # failure here (OSError, pyarrow import/parse errors, json) must
+            # never fail the checkpoint itself
             import warnings
 
             warnings.warn(f"partition manifest not written for {path}: {exc}", stacklevel=2)

@@ -105,16 +105,19 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
-    if prev_cached is not None and e is not prev_cached:
-        # e is a checkpoint wrapper; its blocks live independently of the cache
-        prev_cached.unpersist()
-
     comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    # materialize the O(V) result so every per-round cache (including the
+    # final round's, which `e` may still BE when the signature-converged
+    # break fires between checkpoints) can be released before returning —
+    # same teardown shape as pagerank
     result = (
         vertices.select("id")
         .join(comp, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        .localCheckpoint(eager=True)
     )
+    if prev_cached is not None:
+        prev_cached.unpersist()
     pairs.unpersist()
     return result
 

@@ -9,8 +9,11 @@ introduce a second association order to match).
 
 Execution shape mirrors pagerank.py: edges hash-partitioned + persisted
 once; per iteration two join+agg passes (auth from hubs, hubs from auth)
-and ONE driver action for the normalizing sums + L1 delta; lineage
-truncated every 2 iterations.
+and ONE driver action collecting the normalizing sums AND the L1 delta of
+the *previous* transition (the scores frame carries last iteration's
+values as extra columns, so the delta needs no second pass — convergence
+is checked one iteration late, costing at most one extra iteration but
+halving driver barriers); lineage truncated every 2 iterations.
 """
 
 from __future__ import annotations
@@ -60,8 +63,15 @@ def hits(
         )
         return HitsResult(empty, 0, 0.0)
 
+    # scores carries (hub, authority) for iteration k-1 AND (p_hub, p_auth)
+    # for k-2, so the per-iteration stats aggregate can compute the k-2→k-1
+    # L1 delta without a second driver action.
     scores = verts.select(
-        "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("authority")
+        "id",
+        F.lit(1.0 / n).alias("hub"),
+        F.lit(1.0 / n).alias("authority"),
+        F.lit(1.0 / n).alias("p_hub"),
+        F.lit(1.0 / n).alias("p_auth"),
     ).localCheckpoint(eager=True)
 
     history: list[dict] = []
@@ -102,6 +112,8 @@ def hits(
                     "id",
                     F.col("hub").alias("old_hub"),
                     F.col("authority").alias("old_auth"),
+                    "p_hub",
+                    "p_auth",
                 ).hint("shuffle_hash"),
                 "id",
             )
@@ -111,39 +123,47 @@ def hits(
                 F.coalesce("hub_raw", F.lit(0.0)).alias("hub_raw"),
                 "old_hub",
                 "old_auth",
+                "p_hub",
+                "p_auth",
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        sums = joined.agg(
-            F.sum("auth_raw").alias("sa"), F.sum("hub_raw").alias("sh")
+        # THE one driver action: normalizing sums for iteration k plus the
+        # L1 delta of the k-2 → k-1 transition (both score generations ride
+        # along in the scores frame, so no second pass is needed).
+        stats = joined.agg(
+            F.sum("auth_raw").alias("sa"),
+            F.sum("hub_raw").alias("sh"),
+            F.sum(
+                F.abs(F.col("old_hub") - F.col("p_hub"))
+                + F.abs(F.col("old_auth") - F.col("p_auth"))
+            ).alias("dprev"),
         ).collect()[0]
-        sa = sums["sa"] or 1.0
-        sh = sums["sh"] or 1.0
-        new_scores = joined.select(
+        sa = stats["sa"] or 1.0
+        sh = stats["sh"] or 1.0
+        if it >= 2:  # it==1's dprev compares the duplicated init vector (0.0)
+            delta = stats["dprev"] or 0.0
+        scores = joined.select(
             "id",
             (F.col("hub_raw") / F.lit(sh)).alias("hub"),
             (F.col("auth_raw") / F.lit(sa)).alias("authority"),
-            "old_hub",
-            "old_auth",
+            F.col("old_hub").alias("p_hub"),
+            F.col("old_auth").alias("p_auth"),
         )
-        stats = new_scores.agg(
-            F.sum(
-                F.abs(F.col("hub") - F.col("old_hub"))
-                + F.abs(F.col("authority") - F.col("old_auth"))
-            ).alias("delta")
-        ).collect()[0]
-        delta = stats["delta"] or 0.0
-        scores = new_scores.select("id", "hub", "authority")
         if it % 2 == 0:
             scores = scores.localCheckpoint(eager=False)
         if prev_cached is not None:
             prev_cached.unpersist()
         prev_cached = joined
         history.append(
-            {"iteration": it, "l1_delta": float(delta), "seconds": time.time() - t0}
+            {
+                "iteration": it,
+                "l1_delta_prev": float(stats["dprev"] or 0.0),
+                "seconds": time.time() - t0,
+            }
         )
 
-    scores = scores.localCheckpoint(eager=True)
+    scores = scores.select("id", "hub", "authority").localCheckpoint(eager=True)
     if prev_cached is not None:
         prev_cached.unpersist()
     e.unpersist()

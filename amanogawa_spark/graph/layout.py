@@ -48,7 +48,13 @@ def write_bucketed_edges(
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    stale = os.path.join(warehouse, table.split(".")[-1].lower())
+    # db-qualified tables live under <warehouse>/<db>.db/<table>; only the
+    # default database's tables sit directly under the warehouse root
+    parts = [p.lower() for p in table.split(".")]
+    if len(parts) >= 2 and parts[-2] != "default":
+        stale = os.path.join(warehouse, f"{parts[-2]}.db", parts[-1])
+    else:
+        stale = os.path.join(warehouse, parts[-1])
     if os.path.isdir(stale):
         shutil.rmtree(stale, ignore_errors=True)
     (

@@ -33,14 +33,20 @@ def exact_duplicates(
     are unique. One hash shuffle on a 128-bit fingerprint (two independently
     seeded xxhash64 halves): a single 64-bit key has expected birthday
     collisions ~N²/2^65 — tens of thousands of silently-dropped distinct
-    docs at 10^12 scale; at 128 bits the expectation is ~1e-15.
+    docs at 10^12 scale; two independent halves push that to ~N²/2^129.
+
+    The salt literal must come FIRST: Spark's multi-arg xxhash64 chains
+    arguments with the running hash as seed, so ``xxhash64(lit(i), norm)``
+    hashes the text under a distinct per-salt seed chain. With the salt
+    last, both halves would be pure functions of the single 64-bit
+    ``H(norm)`` and a collision there would collide both halves at once.
     """
     norm = normalized_text(text_col)
     keyed = df.select(
         F.col(id_col),
         F.struct(
-            F.xxhash64(norm, F.lit(1)).alias("h1"),
-            F.xxhash64(norm, F.lit(2)).alias("h2"),
+            F.xxhash64(F.lit(1), norm).alias("h1"),
+            F.xxhash64(F.lit(2), norm).alias("h2"),
         ).alias("dup_key"),
     )
     return keyed.groupBy("dup_key").agg(

@@ -118,3 +118,29 @@ def test_hits_star_graph(spark):
         assert abs(s[i][0] - 0.25) < 1e-9  # equal hubs
         assert abs(s[i][1]) < 1e-9
     assert res.iterations < 20  # converges immediately on a star
+
+
+def test_hits_one_collect_per_iteration(spark, monkeypatch):
+    """Regression for the round-1 finding: each HITS iteration must cost ONE
+    driver collect (normalizing sums + lagged delta folded into a single
+    aggregate), not two."""
+    # pyspark 4: the concrete (non-Connect) DataFrame lives in sql.classic
+    import pyspark.sql.classic.dataframe as dfmod
+
+    from amanogawa_spark.graph.hits import hits_fixed_iterations
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 20) for i in range(40)], "src_id long, dst_id long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(20)], "id long")
+
+    calls = {"n": 0}
+    orig = dfmod.DataFrame.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(dfmod.DataFrame, "collect", counting)
+    hits_fixed_iterations(verts, edges, iterations=3)
+    assert calls["n"] == 3, f"expected 1 collect/iteration (3 total), got {calls['n']}"
