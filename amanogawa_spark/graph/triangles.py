@@ -81,13 +81,18 @@ def triangle_count(edges: DataFrame) -> TriangleResult:
 
 
 def triangle_total_approx(
-    edges: DataFrame, p: float = 0.1, seed: int = 7
+    edges: DataFrame, p: float = 0.1, seed: int = 7, coin: str = "xxhash64"
 ) -> DataFrame:
     """DOULION-style approximate global triangle count (Tsourakakis et al.,
     KDD'09): keep each undirected edge independently with probability ``p``
-    (deterministic coin via xxhash64(src,dst,seed) — reproducible across
-    partitionings), count triangles exactly on the sparsified graph, scale
-    by 1/p^3. Unbiased; relative error ~ 1/sqrt(p^3 * T).
+    (deterministic per-edge coin — reproducible across partitionings),
+    count triangles exactly on the sparsified graph, scale by 1/p^3.
+    Unbiased; relative error ~ 1/sqrt(p^3 * T).
+
+    ``coin``: 'xxhash64' (default, cheapest — JVM codegen) or 'md5' (32
+    uniform bits from the first 8 hex chars of md5("a~b") — engine-portable,
+    so a DuckDB oracle reproduces the sample and therefore the exact
+    estimate; seed is ignored for md5).
 
     This is the web-scale path: the exact wedge join materializes
     O(m^{3/2}) rows through a shuffle — measured to exceed single-box disk
@@ -104,10 +109,26 @@ def triangle_total_approx(
         .distinct()
     )
     threshold = int(p * (1 << 32))
-    kept = und.filter(
-        (F.xxhash64("a", "b", F.lit(seed)).bitwiseAND(F.lit((1 << 32) - 1)))
-        < threshold
-    ).select(F.col("a").alias("src_id"), F.col("b").alias("dst_id"))
+    if coin == "md5":
+        h32 = F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws("~", F.col("a").cast("string"), F.col("b").cast("string")),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h32 = F.xxhash64("a", "b", F.lit(seed)).bitwiseAND(F.lit((1 << 32) - 1))
+    kept = und.filter(h32 < threshold).select(
+        F.col("a").alias("src_id"), F.col("b").alias("dst_id")
+    )
     exact = triangle_total(kept)
     return exact.select(
         (F.col("n_triangles") / F.lit(p**3)).alias("n_triangles_est"),

@@ -584,15 +584,25 @@ def q_knn_edges(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_pagerank_converged(spark, sf_dir):
+    """PageRank iterated to L1 tol 1e-10 (the convergence-driven path).
+
+    Value-checked against a 130-iteration unrolled-CTE oracle: at tol
+    1e-10 the remaining distance to the fixpoint is <= tol/(1-d) ~ 6.7e-10
+    L1 and the oracle's is ~1e-12, so rounding both to 6 decimals agrees
+    everywhere except a ~0.1% chance of a vertex sitting within 7e-10 of a
+    rounding boundary — a tolerance-band oracle in the sense of VERDICT r1.
+    """
     v = derived_vertices(spark, sf_dir)
     e = derived_edges(spark, sf_dir)
     from amanogawa_spark.graph.pagerank import pagerank
 
-    res = pagerank(v, e, tol=1e-6, max_iter=60)
-    return res.ranks.select("id", F.round("rank", 8).alias("pr_value"))
+    res = pagerank(v, e, tol=1e-10, max_iter=200)
+    return res.ranks.select("id", F.round("rank", 6).alias("pr_value"))
 
 
 def q_cc_star(spark, sf_dir):
+    """Small-star/large-star CC — value-checked against a DuckDB recursive
+    reachability CTE (component = min vertex id reachable)."""
     from amanogawa_spark.graph.components import connected_components
 
     v = derived_vertices(spark, sf_dir)
@@ -615,6 +625,9 @@ def q_simhash_bands(spark, sf_dir):
 
 
 def q_knn_graph_exact(spark, sf_dir):
+    """Exact kNN edge graph (cosine_topk_brute path: unit-normalize then
+    dot) — value-checked; the oracle mirrors the normalize-first
+    association order so ranking doubles are bit-identical."""
     from amanogawa_spark.operators.similarity import knn_graph
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
@@ -632,12 +645,14 @@ def q_knn_nndescent(spark, sf_dir):
 
 
 def q_triangle_approx(spark, sf_dir):
-    """DOULION approximate triangle count (rows-only: xxhash64 edge coin is
-    Spark-specific; the estimator is validated vs the exact count in
-    tests/test_components_lpa_triangles.py)."""
+    """DOULION approximate triangle count with the engine-portable md5 edge
+    coin (32 uniform bits from md5("a~b")) — the DuckDB oracle draws the
+    identical sample, so the exact count on the sparsified graph and hence
+    the estimate match exactly. The xxhash64 coin remains the production
+    default (cheaper); unbiasedness is separately pytest-validated."""
     from amanogawa_spark.graph.triangles import triangle_total_approx
 
-    return triangle_total_approx(derived_edges(spark, sf_dir), p=0.5)
+    return triangle_total_approx(derived_edges(spark, sf_dir), p=0.5, coin="md5")
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -702,31 +717,96 @@ QUERIES = {
 }
 
 
-def _pagerank5_sql() -> str:
-    parts = [f"WITH {_EDGES_SQL.strip()}", _VERTS_SQL.strip()]
-    parts.append("nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)")
+def _pagerank_sql(iters: int, round_to: int = 8) -> str:
+    # every CTE is MATERIALIZED: r{k} is referenced twice per iteration, and
+    # DuckDB's inlining would otherwise expand the plan ~2x per iteration
+    # (exponential planning past ~20 iters; the deep unroll also re-opens
+    # the lineitem parquet per inlined `edges` reference until EMFILE)
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
+    ]
+    parts.append("nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)")
     parts.append(
-        "outdeg AS (SELECT src_id AS id, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY src_id)"
+        "outdeg AS MATERIALIZED (SELECT src_id AS id, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY src_id)"
     )
-    parts.append("r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS pr FROM verts)")
-    for k in range(1, 6):
+    parts.append(
+        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS pr FROM verts)"
+    )
+    for k in range(1, iters + 1):
         p, c = k - 1, k
         parts.append(
-            f"d{c} AS (SELECT COALESCE(SUM(r.pr), 0.0) AS dm FROM r{p} r "
+            f"d{c} AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS dm FROM r{p} r "
             f"LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL)"
         )
         parts.append(
-            f"c{c} AS (SELECT e.dst_id AS id, SUM(r.pr / o.od) AS mass FROM edges e "
+            f"c{c} AS MATERIALIZED (SELECT e.dst_id AS id, SUM(r.pr / o.od) AS mass FROM edges e "
             f"JOIN r{p} r ON e.src_id = r.id JOIN outdeg o ON e.src_id = o.id "
             f"GROUP BY e.dst_id)"
         )
         parts.append(
-            f"r{c} AS (SELECT v.id, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.mass, 0.0) "
+            f"r{c} AS MATERIALIZED (SELECT v.id, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.mass, 0.0) "
             f"+ (SELECT dm FROM d{c})/(SELECT n FROM nn)) AS pr FROM verts v "
             f"LEFT JOIN c{c} c ON v.id = c.id)"
         )
     body = parts[0] + ",\n" + ",\n".join(parts[1:])
-    return body + "\nSELECT id, ROUND(CAST(pr AS DOUBLE), 8) AS pr_value FROM r5"
+    return (
+        body
+        + f"\nSELECT id, ROUND(CAST(pr AS DOUBLE), {round_to}) AS pr_value FROM r{iters}"
+    )
+
+
+def _cc_star_sql() -> str:
+    """Fixpoint components via recursive reachability: every vertex's
+    component is the minimum id among all vertices it can reach over the
+    symmetrized edge set (UNION dedups the frontier, so this terminates)."""
+    return f"""
+WITH RECURSIVE {_EDGES_SQL.strip()},
+{_VERTS_SQL.strip()},
+sym AS (SELECT src_id AS u, dst_id AS v FROM edges
+        UNION SELECT dst_id AS u, src_id AS v FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.u AS id, r.lab FROM sym s JOIN reach r ON s.v = r.id
+)
+SELECT id, MIN(lab) AS component FROM reach GROUP BY id"""
+
+
+def _doulion_md5_sql(p: float = 0.5) -> str:
+    """DOULION with the md5 edge coin: identical sample to the Spark side,
+    exact triangle count on the sample, scaled by 1/p^3."""
+    threshold = int(p * (1 << 32))
+    return (
+        f"WITH {_EDGES_SQL.strip()}, "
+        "und0 AS (SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b FROM edges), "
+        "und AS (SELECT a AS src_id, b AS dst_id FROM und0 "
+        f"WHERE ('0x' || substr(md5(a::VARCHAR || '~' || b::VARCHAR), 1, 8))::BIGINT < {threshold}), "
+        "u2 AS (SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b FROM und), "
+        "deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM u2 UNION ALL SELECT b AS id FROM u2) GROUP BY id), "
+        "ori AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u, "
+        "CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v "
+        "FROM u2 u JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id), "
+        "wed AS (SELECT e1.v AS x, e2.v AS y FROM ori e1 JOIN ori e2 ON e1.u = e2.u WHERE e1.v < e2.v), "
+        "clo AS (SELECT u AS x, v AS y FROM ori UNION SELECT v AS x, u AS y FROM ori) "
+        f"SELECT CAST(COUNT(*) / {p**3!r} AS DOUBLE) AS n_triangles_est, "
+        f"CAST({p!r} AS DOUBLE) AS p FROM wed JOIN clo USING (x, y)"
+    )
+
+
+def _knn_graph_exact_sql(max_id: int = 120, k: int = 3) -> str:
+    """Mirrors cosine_topk_brute's association order: unit-normalize each
+    vector first, then a plain dot — rank doubles match bit-for-bit."""
+    return (
+        f"WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id < {max_id}), "
+        "u AS (SELECT id, list_transform(ve, x -> x / sqrt(list_inner_product(ve, ve))) AS uv FROM v), "
+        "sims AS (SELECT a.id AS query_id, b.id AS neighbor_id, "
+        "list_inner_product(a.uv, b.uv) AS cosine FROM u a JOIN u b ON a.id <> b.id), "
+        "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM sims) "
+        "SELECT DISTINCT LEAST(query_id, neighbor_id) AS src_id, "
+        f"GREATEST(query_id, neighbor_id) AS dst_id FROM ranked WHERE rn <= {k}"
+    )
 
 
 def _cc_minlabel_sql(rounds: int = 8) -> str:
@@ -870,7 +950,11 @@ ORACLE_SQL = {
         "SELECT COALESCE(o.id, i.id) AS id, COALESCE(out_degree, 0) AS out_degree, "
         "COALESCE(in_degree, 0) AS in_degree FROM o FULL OUTER JOIN i ON o.id = i.id"
     ),
-    "q_pagerank5": _pagerank5_sql(),
+    "q_pagerank5": _pagerank_sql(5),
+    "q_pagerank_converged": _pagerank_sql(130, round_to=6),
+    "q_cc_star": _cc_star_sql(),
+    "q_triangle_approx": _doulion_md5_sql(0.5),
+    "q_knn_graph_exact": _knn_graph_exact_sql(120, 3),
     "q_ppr4": _ppr_sql(4),
     "q_kcore45": _kcore_sql(45, 6),
     "q_hits3": _hits_sql(3),
