@@ -105,25 +105,36 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _perm_hash(s: Column, i: int, hash: str) -> Column:
+    """Per-permutation shingle hash. 'xxhash64' (production: cheapest, JVM
+    codegen) or 'md5' (engine-portable: lowercase hex strings order
+    lexicographically == numerically at fixed length, so MIN over them is a
+    valid minhash AND a DuckDB oracle computes the identical signature)."""
+    if hash == "md5":
+        return F.md5(F.encode(F.concat(F.lit(f"{i}:"), s), "UTF-8"))
+    return F.xxhash64(s, F.lit(i))
+
+
 def minhash_signature_table(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig array<long>) — the scalable minhash formulation.
+    """(id, sig array<long|string>) — the scalable minhash formulation.
 
     Shingles are exploded once, each hashed ``num_hashes`` times with flat
-    ``xxhash64(s, i)`` calls (whole-stage codegen), and the per-permutation
-    minima come from ONE hash aggregate with map-side partial combine — the
-    shuffle carries only num_hashes longs per doc per map partition.
-    Identical values to :func:`minhash_signature`.
+    hash calls (whole-stage codegen), and the per-permutation minima come
+    from ONE hash aggregate with map-side partial combine — the shuffle
+    carries only num_hashes values per doc per map partition. Identical
+    values to :func:`minhash_signature` (for hash='xxhash64').
     """
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
     sh = base.select("id", F.explode(shingles("t", shingle_n)).alias("s"))
     sig = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(_perm_hash(F.col("s"), i, hash)).alias(f"h{i}") for i in range(num_hashes)]
     )
     return sig.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -137,6 +148,7 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) — docs sharing >= 1 band bucket."""
     if num_hashes % bands != 0:
@@ -145,24 +157,26 @@ def minhash_candidates(
             "trailing hashes would be silently excluded from banding"
         )
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_table(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signature_table(df, id_col, text_col, num_hashes, shingle_n, hash)
+
+    def _bucket(b: int) -> Column:
+        joined = F.array_join(
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+        if hash == "md5":
+            return F.md5(F.encode(joined, "UTF-8"))
+        return F.xxhash64(joined)
+
     banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -212,10 +226,11 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → Jaccard verify → drop the
     higher id of each verified pair (union-find-free greedy for pairs)."""
-    cand = minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    cand = minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n, hash)
     dups = jaccard_verify(cand, df, id_col, text_col, shingle_n, threshold)
     drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
@@ -251,12 +266,18 @@ def simhash(col: Column | str, text_normalize: bool = True) -> Column:
 
 
 def simhash_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", hash: str = "xxhash64"
 ) -> DataFrame:
     """(id, sh long) — scalable SimHash: explode tokens once, one hash per
-    token, 64 signed-bit sums in ONE map-side-combined aggregate. Identical
+    token, signed-bit sums in ONE map-side-combined aggregate. Identical
     values to the :func:`simhash` column form (which re-evaluates the token
-    expression 64x, interpreted)."""
+    expression 64x, interpreted) for hash='xxhash64'.
+
+    hash='md5' uses a 60-bit token hash (first 15 hex chars parsed base-16
+    — fits a signed BIGINT identically in Spark and DuckDB, so the sketch
+    is oracle-checkable); 'xxhash64' keeps the full 64 bits.
+    """
+    n_bits = 60 if hash == "md5" else 64
     base = _spread(
         df.select(F.col(id_col).alias("id"), normalized_text(text_col).alias("t"))
     )
@@ -264,20 +285,26 @@ def simhash_table(
     # the document). The hash must stay NULL for the NULL token — xxhash64
     # of NULL returns the seed, not NULL — so that every vote condition is
     # NULL → -1 votes → all bits 0 → sh=0, matching the column form.
+    if hash == "md5":
+        tok_hash = F.conv(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    else:
+        tok_hash = F.xxhash64("tok")
     toks = base.select("id", F.explode_outer(F.split("t", " ")).alias("tok")).select(
         "id",
-        F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"),
+        F.when(F.col("tok").isNotNull(), tok_hash).alias("h"),
     )
     votes = toks.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     out = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         out = out.bitwiseOR(
             F.when(
                 F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
@@ -286,9 +313,15 @@ def simhash_table(
     return votes.select("id", out.alias("sh"))
 
 
-def simhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, band, band_value) — docs sharing any 16-bit band are candidates."""
-    withsh = simhash_table(df, id_col, text_col)
+def simhash_bands(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", hash: str = "xxhash64"
+) -> DataFrame:
+    """(id, band, band_value) — docs sharing any band are candidates.
+
+    4 bands of 16 bits (xxhash64) or 15 bits (md5's 60-bit sketch)."""
+    band_bits = 15 if hash == "md5" else 16
+    mask = (1 << band_bits) - 1
+    withsh = simhash_table(df, id_col, text_col, hash)
     return withsh.select(
         "id",
         F.explode(
@@ -296,7 +329,9 @@ def simhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("sh", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_value"),
+                        F.shiftright("sh", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_value"),
                     )
                     for b in range(4)
                 ]

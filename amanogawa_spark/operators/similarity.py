@@ -113,6 +113,51 @@ def lsh_bucket_keys(
     return F.array(*entries)
 
 
+def md5_hyperplanes(n_tables: int, n_planes: int, dim: int) -> list[list[list[float]]]:
+    """Deterministic ±1 hyperplanes from md5 parity — engine-portable.
+
+    planes[t][p][j] = +1.0 iff the low bit of md5("t_p_j") is even. Computed
+    driver-side with hashlib and embedded as LITERALS in both the Spark plan
+    and the DuckDB oracle SQL, so bucket keys agree bit-for-bit (the hash
+    only needs determinism, not in-engine evaluation). ±1 components give
+    the same random-projection guarantee as gaussian planes for sign-LSH
+    (Charikar, STOC'02 — simhash rounding).
+    """
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"{t}_{p}_{j}".encode()).hexdigest(), 16) & 1 == 0
+                else -1.0
+                for j in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _literal_plane_buckets(
+    u: Column, planes: list[list[list[float]]]
+) -> Column:
+    """array<struct<table int, bucket string>> — sign-bit string per table
+    from literal plane vectors (left-fold dot matches DuckDB's
+    list_inner_product association order)."""
+    entries = []
+    for t, table_planes in enumerate(planes):
+        bits = []
+        for plane in table_planes:
+            lit_plane = F.array(*[F.lit(x) for x in plane])
+            d = _dot(u, lit_plane)
+            bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+        entries.append(
+            F.struct(F.lit(t).alias("table"), F.concat(*bits).alias("bucket"))
+        )
+    return F.array(*entries)
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -121,17 +166,28 @@ def cosine_topk_lsh(
     dim: int | None = None,
     n_tables: int = 4,
     n_planes: int = 8,
+    planes: list[list[list[float]]] | None = None,
 ) -> DataFrame:
-    """Approximate top-k: bucket-local candidate join + exact rerank."""
-    if dim is None:
+    """Approximate top-k: bucket-local candidate join + exact rerank.
+
+    ``planes``: optional explicit ±1 hyperplane literals (see
+    :func:`md5_hyperplanes`) — the oracle-checkable path. Default: seeded
+    xxhash64 bit expansion, no driver-side state.
+    """
+    if planes is None and dim is None:
         dim = len(df.select(vec_col).first()[0])
     unit = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).select("id", F.transform("v", lambda x: x / _norm(F.col("v"))).alias("u"))
-    bucketed = unit.select(
-        "id", "u", F.explode(lsh_bucket_keys(F.col("u"), dim, n_tables, n_planes)).alias("bk")
-    ).select("id", "u", "bk.table", "bk.bucket")
+    keys = (
+        _literal_plane_buckets(F.col("u"), planes)
+        if planes is not None
+        else lsh_bucket_keys(F.col("u"), dim, n_tables, n_planes)
+    )
+    bucketed = unit.select("id", "u", F.explode(keys).alias("bk")).select(
+        "id", "u", "bk.table", "bk.bucket"
+    )
     a = bucketed.select(F.col("id").alias("query_id"), F.col("u").alias("ua"), "table", "bucket")
     b = bucketed.select(F.col("id").alias("neighbor_id"), F.col("u").alias("ub"), "table", "bucket")
     cand = (

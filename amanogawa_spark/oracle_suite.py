@@ -611,17 +611,23 @@ def q_cc_star(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup survivors, md5 permutation hashes — the DuckDB
+    oracle computes the identical signatures (fixed-length lowercase hex
+    strings order lexicographically == numerically, so MIN is a valid
+    minhash in both engines). Production default stays xxhash64."""
     from amanogawa_spark.operators.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, threshold=0.8).select("doc_id")
+    return minhash_dedup(docs, threshold=0.8, hash="md5").select("doc_id")
 
 
 def q_simhash_bands(spark, sf_dir):
+    """SimHash band table, md5 60-bit token hashes (first 15 hex chars as
+    BIGINT — identical parse in Spark conv() and DuckDB '0x'::BIGINT)."""
     from amanogawa_spark.operators.dedup import simhash_bands
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_bands(docs)
+    return simhash_bands(docs, hash="md5")
 
 
 def q_knn_graph_exact(spark, sf_dir):
@@ -656,11 +662,15 @@ def q_triangle_approx(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    from amanogawa_spark.operators.similarity import cosine_topk_lsh
+    """Sign-LSH ANN with md5-derived ±1 hyperplanes embedded as literals in
+    BOTH engines' plans — bucket keys and rerank doubles agree
+    bit-for-bit, so the full approximate result is value-checked."""
+    from amanogawa_spark.operators.similarity import cosine_topk_lsh, md5_hyperplanes
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return cosine_topk_lsh(emb, k=3, n_tables=6, n_planes=6).select(
-        "query_id", "neighbor_id"
+    planes = md5_hyperplanes(n_tables=6, n_planes=6, dim=64)
+    return cosine_topk_lsh(emb, k=3, planes=planes).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r")
     )
 
 
@@ -809,6 +819,96 @@ def _knn_graph_exact_sql(max_id: int = 120, k: int = 3) -> str:
     )
 
 
+def _minhash_md5_sql(
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3, threshold: float = 0.8
+) -> str:
+    """Mirror of minhash_dedup(hash='md5'): identical shingling, per-perm
+    MIN(md5('i:'||s)) signatures, md5 band buckets, Jaccard verify, drop
+    the higher id of each verified pair."""
+    n = shingle_n
+    rpb = num_hashes // bands
+    mins = ", ".join(f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(num_hashes))
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5("
+        + " || ',' || ".join(f"h{b * rpb + j}" for j in range(rpb))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents),
+tk AS (SELECT id, string_split(norm, ' ') AS toks FROM base),
+shl AS MATERIALIZED (SELECT id, CASE WHEN len(toks) >= {n}
+  THEN list_distinct(list_transform(range(0, len(toks) - {n - 1}),
+       i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' ')))
+  ELSE [array_to_string(toks, ' ')] END AS sh FROM tk),
+ex AS (SELECT id, unnest(sh) AS s FROM shl),
+sig AS MATERIALIZED (SELECT id, {mins} FROM ex GROUP BY id),
+banded AS MATERIALIZED ({band_selects}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+ver AS (SELECT c.id_a, c.id_b,
+  len(list_intersect(x.sh, y.sh)) * 1.0 /
+  CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+       THEN len(list_distinct(list_concat(x.sh, y.sh))) ELSE 1 END AS j
+  FROM cand c JOIN shl x ON c.id_a = x.id JOIN shl y ON c.id_b = y.id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver WHERE j >= {threshold})"""
+
+
+def _simhash_md5_sql(max_id: int = 200) -> str:
+    """Mirror of simhash_bands(hash='md5'): 60-bit md5 token hashes, signed
+    bit votes in one aggregate, 4 x 15-bit bands."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sh_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, (sh >> {b * 15}) & 32767 AS band_value FROM shs"
+        for b in range(4)
+    )
+    return f"""
+WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents WHERE doc_id < {max_id}),
+t AS (SELECT id, unnest(string_split(norm, ' ')) AS tok FROM base),
+hs AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t),
+votes AS MATERIALIZED (SELECT id, {votes} FROM hs GROUP BY id),
+shs AS MATERIALIZED (SELECT id, CAST({sh_expr} AS BIGINT) AS sh FROM votes)
+SELECT id, band, band_value FROM ({band_selects})"""
+
+
+def _ann_lsh_md5_sql(
+    max_id: int = 200, k: int = 3, n_tables: int = 6, n_planes: int = 6, dim: int = 64
+) -> str:
+    """Mirror of cosine_topk_lsh(planes=md5_hyperplanes(...)): the SAME ±1
+    literal plane vectors are embedded here, so sign buckets and rerank
+    cosines are computed identically (normalize-first fold order)."""
+    from amanogawa_spark.operators.similarity import md5_hyperplanes
+
+    planes = md5_hyperplanes(n_tables, n_planes, dim)
+    per_table = []
+    for t in range(n_tables):
+        bits = " || ".join(
+            f"(CASE WHEN list_inner_product(uv, {planes[t][p]}) >= 0 THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+        per_table.append(f"SELECT id, {t} AS tbl, {bits} AS bucket FROM u")
+    bucketed = " UNION ALL ".join(per_table)
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id < {max_id}),
+u AS MATERIALIZED (SELECT id, list_transform(ve, x -> x / sqrt(list_inner_product(ve, ve))) AS uv FROM v),
+bucketed AS MATERIALIZED (SELECT * FROM ({bucketed})),
+cand AS (SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id FROM bucketed a
+  JOIN bucketed b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id),
+sims AS (SELECT c.query_id, c.neighbor_id, list_inner_product(x.uv, y.uv) AS cosine
+  FROM cand c JOIN u x ON c.query_id = x.id JOIN u y ON c.neighbor_id = y.id),
+ranked AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER
+  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM sims)
+SELECT query_id, neighbor_id, ROUND(CAST(cosine AS DOUBLE), 6) AS cosine_r
+FROM ranked WHERE rn <= {k}"""
+
+
 def _cc_minlabel_sql(rounds: int = 8) -> str:
     parts = [f"WITH {_EDGES_SQL.strip()}", _VERTS_SQL.strip()]
     parts.append(
@@ -955,6 +1055,9 @@ ORACLE_SQL = {
     "q_cc_star": _cc_star_sql(),
     "q_triangle_approx": _doulion_md5_sql(0.5),
     "q_knn_graph_exact": _knn_graph_exact_sql(120, 3),
+    "q_minhash_dedup": _minhash_md5_sql(64, 16, 3, 0.8),
+    "q_simhash_bands": _simhash_md5_sql(200),
+    "q_ann_lsh": _ann_lsh_md5_sql(200, 3, 6, 6, 64),
     "q_ppr4": _ppr_sql(4),
     "q_kcore45": _kcore_sql(45, 6),
     "q_hits3": _hits_sql(3),
