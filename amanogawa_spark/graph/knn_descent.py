@@ -48,7 +48,12 @@ def nn_descent(
     delta: float = 0.001,
     max_epochs: int = 10,
     seed: int = 0,
+    init_hash: str = "xxhash64",
 ) -> NNDescentResult:
+    """``init_hash``: 'xxhash64' (production default) or 'md5' — the
+    engine-portable random init. At rho=1.0 every neighbor is sampled each
+    epoch, so the per-epoch hash ORDER becomes a no-op and md5 init makes
+    the whole program reproducible in a DuckDB unrolled-CTE oracle."""
     spark = df.sparkSession
 
     # unit-normalized vectors so pair similarity is a pure dot
@@ -81,6 +86,25 @@ def nn_descent(
     idx = dense_rank_ids(unit.select("id"), "id", out_col="ord")
 
     # init: K pseudo-random distinct neighbors per id (h:148-196)
+    if init_hash == "md5":
+        init_h = F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            "_", F.col("id").cast("string"), F.col("t").cast("string")
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        init_h = F.xxhash64("id", "t", F.lit(seed))
     cand_init = (
         idx.select("id", "ord")
         .select(
@@ -90,7 +114,7 @@ def nn_descent(
         )
         .select(
             "id",
-            ((F.xxhash64("id", "t", F.lit(seed)) % n + n) % n).alias("nbr_ord"),
+            ((init_h % n + n) % n).alias("nbr_ord"),
         )
     )
     init = (

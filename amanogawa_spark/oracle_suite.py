@@ -642,12 +642,18 @@ def q_knn_graph_exact(spark, sf_dir):
 
 def q_knn_nndescent(spark, sf_dir):
     """NN-Descent approximate kNN edge graph (reference to_graph approx mode,
-    nndescent.h parity) — iterative/seeded, rows-only check; recall vs the
-    exact graph is asserted in tests/test_knn_descent.py."""
+    nndescent.h parity) — VALUE-checked: at rho=1.0 every neighbor is
+    sampled each epoch (the per-epoch hash order becomes a no-op), and with
+    the md5 random init the whole 3-epoch program is deterministic and
+    engine-portable, so a DuckDB unrolled-CTE oracle reproduces it exactly.
+    Production defaults (rho=0.5, xxhash64) keep their recall/convergence
+    pytest checks in tests/test_knn_descent.py."""
     from amanogawa_spark.graph.knn_descent import nn_descent_knn_graph
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    return nn_descent_knn_graph(emb, k=3, max_epochs=4)
+    return nn_descent_knn_graph(
+        emb, k=3, rho=1.0, delta=-1.0, max_epochs=3, init_hash="md5"
+    )
 
 
 def q_triangle_approx(spark, sf_dir):
@@ -909,6 +915,60 @@ SELECT query_id, neighbor_id, ROUND(CAST(cosine AS DOUBLE), 6) AS cosine_r
 FROM ranked WHERE rn <= {k}"""
 
 
+def _nndescent_md5_sql(max_id: int = 150, k: int = 3, epochs: int = 3) -> str:
+    """Mirror of nn_descent(rho=1.0, init_hash='md5', max_epochs=E):
+    md5 random init over dense ordinals, then E epochs of
+    (symmetrize -> neighbors-of-neighbors local join -> rescore -> top-k
+    merge). rho=1.0 means the sample IS the whole list, so no per-epoch
+    hash ordering enters the result."""
+
+    def topk(src: str) -> str:
+        return (
+            f"SELECT id, nbr, sim FROM (SELECT id, nbr, sim, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY sim DESC, nbr ASC) AS rn FROM {src}) WHERE rn <= {k}"
+        )
+
+    parts = [
+        f"WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id < {max_id})",
+        "u AS MATERIALIZED (SELECT id, list_transform(ve, x -> x / sqrt(list_inner_product(ve, ve))) AS uv FROM v)",
+        "idx AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS ord FROM u)",
+        "nn AS (SELECT COUNT(*) AS n FROM u)",
+        f"ci AS (SELECT i.id, ('0x' || substr(md5(i.id::VARCHAR || '_' || t.t::VARCHAR), 1, 15))::BIGINT "
+        f"% (SELECT n FROM nn) AS nbr_ord FROM idx i CROSS JOIN (SELECT unnest(range(0, {k + 2})) AS t) t)",
+        "init AS (SELECT DISTINCT ci.id, x.id AS nbr FROM ci JOIN idx x ON ci.nbr_ord = x.ord WHERE ci.id <> x.id)",
+        "s0 AS (SELECT init.id, init.nbr, list_inner_product(a.uv, b.uv) AS sim "
+        "FROM init JOIN u a ON init.id = a.id JOIN u b ON init.nbr = b.id)",
+        f"b0 AS MATERIALIZED ({topk('s0')})",
+    ]
+    for e in range(1, epochs + 1):
+        p = e - 1
+        parts.append(
+            f"cand{e} AS (SELECT id, nbr FROM b{p} UNION SELECT nbr AS id, id AS nbr FROM b{p})"
+        )
+        parts.append(
+            f"pairs{e} AS (SELECT DISTINCT a.nbr AS id, b.nbr AS nbr FROM cand{e} a "
+            f"JOIN cand{e} b ON a.id = b.id WHERE a.nbr < b.nbr)"
+        )
+        parts.append(
+            f"sims{e} AS (SELECT p.id, p.nbr, list_inner_product(x.uv, y.uv) AS sim "
+            f"FROM pairs{e} p JOIN u x ON p.id = x.id JOIN u y ON p.nbr = y.id)"
+        )
+        parts.append(
+            f"all{e} AS (SELECT id, nbr, sim FROM b{p} "
+            f"UNION ALL SELECT id, nbr, sim FROM sims{e} "
+            f"UNION ALL SELECT nbr AS id, id AS nbr, sim FROM sims{e})"
+        )
+        parts.append(
+            f"ded{e} AS (SELECT id, nbr, MAX(sim) AS sim FROM all{e} GROUP BY id, nbr)"
+        )
+        parts.append(f"b{e} AS MATERIALIZED ({topk(f'ded{e}')})")
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"\nSELECT DISTINCT LEAST(id, nbr) AS src_id, GREATEST(id, nbr) AS dst_id FROM b{epochs}"
+    )
+
+
 def _cc_minlabel_sql(rounds: int = 8) -> str:
     parts = [f"WITH {_EDGES_SQL.strip()}", _VERTS_SQL.strip()]
     parts.append(
@@ -1058,6 +1118,7 @@ ORACLE_SQL = {
     "q_minhash_dedup": _minhash_md5_sql(64, 16, 3, 0.8),
     "q_simhash_bands": _simhash_md5_sql(200),
     "q_ann_lsh": _ann_lsh_md5_sql(200, 3, 6, 6, 64),
+    "q_knn_nndescent": _nndescent_md5_sql(150, 3, 3),
     "q_ppr4": _ppr_sql(4),
     "q_kcore45": _kcore_sql(45, 6),
     "q_hits3": _hits_sql(3),
