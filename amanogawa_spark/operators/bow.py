@@ -22,13 +22,42 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# Unicode-script run segmentation (Java regex; Spark-side). The reference's
+# bow mode is MeCab `-Owakati` (measure.h:82-88; its README demo corpus is
+# Japanese, README.md:82-114) — a dictionary segmenter we can't (and
+# shouldn't) ship. Deterministic stand-in with the same non-degeneracy
+# property on CJK text: Han chars become unigram tokens (the dictionary-less
+# baseline for Han), Hiragana / Katakana(+ー) runs and latin/digit runs
+# become one token each. Pure Catalyst regexp — JVM codegen, no Python in
+# the hot path, and RE2-mirrorable for the DuckDB oracle
+# (\p{IsHan} in Java == \p{Han} in RE2).
+WAKATI_PATTERN_JAVA = r"\p{IsHan}|[\p{IsHiragana}]+|[\p{IsKatakana}ー]+|[a-z0-9]+"
+WAKATI_PATTERN_RE2 = r"\p{Han}|[\p{Hiragana}]+|[\p{Katakana}ー]+|[a-z0-9]+"
+
+
+def wakati_tokens(col) -> "F.Column":
+    """array<string> of script-run tokens from lowercased text (see
+    WAKATI_PATTERN_JAVA). Whitespace and punctuation never match, so they
+    act as boundaries; Japanese text segments without any dictionary."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(WAKATI_PATTERN_JAVA), 0)
+
+
 def term_counts(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
-    """(id, term, cnt) — whitespace tokenization (wakati stand-in)."""
-    toks = F.explode(
-        F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
-    ).alias("term")
+    """(id, term, cnt). tokenizer: 'whitespace' (reference default corpus
+    behavior for pre-segmented text) or 'wakati' (Unicode-script runs —
+    CJK-capable, see :func:`wakati_tokens`)."""
+    if tokenizer == "wakati":
+        toks = F.explode(wakati_tokens(F.col(text_col))).alias("term")
+    else:
+        toks = F.explode(
+            F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+        ).alias("term")
     return (
         df.select(F.col(id_col).alias("id"), toks)
         .filter(F.length("term") > 0)
@@ -43,6 +72,7 @@ def bow_cosine_topk(
     text_col: str = "text",
     k: int = 3,
     max_df: int | None = None,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine) — exact BoW cosine top-k per doc.
 
@@ -50,7 +80,7 @@ def bow_cosine_topk(
     skew cut: a term in f docs contributes f² join pairs — the df-cut
     bounds the worst posting list, the BoW analogue of hub-vertex salting).
     """
-    tc = term_counts(df, id_col, text_col)
+    tc = term_counts(df, id_col, text_col, tokenizer)
     if max_df is not None:
         rare = (
             tc.groupBy("term").agg(F.count("*").alias("df_"))
@@ -92,10 +122,11 @@ def bow_knn_graph(
     text_col: str = "text",
     k: int = 3,
     max_df: int | None = None,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Undirected deduped (src_id, dst_id) edges from BoW top-k — mirrors the
     reference's min/max-canonicalized edge emission (to_graph.cpp:82-86)."""
-    topk = bow_cosine_topk(df, id_col, text_col, k, max_df)
+    topk = bow_cosine_topk(df, id_col, text_col, k, max_df, tokenizer)
     return (
         topk.select(
             F.least("query_id", "neighbor_id").alias("src_id"),

@@ -569,6 +569,42 @@ def q_bow_topk(spark, sf_dir):
     )
 
 
+# 16 Japanese vocabulary words (Han / Hiragana / Katakana mixes) used to
+# synthesize a deterministic Japanese corpus from `documents` — no external
+# data, and both engines build the identical byte strings.
+_JW = [
+    "天の川", "銀河", "解析", "データ", "処理", "高速", "分散", "クラスタ",
+    "計算", "宇宙", "ページランク", "グラフ", "探索", "重複", "類似", "言語",
+]
+
+
+def q_bow_wakati_topk(spark, sf_dir):
+    """BoW cosine top-3 over a SYNTHESIZED Japanese corpus using the
+    Unicode-script wakati tokenizer (reference bow mode is MeCab -Owakati
+    over Japanese text, measure.h:82-88 / README.md:82-114 — whitespace
+    splitting degenerates there). Each whitespace token of the original doc
+    maps to a Japanese word via an md5-derived index and words concatenate
+    WITHOUT separators, so the tokenizer faces genuinely unsegmented CJK
+    text; the DuckDB oracle mirrors both the synthesis and the RE2
+    segmentation."""
+    from amanogawa_spark.operators.bow import bow_cosine_topk
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    jw_arr = F.array(*[F.lit(w) for w in _JW])
+    toks = F.split(_norm_text_col(), " ")
+    h = lambda t: (
+        F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 8), 16, 10).cast("long") % 16
+    )
+    jtext = F.array_join(
+        F.transform(toks, lambda t: F.element_at(jw_arr, (h(t) + 1).cast("int"))), ""
+    )
+    jdocs = docs.select("doc_id", jtext.alias("text"))
+    out = bow_cosine_topk(jdocs, k=3, tokenizer="wakati")
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
 def q_knn_edges(spark, sf_dir):
     """Undirected canonical kNN edge table (reference to_graph parity,
     raw-cosine formula shared with the SQL oracle)."""
@@ -720,6 +756,7 @@ QUERIES = {
     "q_pivot_qty": q_pivot_qty,
     "q_hourly_event_stats": q_hourly_event_stats,
     "q_bow_topk": q_bow_topk,
+    "q_bow_wakati_topk": q_bow_wakati_topk,
     "q_knn_edges": q_knn_edges,
     # rows-only (no oracle_sql entry):
     "q_pagerank_converged": q_pagerank_converged,
@@ -911,6 +948,32 @@ sims AS (SELECT c.query_id, c.neighbor_id, list_inner_product(x.uv, y.uv) AS cos
   FROM cand c JOIN u x ON c.query_id = x.id JOIN u y ON c.neighbor_id = y.id),
 ranked AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER
   (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM sims)
+SELECT query_id, neighbor_id, ROUND(CAST(cosine AS DOUBLE), 6) AS cosine_r
+FROM ranked WHERE rn <= {k}"""
+
+
+def _bow_wakati_sql(max_id: int = 80, k: int = 3) -> str:
+    """Mirror of q_bow_wakati_topk: identical Japanese synthesis (md5 word
+    index into the same literal vocabulary) and RE2 script-run
+    segmentation, then the standard posting-list cosine top-k."""
+    from amanogawa_spark.operators.bow import WAKATI_PATTERN_RE2
+
+    jw = "[" + ", ".join(f"'{w}'" for w in _JW) + "]"
+    return f"""
+WITH jd AS MATERIALIZED (SELECT doc_id AS id, array_to_string(list_transform(
+    string_split({_NORM}, ' '),
+    t -> {jw}[CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS INT) + 1]), '') AS jtext
+  FROM documents WHERE doc_id < {max_id}),
+tc AS MATERIALIZED (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM (
+    SELECT id, unnest(regexp_extract_all(lower(jtext), '{WAKATI_PATTERN_RE2}')) AS term FROM jd
+  ) WHERE length(term) > 0 GROUP BY id, term),
+norms AS (SELECT id, sqrt(SUM(cnt * cnt)) AS nrm FROM tc GROUP BY id),
+dots AS (SELECT a.id AS qid, b.id AS nid, SUM(a.cnt * b.cnt) AS dot
+  FROM tc a JOIN tc b USING (term) WHERE a.id <> b.id GROUP BY a.id, b.id),
+sims AS (SELECT qid, nid, dot / (na.nrm * nb.nrm) AS cosine FROM dots
+  JOIN norms na ON qid = na.id JOIN norms nb ON nid = nb.id),
+ranked AS (SELECT qid AS query_id, nid AS neighbor_id, cosine, ROW_NUMBER()
+  OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rn FROM sims)
 SELECT query_id, neighbor_id, ROUND(CAST(cosine AS DOUBLE), 6) AS cosine_r
 FROM ranked WHERE rn <= {k}"""
 
@@ -1195,6 +1258,7 @@ ORACLE_SQL = {
         "COUNT(*) AS n, ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value "
         "FROM events GROUP BY 1, 2"
     ),
+    "q_bow_wakati_topk": _bow_wakati_sql(80, 3),
     "q_bow_topk": (
         "WITH tc AS (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM ("
         "SELECT doc_id AS id, unnest(string_split("

@@ -68,3 +68,45 @@ def test_bow_max_df_cut(spark, docs):
     # docs 0 and 3 now share no terms ("for" was their only overlap)
     pairs = {(r.query_id, r.neighbor_id) for r in got}
     assert (3, 0) not in pairs and (0, 3) not in pairs
+
+
+def test_wakati_tokens_japanese(spark):
+    """Unicode-script segmentation: unsegmented Japanese must split into
+    multiple tokens (whitespace splitting yields ONE token per sentence —
+    the round-1 degeneration on the reference's MeCab-wakati bow mode)."""
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.operators.bow import wakati_tokens
+
+    rows = [
+        (0, "天の川はデータ処理エンジンです"),
+        (1, "ケーキのレシピと砂糖"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = {
+        r.doc_id: r.t
+        for r in df.select("doc_id", wakati_tokens("text").alias("t")).collect()
+    }
+    assert toks[0] == ["天", "の", "川", "は", "データ", "処", "理", "エンジン", "です"]
+    assert toks[1] == ["ケーキ", "の", "レシピ", "と", "砂", "糖"]
+
+
+def test_bow_wakati_knn_japanese(spark):
+    """BoW-kNN over raw Japanese: with the wakati tokenizer doc 0's nearest
+    neighbor is the topically-similar doc 1; with whitespace tokenization
+    every doc is a single unique token and the posting-list join finds NO
+    pairs at all (the degeneration this tokenizer exists to fix)."""
+    from amanogawa_spark.operators.bow import bow_cosine_topk
+
+    rows = [
+        (0, "天の川はデータ処理エンジンです"),
+        (1, "天の川は高速なグラフ処理エンジンです"),
+        (2, "ケーキのレシピと砂糖とクリーム"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bow_cosine_topk(df, k=1, tokenizer="wakati").collect()
+    best = {r.query_id: (r.neighbor_id, r.cosine) for r in got}
+    assert best[0][0] == 1 and best[0][1] > 0.5
+    assert best[1][0] == 0
+    degenerate = bow_cosine_topk(df, k=1, tokenizer="whitespace").collect()
+    assert len(degenerate) == 0
