@@ -1,0 +1,260 @@
+"""TOML job-spec loader — the reference's primary authoring surface.
+
+The reference is driven by ``./amanogawa-cli config.toml`` (``src/amanogawa/
+cli.cpp:5-9``) or the fluent ``ConfigBuilder`` (``include/config_builder.h:
+12-328``); both produce a component graph in five classes (source / flow /
+branch / confluence / sink, ``include/common.h:7-11``, ``include/config.h:
+17-55``) wired by ``from``/``to`` name references. This module maps that
+exact TOML surface onto :class:`~amanogawa_spark.plans.pipeline.Pipeline`,
+so a reference user's config file runs unchanged (modulo paths) on Spark.
+
+Supported component types (reference parity; ``example/*.toml``):
+
+- ``[source.<name>] type="file"`` with ``[.format] type="csv"|"json"``
+  (declared ``columns``, ``delimiter``, ``skip_header``, ``skip_columns``,
+  ``data_type``), or ``type="xml"`` with ``format.columns``.
+- ``[flow.<name>] type="filter"|"filter_row"`` (optional ``column/op/cond``
+  predicate — the reference's filter is a parameterless stub, so a bare
+  filter is identity), ``type="filter_column"`` (``columns`` projection),
+  ``type="to_graph"`` (``mode`` bow|cosine, ``knn.k``, ``column``).
+- ``[branch.<name>] type="column"`` with ``to=[{name, columns}]``; branch
+  outputs are addressable by their bare ``to`` names, as in the reference.
+- ``[confluence.<name>] type="key"`` with ``from=[{name, key}, {name,
+  key}]`` (inner equi-join, right key dropped, left name wins — the
+  reference's key join), or ``type="inner_join"|"outer_join"`` with
+  ``join=[{name, key}, ...]``.
+- ``[sink.<name>] type="file"`` with ``[.format] type="csv"`` (``delimiter``,
+  ``columns`` subset, ``write_header``) | ``"json"`` | ``"parquet"``.
+
+Anonymous single-component tables (``[source]`` / ``[flow]`` / ``[sink]``
+as in ``example/simple.toml`` / ``simple_to_graph.toml``) are wired
+linearly: source → flow → sink.
+
+Relative paths resolve against the config file's directory (CLI parity).
+Sinks write Spark-style part-file directories — at cluster scale that is
+the correct distributed output shape; single-file concat is a driver-side
+post-step users can opt into with ``coalesce=1`` in the sink format table.
+"""
+
+from __future__ import annotations
+
+import os
+import tomllib
+from functools import partial
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amanogawa_spark.operators.etl import branch_columns, key_join, row_filter
+from amanogawa_spark.plans.pipeline import Pipeline
+from amanogawa_spark.sources.readers import read_csv, read_json, read_xml
+from amanogawa_spark.sources.writers import write_csv, write_json, write_parquet
+
+
+def _named_components(table: dict | None, clazz: str) -> list[tuple[str, dict]]:
+    """A clazz table is either {name: spec} or one anonymous spec (detected
+    by a string-valued 'type' key at the top level)."""
+    if not table:
+        return []
+    if isinstance(table.get("type"), str):
+        return [(clazz, table)]
+    return [(name, spec) for name, spec in table.items()]
+
+
+def _resolve_path(path: str, base_dir: str) -> str:
+    return path if os.path.isabs(path) else os.path.join(base_dir, path)
+
+
+def _source_fn(spec: dict, base_dir: str):
+    fmt = dict(spec.get("format", {}))
+    src_type = spec.get("type", "file")
+    fmt_type = fmt.get("type") or (src_type if src_type != "file" else None)
+    path = _resolve_path(spec["path"], base_dir)
+    if fmt_type is None:  # dispatch on suffix like the reference's format probe
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        fmt_type = {"jsonl": "json"}.get(ext, ext or "csv")
+    if fmt_type == "csv":
+        return lambda spark: read_csv(
+            spark,
+            path,
+            columns=fmt.get("columns") or None,
+            delimiter=fmt.get("delimiter", ","),
+            header=bool(fmt.get("skip_header", False)),
+            data_type=fmt.get("data_type", "double"),
+            skip_columns=fmt.get("skip_columns"),
+        )
+    if fmt_type == "json":
+        return lambda spark: read_json(
+            spark,
+            path,
+            columns=fmt.get("columns") or None,
+            jsonl=fmt.get("jsonl"),
+            row_filter=fmt.get("filter"),
+        )
+    if fmt_type == "xml":
+        return lambda spark: read_xml(
+            spark, path, columns=fmt["columns"], row_tag=fmt.get("row_tag")
+        )
+    if fmt_type == "parquet":
+        return lambda spark: spark.read.parquet(path)
+    raise ValueError(f"unsupported source format: {fmt_type!r}")
+
+
+def _with_row_ids(df: DataFrame, id_col: str = "_row_id") -> DataFrame:
+    """Stable 0..N-1 ids in input row order — the reference's implicit
+    to_graph vertex numbering (row index in file order). zipWithIndex
+    preserves partition-then-offset order, which for a file scan IS file
+    order. Config-surface convenience; scale pipelines supply real ids."""
+    schema = df.schema
+    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(list(schema.fields) + [T.StructField(id_col, T.LongType())])
+    return df.sparkSession.createDataFrame(rdd, out_schema)
+
+
+def _to_graph_fn(spec: dict):
+    knn = spec.get("knn", {})
+    k = int(knn.get("k", 3))
+    mode = spec.get("mode", "cosine")
+    column = spec.get("column")
+
+    def fn(df: DataFrame) -> DataFrame:
+        ids = _with_row_ids(df)
+        if mode == "bow":
+            from amanogawa_spark.operators.bow import bow_knn_graph
+
+            return bow_knn_graph(
+                ids, id_col="_row_id", text_col=column, k=k,
+                tokenizer=spec.get("tokenizer", "whitespace"),
+            )
+        from amanogawa_spark.operators.similarity import knn_graph
+
+        vec_cols = [column] if column else [
+            f.name for f in df.schema.fields if f.dataType.typeName() in
+            ("double", "float", "integer", "long")
+        ]
+        if len(vec_cols) == 1 and df.schema[vec_cols[0]].dataType.typeName() == "array":
+            vecs = ids.select("_row_id", F.col(vec_cols[0]).alias("v"))
+        else:
+            vecs = ids.select(
+                "_row_id", F.array(*[F.col(c).cast("double") for c in vec_cols]).alias("v")
+            )
+        return knn_graph(vecs, id_col="_row_id", vec_col="v", k=k, mode="exact")
+
+    return fn
+
+
+def _flow_fn(spec: dict):
+    t = spec["type"]
+    if t in ("filter", "filter_row"):
+        if all(key in spec for key in ("column", "op", "cond")):
+            return lambda df: row_filter(df, spec["column"], spec["op"], spec["cond"])
+        return lambda df: df  # the reference's filter is a stub — identity
+    if t == "filter_column":
+        cols = spec.get("columns")
+        return (lambda df: df.select(*cols)) if cols else (lambda df: df)
+    if t == "to_graph":
+        return _to_graph_fn(spec)
+    raise ValueError(f"unsupported flow type: {t!r}")
+
+
+def _sink_fn(spec: dict, base_dir: str):
+    fmt = dict(spec.get("format", {}))
+    path = _resolve_path(spec["path"], base_dir)
+    fmt_type = fmt.get("type")
+    if fmt_type is None:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        fmt_type = {"tsv": "csv", "jsonl": "json", "": "parquet"}.get(ext, ext)
+    coalesce = int(fmt.get("coalesce", 0))
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.coalesce(coalesce) if coalesce else df
+
+    if fmt_type == "csv":
+        return lambda df: write_csv(
+            prep(df),
+            path,
+            columns=fmt.get("columns") or None,  # [] means all (basic.toml)
+            delimiter=fmt.get("delimiter", ","),
+            write_header=bool(fmt.get("write_header", True)),
+        )
+    if fmt_type == "json":
+        return lambda df: write_json(prep(df), path)
+    if fmt_type == "parquet":
+        return lambda df: write_parquet(prep(df), path)
+    raise ValueError(f"unsupported sink format: {fmt_type!r}")
+
+
+def load_config(path: str) -> Pipeline:
+    """Parse a reference-style TOML job spec into a runnable Pipeline."""
+    with open(path, "rb") as f:
+        cfg = tomllib.load(f)
+    base_dir = os.path.dirname(os.path.abspath(path))
+
+    sources = _named_components(cfg.get("source"), "source")
+    flows = _named_components(cfg.get("flow"), "flow")
+    branches = _named_components(cfg.get("branch"), "branch")
+    confluences = _named_components(cfg.get("confluence"), "confluence")
+    sinks = _named_components(cfg.get("sink"), "sink")
+
+    # branch `to` outputs are referenced by bare name in the reference configs
+    alias: dict[str, str] = {}
+    for name, spec in branches:
+        for out in spec.get("to", []):
+            alias[out["name"]] = f"{name}.{out['name']}"
+
+    def ref(name: str) -> str:
+        return alias.get(name, name)
+
+    # anonymous linear wiring: source → flow → sink (simple.toml shape)
+    def implicit_from(spec: dict, fallbacks: list[str]) -> str:
+        if "from" in spec:
+            return spec["from"]
+        for fb in fallbacks:
+            if fb:
+                return fb
+        raise ValueError("component needs a 'from' reference")
+
+    p = Pipeline()
+    for name, spec in sources:
+        p.source(name, _source_fn(spec, base_dir))
+    anon_source = sources[0][0] if len(sources) == 1 else None
+    for name, spec in flows:
+        p.flow(name, frm=ref(implicit_from(spec, [anon_source])), fn=_flow_fn(spec))
+    anon_flow = flows[0][0] if len(flows) == 1 else None
+    for name, spec in branches:
+        outs = spec.get("to", [])
+        p.branch(
+            name,
+            frm=ref(implicit_from(spec, [anon_flow, anon_source])),
+            fn=partial(
+                branch_columns,
+                branches={o["name"]: o["columns"] for o in outs},
+            ),
+        )
+    for name, spec in confluences:
+        entries = spec.get("from") or spec.get("join")
+        left, right = entries[0], entries[1]
+        how = {"key": "inner", "inner_join": "inner", "outer_join": "full_outer"}[
+            spec["type"]
+        ]
+        if how == "inner":
+            fn = partial(
+                key_join, left_key=left["key"], right_key=right["key"]
+            )
+        else:
+            def fn(ldf, rdf, _lk=left["key"], _rk=right["key"]):
+                return ldf.join(rdf, ldf[_lk] == rdf[_rk], "full_outer")
+        p.confluence(name, left=ref(left["name"]), right=ref(right["name"]), fn=fn)
+    for name, spec in sinks:
+        p.sink(
+            name,
+            frm=ref(implicit_from(spec, [anon_flow, anon_source])),
+            fn=_sink_fn(spec, base_dir),
+        )
+    return p
+
+
+def run_config(path: str, spark: SparkSession) -> dict[str, DataFrame]:
+    return load_config(path).run(spark)

@@ -1,0 +1,244 @@
+"""TOML job-spec loader + CLI golden tests.
+
+Translations of the reference's README examples (README.md:51-80 task one,
+README.md:116-216 task three) and example/simple.toml, asserting the
+reference's documented CSV outputs. Spark sinks write part-file
+directories and give no row-order guarantee, so outputs compare as row
+multisets (the reference's single-threaded writer fixes an order; the
+VALUES are the contract)."""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+
+def _read_rows(spark, path: str, delimiter: str = ","):
+    df = spark.read.csv(path, header=True, sep=delimiter)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_task_one_json_filter_to_csv(spark, tmp_path):
+    """README task one: JSON array -> pushed contains-filter -> tsv."""
+    (tmp_path / "sample.json").write_text(
+        '[{"id": 1, "name": "Aries"}, {"id": 2, "name": "Taurus"}, '
+        '{"id": 3, "name": "Gemini"}]'
+    )
+    (tmp_path / "job.toml").write_text(
+        textwrap.dedent(
+            """
+            [source.read_sample]
+            type = "file"
+            path = "sample.json"
+            [source.read_sample.format]
+            type = "json"
+            columns = [
+              { name = "id", type = "int" },
+              { name = "name", type = "string" },
+            ]
+            filter = { key = "name", op = "contains", cond = "i" }
+
+            [sink.write_sample]
+            type = "file"
+            path = "sample_out"
+            from = "read_sample"
+            [sink.write_sample.format]
+            type = "csv"
+            delimiter = "\\t"
+            """
+        )
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(str(tmp_path / "job.toml"), spark)
+    rows = _read_rows(spark, str(tmp_path / "sample_out"), "\t")
+    assert rows == [("1", "Aries"), ("3", "Gemini")]
+
+
+def test_simple_toml_anonymous_linear_wiring(spark, tmp_path):
+    """example/simple.toml shape: bare [source]/[sink] tables, no names,
+    no 'from' — wired linearly."""
+    (tmp_path / "kinmosa.csv").write_text(
+        "id,name,blood_id\n0,karen,3\n1,ayaya,0\n2,alice,0\n3,shino,0\n4,yo-ko,2\n"
+    )
+    (tmp_path / "job.toml").write_text(
+        textwrap.dedent(
+            """
+            [source]
+            type = "file"
+            path = "kinmosa.csv"
+            [source.format]
+            type = "csv"
+            skip_header = true
+            columns = [
+              { name = "id", type = "int" },
+              { name = "name", type = "string" },
+              { name = "blood_type", type = "int" },
+            ]
+
+            [sink]
+            type = "file"
+            path = "kinmosa_out"
+            [sink.format]
+            type = "csv"
+            delimiter = "\\t"
+            """
+        )
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(str(tmp_path / "job.toml"), spark)
+    rows = _read_rows(spark, str(tmp_path / "kinmosa_out"), "\t")
+    assert rows == [
+        ("0", "karen", "3"),
+        ("1", "ayaya", "0"),
+        ("2", "alice", "0"),
+        ("3", "shino", "0"),
+        ("4", "yo-ko", "2"),
+    ]
+
+
+def _write_task_three(tmp_path) -> str:
+    (tmp_path / "kinmosa.csv").write_text(
+        "id,name,blood_id\n1,karen,3\n2,ayaya,0\n3,shino,0\n4,yo-ko,2\n5,alice,0\n"
+    )
+    (tmp_path / "blood.csv").write_text("id,type\n0,A\n1,B\n2,O\n3,AB\n")
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        textwrap.dedent(
+            """
+            [source.read_awesome_csv]
+            type = "file"
+            path = "kinmosa.csv"
+            [source.read_awesome_csv.format]
+            type = "csv"
+            skip_header = true
+            columns = [
+              { name = "id", type = "int" },
+              { name = "name", type = "string" },
+              { name = "blood_type", type = "int" },
+            ]
+
+            [flow.awesome_filter]
+            type = "filter"
+            from = "read_awesome_csv"
+
+            [branch.id_name_blood]
+            type = "column"
+            from = "awesome_filter"
+            to = [
+              { name = "id_name", columns = [ "id", "name" ] },
+              { name = "blood", columns = [ "blood_type" ] },
+            ]
+
+            [source.about_blood]
+            type = "file"
+            path = "blood.csv"
+            [source.about_blood.format]
+            type = "csv"
+            skip_header = true
+            columns = [
+              { name = "id", type = "int" },
+              { name = "type_string", type = "string" },
+            ]
+
+            [confluence.blood_type]
+            type = "key"
+            from = [
+              { name = "about_blood", key = "id" },
+              { name = "blood", key = "blood_type" },
+            ]
+
+            [sink.write_id_name_tsv]
+            type = "file"
+            path = "result_id_name.tsv"
+            from = "id_name"
+            [sink.write_id_name_tsv.format]
+            type = "csv"
+            delimiter = "\\t"
+            columns = [] # all
+
+            [sink.write_blood_csv]
+            type = "file"
+            path = "result_blood.csv"
+            from = "blood_type"
+            [sink.write_blood_csv.format]
+            type = "csv"
+            columns = [] # all
+            """
+        )
+    )
+    return str(cfg)
+
+
+def test_task_three_branch_confluence_golden(spark, tmp_path):
+    """README task three: filter (stub=identity) -> column branch ->
+    key confluence -> two sinks; asserts the README's exact output values
+    (result_id_name.tsv all five id/name rows; result_blood.csv the joined
+    (id, type_string) multiset with A three times)."""
+    cfg = _write_task_three(tmp_path)
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(cfg, spark)
+    id_name = _read_rows(spark, str(tmp_path / "result_id_name.tsv"), "\t")
+    assert id_name == [
+        ("1", "karen"),
+        ("2", "ayaya"),
+        ("3", "shino"),
+        ("4", "yo-ko"),
+        ("5", "alice"),
+    ]
+    blood = _read_rows(spark, str(tmp_path / "result_blood.csv"))
+    assert blood == [("0", "A"), ("0", "A"), ("0", "A"), ("2", "O"), ("3", "AB")]
+
+
+def test_cli_main_runs_config(spark, tmp_path):
+    """python -m amanogawa_spark.cli <config> parity (cli.cpp:5-9)."""
+    cfg = _write_task_three(tmp_path)
+    from amanogawa_spark.cli import main
+
+    assert main([cfg]) == 0
+    assert os.path.isdir(str(tmp_path / "result_blood.csv"))
+
+
+def test_task_two_to_graph_bow(spark, tmp_path):
+    """README task two shape: JSONL -> to_graph (bow, k=2) -> csv edges.
+    The reference alpha's demo output is internally inconsistent (its
+    nearest-neighbor list excludes the highest-cosine pair), so the golden
+    values here are the engine's documented cosine-kNN semantics: posting
+    lists only join docs sharing a term, top-2 per node, canonical dedup."""
+    (tmp_path / "comments.jsonl").write_text(
+        '{"content": "Apple Strawberry Apple", "command": "foo"}\n'
+        '{"content": "Apple Strawberry", "command": "foo"}\n'
+        '{"content": "Apple Apple", "command": "bar"}\n'
+        '{"content": "Banana Banana", "command": "foo bar"}\n'
+        '{"content": "Pineapple Banana Banana", "command": "foo"}\n'
+    )
+    (tmp_path / "job.toml").write_text(
+        """
+[source]
+type = "file"
+path = "comments.jsonl"
+[source.format]
+type = "json"
+columns = [ { name = "content", type = "string" } ]
+
+[flow]
+type = "to_graph"
+mode = "bow"
+column = "content"
+knn = { k = 2 }
+
+[sink]
+type = "file"
+path = "graph_out"
+[sink.format]
+type = "csv"
+delimiter = " "
+"""
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(str(tmp_path / "job.toml"), spark)
+    rows = _read_rows(spark, str(tmp_path / "graph_out"), " ")
+    assert rows == [("0", "1"), ("0", "2"), ("1", "2"), ("3", "4")]
