@@ -384,6 +384,20 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+def q_embed_neardup_lsh(spark, sf_dir):
+    """Candidate-fed near-dup (the default scale path): LSH-band candidate
+    pairs -> threshold filter, with md5-literal planes so the oracle
+    reproduces the bucketing exactly. Recall vs brute is pinned in
+    tests/test_similarity_multimodal.py."""
+    from amanogawa_spark.operators.similarity import embedding_neardup, md5_hyperplanes
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    planes = md5_hyperplanes(n_tables=6, n_planes=6, dim=64)
+    return embedding_neardup(emb, threshold=0.35, candidates="lsh", planes=planes).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
 def q_salted_indegree(spark, sf_dir):
     """In-degree per vertex via the two-level SALTED aggregate (skew path,
     graph/skew.py) — integer sums so the result is exactly the plain
@@ -744,6 +758,7 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_embed_neardup": q_embed_neardup,
+    "q_embed_neardup_lsh": q_embed_neardup_lsh,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_salted_indegree": q_salted_indegree,
     "q_ppr4": q_ppr4,
@@ -950,6 +965,35 @@ ranked AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER
   (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM sims)
 SELECT query_id, neighbor_id, ROUND(CAST(cosine AS DOUBLE), 6) AS cosine_r
 FROM ranked WHERE rn <= {k}"""
+
+
+def _embed_neardup_lsh_sql(
+    max_id: int = 300, threshold: float = 0.35, n_tables: int = 6, n_planes: int = 6,
+    dim: int = 64,
+) -> str:
+    """Mirror of embedding_neardup(candidates='lsh', planes=md5 literals):
+    same bucket strings, same unit-vector cosine, same threshold."""
+    from amanogawa_spark.operators.similarity import md5_hyperplanes
+
+    planes = md5_hyperplanes(n_tables, n_planes, dim)
+    per_table = []
+    for t in range(n_tables):
+        bits = " || ".join(
+            f"(CASE WHEN list_inner_product(uv, {planes[t][p]}) >= 0 THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+        per_table.append(f"SELECT id, {t} AS tbl, {bits} AS bucket FROM u")
+    bucketed = " UNION ALL ".join(per_table)
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id < {max_id}),
+u AS MATERIALIZED (SELECT id, list_transform(ve, x -> x / sqrt(list_inner_product(ve, ve))) AS uv FROM v),
+bucketed AS MATERIALIZED (SELECT * FROM ({bucketed})),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bucketed a
+  JOIN bucketed b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id),
+sims AS (SELECT c.id_a, c.id_b, list_inner_product(x.uv, y.uv) AS cosine
+  FROM cand c JOIN u x ON c.id_a = x.id JOIN u y ON c.id_b = y.id)
+SELECT id_a, id_b, ROUND(CAST(cosine AS DOUBLE), 6) AS cosine_r
+FROM sims WHERE cosine >= {threshold}"""
 
 
 def _bow_wakati_sql(max_id: int = 80, k: int = 3) -> str:
@@ -1310,6 +1354,7 @@ ORACLE_SQL = {
         "SELECT query_id, neighbor_id, ROUND(CAST(cosine AS DOUBLE), 6) AS cosine_r "
         "FROM rk WHERE rn <= 3"
     ),
+    "q_embed_neardup_lsh": _embed_neardup_lsh_sql(300, 0.35, 6, 6, 64),
     "q_embed_neardup": (
         "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), "
         "s AS (SELECT a.id AS id_a, b.id AS id_b, "

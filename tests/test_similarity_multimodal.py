@@ -147,3 +147,61 @@ def test_frame_sample_plan(spark):
     assert all(r.frame_ms < 5000 for r in rows)
     vids = media.filter(F.col("kind") == "video").count()
     assert len(rows) == vids * 5  # 0..4999 step 1000
+
+
+@pytest.fixture(scope="module")
+def neardup_vecs(spark):
+    """Clustered corpus with genuine near-duplicates: 20 base vectors, each
+    with 2 jittered copies (cosine ~0.99) plus the independent remainder."""
+    rng = np.random.default_rng(23)
+    dim = 16
+    rows, idx = [], 0
+    for _ in range(20):
+        base = rng.normal(size=dim)
+        for _ in range(3):
+            v = base + rng.normal(scale=0.03, size=dim)
+            rows.append((idx, [float(x) for x in v]))
+            idx += 1
+    for _ in range(30):
+        rows.append((idx, [float(x) for x in rng.normal(size=dim)]))
+        idx += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup_lsh_recall_vs_brute(spark, neardup_vecs):
+    """The default (LSH-candidate) near-dup must recover nearly every
+    brute-force pair at a real near-dup threshold; brute is opt-in only."""
+    from amanogawa_spark.operators.similarity import embedding_neardup
+
+    thr = 0.9
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup(neardup_vecs, threshold=thr, candidates="brute").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup(
+            neardup_vecs, threshold=thr, candidates="lsh", dim=16, n_tables=8, n_planes=6
+        ).collect()
+    }
+    assert brute, "fixture must contain near-dup pairs"
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.9, f"LSH near-dup recall {recall:.2f} < 0.9 ({len(brute)} true pairs)"
+
+
+def test_embedding_neardup_ivf_candidates(spark, neardup_vecs):
+    from amanogawa_spark.operators.similarity import embedding_neardup
+
+    thr = 0.9
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup(neardup_vecs, threshold=thr, candidates="brute").collect()
+    }
+    ivf = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup(
+            neardup_vecs, threshold=thr, candidates="ivf", stride=10, nprobe=3
+        ).collect()
+    }
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.6, f"IVF near-dup recall {recall:.2f} < 0.6"
