@@ -497,6 +497,53 @@ def _kcore_sql(k: int = 5, rounds: int = 6) -> str:
     return body + f"\nSELECT id FROM a{rounds}"
 
 
+def q_coreness(spark, sf_dir):
+    """Full per-vertex coreness from the single level-jump peel — the DuckDB
+    oracle unrolls the IDENTICAL algorithm (per-round k carried as a scalar
+    CTE), so values match exactly; extra unrolled rounds past exhaustion
+    are no-ops."""
+    from amanogawa_spark.graph.kcore import coreness
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return coreness(v, e)
+
+
+def _coreness_sql(rounds: int = 40) -> str:
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
+        "sym AS MATERIALIZED (SELECT src_id AS u, dst_id AS v FROM edges "
+        "UNION SELECT dst_id AS u, src_id AS v FROM edges)",
+        "a0 AS MATERIALIZED (SELECT id FROM verts)",
+        "k0 AS MATERIALIZED (SELECT 1 AS k)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"deg{r} AS MATERIALIZED (SELECT a.id, COALESCE(d.deg, 0) AS deg FROM a{p} a "
+            f"LEFT JOIN (SELECT s.u AS id, COUNT(*) AS deg FROM sym s "
+            f"JOIN a{p} x ON s.u = x.id JOIN a{p} y ON s.v = y.id GROUP BY s.u) d "
+            f"ON a.id = d.id)"
+        )
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT GREATEST((SELECT k FROM k{p}), "
+            f"(SELECT COALESCE(MIN(deg), 4000000000) FROM deg{r}) + 1) AS k)"
+        )
+        parts.append(
+            f"rem{r} AS MATERIALIZED (SELECT id, (SELECT k FROM k{r}) - 1 AS coreness "
+            f"FROM deg{r} WHERE deg < (SELECT k FROM k{r}))"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT id FROM deg{r} WHERE deg >= (SELECT k FROM k{r}))"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM rem{r}" for r in range(1, rounds + 1))
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, CAST(coreness AS BIGINT) AS coreness FROM ({union})"
+    )
+
+
 def q_hits3(spark, sf_dir):
     """HITS hubs/authorities, 3 fixed iterations, L1-normalized."""
     from amanogawa_spark.graph.hits import hits_fixed_iterations
@@ -763,6 +810,7 @@ QUERIES = {
     "q_salted_indegree": q_salted_indegree,
     "q_ppr4": q_ppr4,
     "q_kcore45": q_kcore45,
+    "q_coreness": q_coreness,
     "q_hits3": q_hits3,
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
@@ -1228,6 +1276,7 @@ ORACLE_SQL = {
     "q_knn_nndescent": _nndescent_md5_sql(150, 3, 3),
     "q_ppr4": _ppr_sql(4),
     "q_kcore45": _kcore_sql(45, 6),
+    "q_coreness": _coreness_sql(40),
     "q_hits3": _hits_sql(3),
     "q_semi_join": (
         "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "

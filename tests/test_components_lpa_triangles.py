@@ -144,3 +144,24 @@ def test_hits_one_collect_per_iteration(spark, monkeypatch):
     monkeypatch.setattr(dfmod.DataFrame, "collect", counting)
     hits_fixed_iterations(verts, edges, iterations=3)
     assert calls["n"] == 3, f"expected 1 collect/iteration (3 total), got {calls['n']}"
+
+
+def test_coreness_single_peel_matches_kcore_ladder(spark):
+    """Per-vertex coreness from ONE level-jump peel must agree with the
+    independent per-k peels: {v: coreness >= k} == k_core(k) for every k,
+    and the derived histogram matches the old per-k formulation's counts."""
+    from amanogawa_spark.graph.kcore import coreness, coreness_histogram, k_core
+
+    edges = spark.createDataFrame(
+        [(i, (i * i + 3) % 30) for i in range(90)] + [(i, (i + 1) % 10) for i in range(10)],
+        "src_id long, dst_id long",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    c = {r.id: r.coreness for r in coreness(verts, edges).collect()}
+    assert set(c) == set(range(30))
+    for k in (1, 2, 3, 5):
+        ladder = {r.id for r in k_core(verts, edges, k=k).collect()}
+        from_coreness = {v for v, cc in c.items() if cc >= k}
+        assert ladder == from_coreness, f"k={k}"
+    hist = {r.k: r.core_size for r in coreness_histogram(verts, edges, ks=[1, 2, 3, 5]).collect()}
+    assert hist == {k: sum(1 for cc in c.values() if cc >= k) for k in (1, 2, 3, 5)}
