@@ -82,6 +82,7 @@ def _source_fn(spec: dict, base_dir: str):
             header=bool(fmt.get("skip_header", False)),
             data_type=fmt.get("data_type", "double"),
             skip_columns=fmt.get("skip_columns"),
+            num_header_lines=fmt.get("num_header_lines"),
         )
     if fmt_type == "json":
         return lambda spark: read_json(

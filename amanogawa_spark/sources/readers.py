@@ -73,7 +73,38 @@ def read_csv(
     header: bool = True,
     data_type: str = "double",
     skip_columns: list[str] | None = None,
+    num_header_lines: int | None = None,
 ) -> DataFrame:
+    """``num_header_lines`` >= 2 (reference csv.cpp:52-86): skip that many
+    leading lines before parsing. Column names come from the declared
+    ``columns`` or, when header-inferred, from the FIRST header line (the
+    reference's inferred-schema path concatenates fields across ALL header
+    lines — an alpha quirk we deliberately diverge from). Multi-header skip
+    reads the file as ordered text lines (zipWithIndex = file order) and
+    parses the remainder — fine for config-surface inputs; columnar scale
+    data should be parquet anyway."""
+    if num_header_lines is not None and num_header_lines >= 2:
+        lines = (
+            spark.read.text(path)
+            .rdd.zipWithIndex()
+            .filter(lambda pair: pair[1] >= num_header_lines)
+            .map(lambda pair: pair[0].value)
+        )
+        if columns:
+            df = spark.read.csv(lines, schema=schema_from_columns(columns), sep=delimiter)
+        else:
+            first_header = spark.read.text(path).rdd.zipWithIndex().filter(
+                lambda pair: pair[1] == 0
+            ).map(lambda pair: pair[0].value).collect()[0]
+            names = first_header.split(delimiter)
+            df = spark.read.csv(lines, sep=delimiter)
+            typ = normalize_type(data_type)
+            df = df.select(
+                *[F.col(c).cast(typ).alias(n) for c, n in zip(df.columns, names)]
+            )
+        if skip_columns:
+            df = df.drop(*skip_columns)
+        return df
     if columns:
         df = spark.read.csv(
             path, schema=schema_from_columns(columns), sep=delimiter, header=header

@@ -139,3 +139,28 @@ def test_xml_read(spark, tmp_path):
         columns=[{"name": "id", "type": "int"}, {"name": "name", "type": "string"}],
     )
     assert {(r.id, r.name) for r in df.collect()} == {(1, "youko"), (2, "aya")}
+
+
+def test_csv_multi_header_lines(spark, tmp_path):
+    """num_header_lines >= 2 (csv.cpp:52-86): skip N leading lines; names
+    from declared columns, or from the FIRST header line when inferred."""
+    p = tmp_path / "two_header.csv"
+    p.write_text(
+        "id,name,score\n#units: none,text,points\n1,ayaya,3.5\n2,karen,4.0\n"
+    )
+    declared = read_csv(
+        spark,
+        str(p),
+        columns=[
+            {"name": "id", "type": "int"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+        ],
+        num_header_lines=2,
+    )
+    rows = sorted(tuple(r) for r in declared.collect())
+    assert rows == [(1, "ayaya", 3.5), (2, "karen", 4.0)]
+    inferred = read_csv(spark, str(p), num_header_lines=2, data_type="string")
+    assert inferred.columns == ["id", "name", "score"]
+    got = sorted(tuple(r) for r in inferred.collect())
+    assert got == [("1", "ayaya", "3.5"), ("2", "karen", "4.0")]
