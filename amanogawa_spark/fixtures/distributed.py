@@ -133,3 +133,40 @@ def distributed_pages(
             yield out
 
     return base.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def distributed_embeddings(
+    spark: SparkSession,
+    n: int,
+    dim: int = 64,
+    n_clusters: int = 1000,
+    jitter: float = 0.15,
+    seed: int = 5,
+) -> DataFrame:
+    """(vec_id long, embedding array<double>) — clustered deterministic
+    corpus, pure Catalyst (seeded xxhash64 per component, no driver RNG, no
+    Python): vec i belongs to cluster xxhash(i) % n_clusters; each
+    component = cluster center + jitter. Cluster structure gives LSH/IVF
+    buckets realistic density so scale benches exercise the candidate
+    joins, not just hashing throughput."""
+    from pyspark.sql import functions as F
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = spark.range(0, n, 1, n_part).select(F.col("id").alias("vec_id"))
+    withc = base.withColumn(
+        "_c", F.pmod(F.xxhash64("vec_id", F.lit(seed)), F.lit(n_clusters))
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    comp = F.transform(
+        idx,
+        lambda j: (
+            F.pmod(F.xxhash64(F.lit("ctr"), F.col("_c"), j), F.lit(2000)) / 1000.0
+            - 1.0
+        )
+        + (
+            F.pmod(F.xxhash64(F.lit("jit"), F.col("vec_id"), j), F.lit(2000)) / 1000.0
+            - 1.0
+        )
+        * jitter,
+    )
+    return withc.select("vec_id", comp.alias("embedding"))

@@ -149,8 +149,18 @@ def minhash_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     hash: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b) — docs sharing >= 1 band bucket."""
+    """LSH candidate pairs (id_a < id_b) — docs sharing >= 1 band bucket.
+
+    ``max_bucket_size``: drop band buckets with more members than this
+    before the self-join — the banding analogue of the BoW df-cut. A hot
+    bucket (boilerplate band, near-constant shingle region, adversarial
+    spam) with f members contributes f² join pairs; the guard bounds the
+    worst bucket's cost at B² and turns the join's upper bound into
+    B²·n_buckets. Members of dropped buckets still pair through their
+    other (non-hot) bands, so recall degrades only for pairs whose EVERY
+    matching band is hot."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) — "
@@ -182,6 +192,14 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     return (
@@ -227,10 +245,13 @@ def minhash_dedup(
     shingle_n: int = 3,
     threshold: float = 0.8,
     hash: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → Jaccard verify → drop the
     higher id of each verified pair (union-find-free greedy for pairs)."""
-    cand = minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n, hash)
+    cand = minhash_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n, hash, max_bucket_size
+    )
     dups = jaccard_verify(cand, df, id_col, text_col, shingle_n, threshold)
     drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")

@@ -167,12 +167,19 @@ def cosine_topk_lsh(
     n_tables: int = 4,
     n_planes: int = 8,
     planes: list[list[list[float]]] | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket-local candidate join + exact rerank.
 
     ``planes``: optional explicit ±1 hyperplane literals (see
     :func:`md5_hyperplanes`) — the oracle-checkable path. Default: seeded
     xxhash64 bit expansion, no driver-side state.
+
+    ``max_bucket_size``: drop sign-buckets with more members than this
+    before the self-join (df-cut analogue — a hot bucket of f members
+    costs f² rerank pairs; at n=10^9 with clustered embeddings one dense
+    region can otherwise dominate the whole join). Members still meet
+    through their other tables' buckets.
     """
     if planes is None and dim is None:
         dim = len(df.select(vec_col).first()[0])
@@ -188,6 +195,14 @@ def cosine_topk_lsh(
     bucketed = unit.select("id", "u", F.explode(keys).alias("bk")).select(
         "id", "u", "bk.table", "bk.bucket"
     )
+    if max_bucket_size is not None:
+        ok = (
+            bucketed.groupBy("table", "bucket")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .select("table", "bucket")
+        )
+        bucketed = bucketed.join(ok, ["table", "bucket"], "left_semi")
     a = bucketed.select(F.col("id").alias("query_id"), F.col("u").alias("ua"), "table", "bucket")
     b = bucketed.select(F.col("id").alias("neighbor_id"), F.col("u").alias("ub"), "table", "bucket")
     cand = (

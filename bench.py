@@ -22,6 +22,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# scale-probe corpus size at sf=1.0 (→ 200k docs/vectors at the sf0.1
+# headline run — ~20x the sf-table doc count, enough to surface hot-bucket
+# skew while keeping the per-round suite bounded)
+SCALE_PROBE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_PROBE_DOCS", "2000000"))
 
 
 def _sf_of(path: str) -> float:
@@ -137,6 +141,34 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         ).count()
     )
     results["ann_topk"] = _timed(lambda: q_ann_topk(spark, sf_dir).count())
+
+    # --- scale probes: dedup + ANN on DISTRIBUTED corpora ~20x the sf tables
+    # (round-1 benched these only at sf0.1 doc counts; hot band buckets /
+    # dense LSH regions only show up with volume). Both run with the
+    # max_bucket_size guard that bounds a hot bucket's self-join at B².
+    from amanogawa_spark.fixtures.distributed import (
+        distributed_embeddings,
+        distributed_pages,
+    )
+    from amanogawa_spark.operators.similarity import cosine_topk_lsh
+
+    n_scale = max(20_000, int(SCALE_PROBE_DOCS * sf))
+
+    def _minhash_scale():
+        docs = distributed_pages(spark, n_scale).select(
+            F.monotonically_increasing_id().alias("doc_id"), "text"
+        )
+        minhash_dedup(docs, max_bucket_size=200).count()
+
+    results["minhash_dedup_scale"] = _timed(_minhash_scale)
+
+    def _ann_lsh_scale():
+        emb = distributed_embeddings(spark, n_scale, dim=64, n_clusters=max(50, n_scale // 200))
+        cosine_topk_lsh(
+            emb, k=5, dim=64, n_tables=4, n_planes=14, max_bucket_size=400
+        ).count()
+
+    results["ann_lsh_scale"] = _timed(_ann_lsh_scale)
     pages.unpersist()
     return results
 

@@ -157,3 +157,28 @@ def test_simhash_table_null_text_parity(spark):
     assert set(new) == {1, 2, 3}  # nothing dropped
     assert old == new
     assert new[1] == 0
+
+
+def test_minhash_max_bucket_guard(spark):
+    """max_bucket_size drops hot band buckets (boilerplate clones) while
+    small buckets keep producing candidates."""
+    from amanogawa_spark.operators.dedup import minhash_candidates
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, boiler) for i in range(30)]  # one hot bucket per band
+    rows += [
+        (100, "zebra quantum xylophone gradient parquet shuffle executor node rank"),
+        (101, "zebra quantum xylophone gradient parquet shuffle executor node rank extra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = {
+        (r.id_a, r.id_b) for r in minhash_candidates(df).collect()
+    }
+    assert (100, 101) in unguarded
+    assert any(a < 30 and b < 30 for a, b in unguarded)
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidates(df, max_bucket_size=10).collect()
+    }
+    assert (100, 101) in guarded  # small bucket survives
+    assert not any(a < 30 and b < 30 for a, b in guarded)  # hot bucket cut
