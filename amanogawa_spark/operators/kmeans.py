@@ -1,0 +1,108 @@
+"""Distributed Lloyd's k-means over an embedding column — the centroid
+feeder for IVF ANN (:func:`amanogawa_spark.operators.similarity.ivf_topk`).
+
+Execution shape per iteration (all built-in ops):
+
+- **assignment**: the k×dim centroid matrix is tiny, so it ships as plan
+  LITERALS (cheaper than even a broadcast join — zero join, pure
+  projection); cid = argmin of k squared-distance expressions, ties to the
+  lowest cid.
+- **update**: ``posexplode`` the vectors to (cid, pos, val) and ONE hash
+  aggregate with map-side partial combine — the shuffle carries only
+  ``partitions × k × dim`` partial sums, not the n×dim exploded rows.
+- **driver**: collects k×dim means per iteration (a few KB) and the max
+  centroid shift for the stop rule. One collect per iteration.
+
+Determinism: init picks the k hash-smallest ids (seeded xxhash64 ranking —
+no RNG state, stable under repartitioning); every later step is a pure
+function of the previous centroids with deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign_cid(vec, centroids: list[list[float]]):
+    """argmin_c ||v - c||² as a Catalyst expression; ties → lowest cid."""
+    dists = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dists.append(d)
+    arr = F.array(*dists)
+    # array_position returns the FIRST index of the min → lowest cid on ties
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    seed: int = 0,
+) -> DataFrame:
+    """(cid int, cv array<double>) — Lloyd's k-means centroids.
+
+    Empty clusters keep their previous centroid (standard Lloyd fallback).
+    Stops when the max centroid L2 shift <= tol or after max_iter.
+    """
+    from pyspark.sql.window import Window
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # deterministic init: the k hash-smallest ids
+    w = Window.orderBy(F.xxhash64("id", F.lit(seed)), F.asc("id"))
+    init_rows = (
+        v.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).collect()
+    )
+    # the k-row global window is fine: it ranks only to pick k seeds, and the
+    # single-partition sort is over n ids (longs), not vectors — at true
+    # scale swap in a TABLESAMPLE + local top-k; the iteration core is the
+    # scale path, not the seeding
+    centroids = [list(r["v"]) for r in sorted(init_rows, key=lambda r: r["rn"])]
+    if len(centroids) < k:
+        raise ValueError(f"need >= {k} rows for k={k} init, got {len(centroids)}")
+
+    for _ in range(max_iter):
+        assigned = v.select("id", "v", _assign_cid(F.col("v"), centroids).alias("cid"))
+        stats = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in stats:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = (r["s"], r["n"])
+        shift = 0.0
+        new_centroids = []
+        for cid, old in enumerate(centroids):
+            dims = by_cid.get(cid)
+            if not dims:  # empty cluster: keep the previous centroid
+                new_centroids.append(old)
+                continue
+            mean = [dims[p][0] / dims[p][1] for p in range(len(old))]
+            shift = max(
+                shift, math.sqrt(sum((a - b) ** 2 for a, b in zip(mean, old)))
+            )
+            new_centroids.append(mean)
+        centroids = new_centroids
+        if shift <= tol:
+            break
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(centroids)], "cid int, cv array<double>"
+    )

@@ -227,25 +227,31 @@ def ivf_topk(
     k: int = 5,
     stride: int = 25,
     nprobe: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize to centroids, probe ``nprobe`` inverted lists.
 
-    Centroids are chosen deterministically (every ``stride``-th id) so the
-    result is reproducible and SQL-expressible for the oracle. Structure is
-    the 100 TB path: the centroid table is tiny (broadcast to every
-    executor for assignment — no shuffle), points land in inverted lists
-    keyed by centroid id, and the only shuffle is the candidate join on
-    ``cid`` — each query compares against its ``nprobe`` lists instead of
-    the whole corpus (cross-join cost drops from O(n^2) to O(n^2·nprobe/C)).
-    At real scale the centroid set comes from a k-means job; the list
-    layout, probe join, and exact rerank are identical.
+    ``centroids``: optional (cid, cv array<double>) table — feed the output
+    of :func:`amanogawa_spark.operators.kmeans.kmeans_centroids` for real
+    quantization quality. Default: every ``stride``-th id as a centroid —
+    deterministic and SQL-expressible for the oracle. Structure is
+    the 100 TB path either way: the centroid table is tiny (broadcast to
+    every executor for assignment — no shuffle), points land in inverted
+    lists keyed by centroid id, and the only shuffle is the candidate join
+    on ``cid`` — each query compares against its ``nprobe`` lists instead
+    of the whole corpus (cross-join cost drops from O(n^2) to
+    O(n^2·nprobe/C)).
     """
     v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    cents = v.filter(F.col("id") % stride == 0).select(
-        F.col("id").alias("cid"), F.col("v").alias("cv")
+    cents = (
+        centroids.select(F.col("cid").cast("long").alias("cid"), "cv")
+        if centroids is not None
+        else v.filter(F.col("id") % stride == 0).select(
+            F.col("id").alias("cid"), F.col("v").alias("cv")
+        )
     )
     # assignment pass: broadcast the centroid table; cosine uses the same
     # raw dot/(|a||b|) association order as the DuckDB oracle formula

@@ -205,3 +205,62 @@ def test_embedding_neardup_ivf_candidates(spark, neardup_vecs):
     }
     recall = len(ivf & brute) / len(brute)
     assert recall >= 0.6, f"IVF near-dup recall {recall:.2f} < 0.6"
+
+
+def test_kmeans_matches_numpy_lloyd(spark, neardup_vecs):
+    """Distributed Lloyd's == local numpy Lloyd's with the identical
+    deterministic init (hash-smallest ids), per-iteration."""
+    from amanogawa_spark.operators.kmeans import kmeans_centroids
+
+    rows = sorted(
+        ((r.vec_id, [float(x) for x in r.embedding]) for r in neardup_vecs.collect())
+    )
+    data = {i: np.array(v) for i, v in rows}
+    k, iters, seed = 5, 4, 0
+
+    got = kmeans_centroids(
+        neardup_vecs, k=k, max_iter=iters, tol=-1.0, seed=seed
+    ).collect()
+    got_c = {r.cid: np.array(r.cv) for r in got}
+
+    # replicate init: k hash-smallest ids under xxhash64(id, seed)
+    from pyspark.sql import functions as F
+
+    order = [
+        r.vec_id
+        for r in neardup_vecs.select("vec_id")
+        .orderBy(F.xxhash64("vec_id", F.lit(seed)), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    ]
+    cents = [data[i].copy() for i in order]
+    for _ in range(iters):
+        assign = {}
+        for i, v in data.items():
+            d = [float(np.sum((v - c) ** 2)) for c in cents]
+            assign[i] = int(np.argmin(d))  # first min == lowest cid
+        for cid in range(k):
+            members = [data[i] for i, a in assign.items() if a == cid]
+            if members:
+                cents[cid] = np.mean(members, axis=0)
+    for cid in range(k):
+        assert np.allclose(got_c[cid], cents[cid], atol=1e-9), cid
+
+
+def test_ivf_with_kmeans_centroids_recall(spark, neardup_vecs):
+    """ivf_topk fed by kmeans centroids: recall vs brute must beat the
+    naive stride-quantizer on the clustered fixture."""
+    from amanogawa_spark.operators.kmeans import kmeans_centroids
+    from amanogawa_spark.operators.similarity import cosine_topk_brute, ivf_topk
+
+    kk = 3
+    brute = {}
+    for r in cosine_topk_brute(neardup_vecs, k=kk).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    cents = kmeans_centroids(neardup_vecs, k=12, max_iter=5)
+    got = {}
+    for r in ivf_topk(neardup_vecs, k=kk, nprobe=3, centroids=cents).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(got.get(q, set()) & nb) for q, nb in brute.items())
+    recall = hits / (len(brute) * kk)
+    assert recall >= 0.7, f"IVF+kmeans recall {recall:.2f}"
