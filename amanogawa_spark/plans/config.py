@@ -184,6 +184,15 @@ def _sink_fn(spec: dict, base_dir: str):
         return lambda df: write_json(prep(df), path)
     if fmt_type == "parquet":
         return lambda df: write_parquet(prep(df), path)
+    if fmt_type == "xml":
+        from amanogawa_spark.sources.writers import write_xml
+
+        return lambda df: write_xml(
+            prep(df),
+            path,
+            root_tag=fmt.get("root_tag", "rows"),
+            row_tag=fmt.get("row_tag", "row"),
+        )
     raise ValueError(f"unsupported sink format: {fmt_type!r}")
 
 

@@ -40,3 +40,37 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    root_tag: str = "rows",
+    row_tag: str = "row",
+    mode: str = "overwrite",
+) -> None:
+    """Element-per-row XML. The reference's xml write is an unimplemented
+    throw (``plugin/format/xml/xml.cpp:86-91``); implemented anyway for
+    format symmetry (like json write). Each output part file is a complete
+    document (own root element) so :func:`~amanogawa_spark.sources.readers.
+    read_xml`'s whole-document parse round-trips a directory of parts. XML
+    is not a scale path — per-partition Python here is acceptable."""
+    from xml.sax.saxutils import escape
+
+    cols = df.columns
+
+    def to_doc(it):
+        rows = [f"<{root_tag}>"]
+        for r in it:
+            cells = "".join(
+                f"<{c}>{escape(str(r[c]))}</{c}>" for c in cols if r[c] is not None
+            )
+            rows.append(f"<{row_tag}>{cells}</{row_tag}>")
+        rows.append(f"</{root_tag}>")
+        yield "\n".join(rows)
+
+    if mode == "overwrite":
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    df.rdd.mapPartitions(to_doc).saveAsTextFile(path)

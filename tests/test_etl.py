@@ -164,3 +164,28 @@ def test_csv_multi_header_lines(spark, tmp_path):
     assert inferred.columns == ["id", "name", "score"]
     got = sorted(tuple(r) for r in inferred.collect())
     assert got == [("1", "ayaya", "3.5"), ("2", "karen", "4.0")]
+
+
+def test_xml_write_read_roundtrip(spark, tmp_path):
+    """write_xml (reference throws; implemented for symmetry) round-trips
+    through read_xml's whole-document parse — per part file, each a
+    complete document with its own root."""
+    from amanogawa_spark.sources.writers import write_xml
+
+    df = spark.createDataFrame(
+        [(1, "Aries", 3.5), (2, "Tau<rus>", None), (3, "Gem&ini", 1.25)],
+        "id int, name string, score double",
+    ).coalesce(2)
+    out = str(tmp_path / "xml_out")
+    write_xml(df, out)
+    back = read_xml(
+        spark,
+        out + "/part-*",
+        columns=[
+            {"name": "id", "type": "int"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+        ],
+    )
+    rows = sorted(tuple(r) for r in back.collect())
+    assert rows == [(1, "Aries", 3.5), (2, "Tau<rus>", None), (3, "Gem&ini", 1.25)]
