@@ -72,8 +72,14 @@ def coreness(
     vertices: DataFrame,
     edges: DataFrame,
     max_rounds: int = 10_000,
+    with_round: bool = False,
 ) -> DataFrame:
     """(id long, coreness long) — full per-vertex coreness in ONE peel.
+
+    ``with_round=True`` adds ``peel_round`` (the 1-based round the vertex
+    was removed in) — the batch degeneracy ordering: sorting by
+    (peel_round, id) is a valid smallest-last elimination order, the
+    ordering greedy coloring / densest-subgraph peeling consume.
 
     Level-jump peeling: maintain the alive set and the current level k;
     each round computes alive-subgraph degrees, jumps k to
@@ -125,11 +131,10 @@ def coreness(
         if row["m"] is None:  # alive set is empty — every vertex assigned
             break
         k = max(k, int(row["m"]) + 1)
-        acc_pending.append(
-            degd.filter(F.col("deg") < k).select(
-                "id", F.lit(k - 1).cast("long").alias("coreness")
-            )
-        )
+        removed_cols = ["id", F.lit(k - 1).cast("long").alias("coreness")]
+        if with_round:
+            removed_cols.append(F.lit(rnd).cast("long").alias("peel_round"))
+        acc_pending.append(degd.filter(F.col("deg") < k).select(*removed_cols))
         alive = degd.filter(F.col("deg") >= k).select("id")
         if rnd % 3 == 0:
             # checkpoint barrier: materialize the accumulated coreness rows
@@ -146,7 +151,8 @@ def coreness(
         h.unpersist()
     pairs.unpersist()
     if acc is None:
-        return spark.createDataFrame([], "id long, coreness long")
+        schema = "id long, coreness long" + (", peel_round long" if with_round else "")
+        return spark.createDataFrame([], schema)
     return acc
 
 

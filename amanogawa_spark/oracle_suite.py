@@ -509,7 +509,7 @@ def q_coreness(spark, sf_dir):
     return coreness(v, e)
 
 
-def _coreness_sql(rounds: int = 40) -> str:
+def _coreness_sql(rounds: int = 40, with_round: bool = False) -> str:
     parts = [
         f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
         _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
@@ -530,18 +530,31 @@ def _coreness_sql(rounds: int = 40) -> str:
             f"k{r} AS MATERIALIZED (SELECT GREATEST((SELECT k FROM k{p}), "
             f"(SELECT COALESCE(MIN(deg), 4000000000) FROM deg{r}) + 1) AS k)"
         )
+        round_col = f", {r} AS peel_round" if with_round else ""
         parts.append(
-            f"rem{r} AS MATERIALIZED (SELECT id, (SELECT k FROM k{r}) - 1 AS coreness "
-            f"FROM deg{r} WHERE deg < (SELECT k FROM k{r}))"
+            f"rem{r} AS MATERIALIZED (SELECT id, (SELECT k FROM k{r}) - 1 AS coreness"
+            f"{round_col} FROM deg{r} WHERE deg < (SELECT k FROM k{r}))"
         )
         parts.append(
             f"a{r} AS MATERIALIZED (SELECT id FROM deg{r} WHERE deg >= (SELECT k FROM k{r}))"
         )
     union = " UNION ALL ".join(f"SELECT * FROM rem{r}" for r in range(1, rounds + 1))
+    extra = ", CAST(peel_round AS BIGINT) AS peel_round" if with_round else ""
     return (
         ",\n".join(parts)
-        + f"\nSELECT id, CAST(coreness AS BIGINT) AS coreness FROM ({union})"
+        + f"\nSELECT id, CAST(coreness AS BIGINT) AS coreness{extra} FROM ({union})"
     )
+
+
+def q_degeneracy_order(spark, sf_dir):
+    """Per-vertex (coreness, peel_round) — the batch degeneracy ordering
+    (smallest-last elimination): same single peel, same exact SQL mirror
+    with the round literal carried through."""
+    from amanogawa_spark.graph.kcore import coreness
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return coreness(v, e, with_round=True)
 
 
 def q_hits3(spark, sf_dir):
@@ -811,6 +824,7 @@ QUERIES = {
     "q_ppr4": q_ppr4,
     "q_kcore45": q_kcore45,
     "q_coreness": q_coreness,
+    "q_degeneracy_order": q_degeneracy_order,
     "q_hits3": q_hits3,
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
@@ -1277,6 +1291,7 @@ ORACLE_SQL = {
     "q_ppr4": _ppr_sql(4),
     "q_kcore45": _kcore_sql(45, 6),
     "q_coreness": _coreness_sql(40),
+    "q_degeneracy_order": _coreness_sql(40, with_round=True),
     "q_hits3": _hits_sql(3),
     "q_semi_join": (
         "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
