@@ -25,19 +25,38 @@ def label_propagation(
     edges: DataFrame,
     max_rounds: int = 10,
     checkpoint_every: int = 5,
+    checkpoint=None,
 ) -> DataFrame:
-    """Returns (id long, label long) after ``max_rounds`` synchronous rounds."""
+    """Returns (id long, label long) after ``max_rounds`` synchronous rounds.
+
+    ``checkpoint``: optional
+    :class:`~amanogawa_spark.checkpoint.CheckpointManager` — the label
+    frame is snapshotted durably every ``checkpoint_every`` rounds (with
+    per-partition manifest + metrics journal) and a killed job resumes at
+    the latest snapshotted round — the same superjob contract as pagerank
+    and connected_components.
+    """
+    import time as _time
+
     pairs = _symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     labels = vertices.select("id", F.col("id").alias("label")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    start_round = 0
+    if checkpoint is not None:
+        last = checkpoint.latest_iteration()
+        if last is not None:
+            labels.unpersist()
+            labels = checkpoint.load(last).persist(StorageLevel.MEMORY_AND_DISK)
+            start_round = last
     # cache discipline: persisted handles accumulate in `pending` and are
     # released at each eager checkpoint (whose blocks supersede them). The
     # old `old.unpersist()` targeted the checkpoint WRAPPER on checkpoint
     # rounds — a no-op on the cache-manager entry — leaking one cached label
     # set per checkpointed round for the session lifetime.
     pending = [labels]
-    for rnd in range(1, max_rounds + 1):
+    for rnd in range(start_round + 1, max_rounds + 1):
+        t0 = _time.time()
         counts = (
             pairs.join(labels.withColumnRenamed("id", "v"), "v")
             .groupBy(F.col("u").alias("id"), "label")
@@ -53,13 +72,18 @@ def label_propagation(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         if rnd % checkpoint_every == 0:
-            labels = cached.localCheckpoint(eager=True)
+            if checkpoint is not None:
+                labels = checkpoint.save(cached, rnd)  # durable + fresh lineage
+            else:
+                labels = cached.localCheckpoint(eager=True)
             for p in pending + [cached]:
                 p.unpersist()
             pending = []
         else:
             pending.append(cached)
             labels = cached
+        if checkpoint is not None:
+            checkpoint.log_metrics(rnd, seconds=_time.time() - t0)
     # keep the final frame (the caller's result) cached; release the rest
     for p in pending:
         if p is not labels:

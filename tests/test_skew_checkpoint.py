@@ -79,3 +79,60 @@ def test_checkpoint_manager_roundtrip(spark, tmp_path):
     assert man is not None and man["iteration"] == 3
     assert sum(p["rows"] for p in man["partitions"]) == 10
     assert man["n_partitions"] == len(man["partitions"]) >= 1
+
+
+def test_connected_components_resumable(spark, tmp_path):
+    """CC snapshots each round's parent-pointer set; a fresh run against the
+    same checkpoint root resumes (skips completed rounds) and produces the
+    identical component assignment."""
+    from amanogawa_spark.graph.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(i, i + 2) for i in range(0, 30, 3)],
+        "src_id long, dst_id long",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(42)], "id long")
+    plain = {r.id: r.component for r in connected_components(verts, edges).collect()}
+
+    root = str(tmp_path / "cc_ck")
+    cm1 = CheckpointManager(spark, root, keep_last=3)
+    # "killed" partial run: only 2 rounds allowed
+    connected_components(verts, edges, max_rounds=2, checkpoint=cm1)
+    assert cm1.latest_iteration() == 2
+    assert len(cm1.read_metrics()) == 2
+    # resumed run: picks up at round 3
+    cm2 = CheckpointManager(spark, root, keep_last=3)
+    resumed = {
+        r.id: r.component
+        for r in connected_components(verts, edges, checkpoint=cm2).collect()
+    }
+    assert resumed == plain
+    assert cm2.latest_iteration() > 2
+    assert cm2.read_partition_manifest() is not None
+
+
+def test_lpa_resumable(spark, tmp_path):
+    """LPA label frame resumes from the latest durable snapshot; final
+    labels equal an uninterrupted run of the same total rounds."""
+    from amanogawa_spark.graph.lpa import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)] + [(20 + i, 20 + (i + 1) % 6) for i in range(6)],
+        "src_id long, dst_id long",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(26)], "id long")
+    plain = {
+        r.id: r.label for r in label_propagation(verts, edges, max_rounds=4).collect()
+    }
+    root = str(tmp_path / "lpa_ck")
+    cm1 = CheckpointManager(spark, root, keep_last=3)
+    label_propagation(verts, edges, max_rounds=2, checkpoint_every=2, checkpoint=cm1)
+    assert cm1.latest_iteration() == 2
+    cm2 = CheckpointManager(spark, root, keep_last=3)
+    resumed = {
+        r.id: r.label
+        for r in label_propagation(
+            verts, edges, max_rounds=4, checkpoint_every=2, checkpoint=cm2
+        ).collect()
+    }
+    assert resumed == plain
