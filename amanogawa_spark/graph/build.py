@@ -165,6 +165,36 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def rollup_edges(
+    edges: DataFrame,
+    group_expr,
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Aggregate a page-level edge table to a coarser graph (page → domain).
+
+    ``group_expr``: callable mapping an id Column to its group id (e.g.
+    ``lambda c: c % 50`` for a modular fixture, or a url→domain lookup
+    join upstream). Multi-edges collapse into a ``weight`` count so the
+    rolled-up graph feeds :func:`amanogawa_spark.graph.pagerank.pagerank`
+    with ``weight_col='weight'`` — the standard host-graph construction
+    for web ranking (domain-level PageRank over Common-Crawl uses exactly
+    this shape; hub domains keep their aggregate link mass).
+
+    Scale: ONE hash shuffle on the (group_src, group_dst) pair — the
+    map-side partial count collapses the fan-in before the exchange, so a
+    domain receiving 10^9 page links moves one partial row per upstream
+    partition, not 10^9 rows. Self-loops (intra-domain links) are dropped
+    by default: they dominate raw counts (~most links are site-internal)
+    and carry no cross-domain ranking signal.
+    """
+    src_g = group_expr(F.col("src_id")).alias("src_id")
+    dst_g = group_expr(F.col("dst_id")).alias("dst_id")
+    grouped = edges.select(src_g, dst_g)
+    if drop_self_loops:
+        grouped = grouped.filter(F.col("src_id") != F.col("dst_id"))
+    return grouped.groupBy("src_id", "dst_id").agg(F.count("*").alias("weight"))
+
+
 def degree_histogram(edges: DataFrame, col: str = "dst_id") -> DataFrame:
     """log2-bucketed degree histogram — the skew-detection job that sizes
     salting factors for hub vertices (SURVEY.md §4.2)."""

@@ -50,8 +50,18 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     num_partitions: int | None = None,
     check_every: int = 1,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Power iteration: r' = (1-d)/N + d * (A^T r/outdeg + dangling/N).
+
+    ``weight_col``: optional positive edge-weight column — each source
+    splits its rank proportionally to weight instead of uniformly
+    (contrib = rank * w / sum-of-outgoing-w). The reference's ``to_graph``
+    emits similarity-weighted kNN edges (to_graph.cpp:82-117), and
+    domain-rollup graphs carry multi-edge counts; both rank correctly only
+    under the weighted walk. Execution shape is IDENTICAL to the unweighted
+    path — ``out_degree`` simply becomes the out-weight sum, computed once
+    into the persisted edge table, so per-iteration cost does not change.
 
     ``check_every`` chunks k update steps into ONE driver action: the
     dangling mass is folded in-plan (1-row aggregate + broadcast cross
@@ -75,7 +85,13 @@ def pagerank(
     # grows ~3^k within a chunk — measured 0.5s → 80s within a 5-iteration
     # window. Every chunk ends with a lazy localCheckpoint (or durable save).
 
-    out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(F.count("*").alias("out_degree"))
+    out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(
+        (
+            F.sum(F.col(weight_col).cast("double"))
+            if weight_col is not None
+            else F.count("*").cast("double")
+        ).alias("out_degree")
+    )
     # vertex table with a dangling indicator, partitioned on id for the
     # per-iteration joins; built once
     verts = (
@@ -169,7 +185,11 @@ def pagerank(
             )
             .select(
                 F.col("dst_id").alias("id"),
-                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                (
+                    F.col("rank") * F.col(weight_col) / F.col("out_degree")
+                    if weight_col is not None
+                    else F.col("rank") / F.col("out_degree")
+                ).alias("contrib"),
             )
             .groupBy("id")
             .agg(F.sum("contrib").alias("in_mass"))
@@ -397,6 +417,7 @@ def pagerank_fixed_iterations(
     edges: DataFrame,
     iterations: int,
     damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exactly-k-iteration PageRank (no convergence test) — the oracle-
     friendly variant matched against unrolled SQL CTEs in DuckDB."""
@@ -406,5 +427,6 @@ def pagerank_fixed_iterations(
         damping=damping,
         tol=-1.0,  # never converge early
         max_iter=iterations,
+        weight_col=weight_col,
     )
     return res.ranks

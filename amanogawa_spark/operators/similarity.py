@@ -80,15 +80,16 @@ def cosine_topk_brute(
     )
 
 
-def _hyperplane_sign(vec: Column, table: int, plane: int, dim: int) -> Column:
+def _hyperplane_sign(vec: Column, table: int, plane: int) -> Column:
     """Sign of <vec, h> where h's components are +-1 from xxhash64(table,plane,i).
 
     Deterministic pseudo-random hyperplanes without shipping numpy arrays.
+    The element index comes from the two-arg ``F.transform`` lambda, so no
+    dimension needs to be known (and no driver action infers it) — the
+    expression is fully lazy whatever the array length per row.
     """
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    signed = F.zip_with(
+    signed = F.transform(
         vec,
-        idx,
         lambda x, i: F.when(
             F.xxhash64(F.lit(table), F.lit(plane), i).bitwiseAND(F.lit(1)) == 1,
             x.cast("double"),
@@ -99,15 +100,19 @@ def _hyperplane_sign(vec: Column, table: int, plane: int, dim: int) -> Column:
 
 
 def lsh_bucket_keys(
-    vec: Column, dim: int, n_tables: int = 4, n_planes: int = 8
+    vec: Column, dim: int | None = None, n_tables: int = 4, n_planes: int = 8
 ) -> Column:
-    """array<struct<table int, bucket long>> — one sign-bit bucket per table."""
+    """array<struct<table int, bucket long>> — one sign-bit bucket per table.
+
+    ``dim`` is accepted for backward compatibility and ignored — plane
+    components are generated per element index inside the expression.
+    """
     entries = []
     for t in range(n_tables):
         bucket = F.lit(0).cast("long")
         for p in range(n_planes):
             bucket = F.shiftleft(bucket, 1).bitwiseOR(
-                _hyperplane_sign(vec, t, p, dim).cast("long")
+                _hyperplane_sign(vec, t, p).cast("long")
             )
         entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
     return F.array(*entries)
@@ -181,8 +186,6 @@ def cosine_topk_lsh(
     region can otherwise dominate the whole join). Members still meet
     through their other tables' buckets.
     """
-    if planes is None and dim is None:
-        dim = len(df.select(vec_col).first()[0])
     unit = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -190,7 +193,7 @@ def cosine_topk_lsh(
     keys = (
         _literal_plane_buckets(F.col("u"), planes)
         if planes is not None
-        else lsh_bucket_keys(F.col("u"), dim, n_tables, n_planes)
+        else lsh_bucket_keys(F.col("u"), None, n_tables, n_planes)
     )
     bucketed = unit.select("id", "u", F.explode(keys).alias("bk")).select(
         "id", "u", "bk.table", "bk.bucket"
@@ -311,8 +314,8 @@ def embedding_neardup(
     - ``'lsh'`` (default — the 100 TB path): only ids sharing >= 1
       sign-LSH bucket ever meet; the self-join is bucket-local. Pass
       ``planes`` (e.g. :func:`md5_hyperplanes`) for the oracle-checkable
-      literal-plane variant, else seeded xxhash64 planes (needs ``dim``
-      or one driver probe).
+      literal-plane variant, else seeded xxhash64 planes (fully lazy —
+      plane components are generated per element index, no driver probe).
     - ``'ivf'``: ids sharing an inverted list (assigned or probed) meet;
       candidate volume ~ n²·nprobe/C.
     - ``'brute'``: O(n²) cross join — correctness baseline, explicit
@@ -328,12 +331,10 @@ def embedding_neardup(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).select("id", F.transform("v", lambda x: x / _norm(F.col("v"))).alias("u"))
     if candidates == "lsh":
-        if planes is None and dim is None:
-            dim = len(df.select(vec_col).first()[0])
         keys = (
             _literal_plane_buckets(F.col("u"), planes)
             if planes is not None
-            else lsh_bucket_keys(F.col("u"), dim, n_tables, n_planes)
+            else lsh_bucket_keys(F.col("u"), None, n_tables, n_planes)
         )
         bucketed = unit.select("id", "u", F.explode(keys).alias("bk")).select(
             "id", "u", "bk.table", "bk.bucket"

@@ -790,6 +790,41 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_domain_edges(spark, sf_dir):
+    """Page graph → domain graph rollup (domain = id % 50): multi-edges
+    collapse into a ``weight`` count, intra-domain self-loops dropped —
+    the host-graph construction for domain-level web ranking."""
+    from amanogawa_spark.graph.build import rollup_edges
+
+    return rollup_edges(derived_edges(spark, sf_dir), lambda c: c % 50)
+
+
+def q_pagerank_weighted3(spark, sf_dir):
+    """Weighted PageRank (3 iterations) over the domain rollup graph —
+    each domain splits its rank proportionally to aggregated link counts
+    (weight_col), not uniformly."""
+    from amanogawa_spark.graph.build import rollup_edges
+
+    e = rollup_edges(derived_edges(spark, sf_dir), lambda c: c % 50)
+    v = (
+        e.select(F.col("src_id").alias("id"))
+        .unionAll(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    r = pagerank_fixed_iterations(v, e, iterations=3, weight_col="weight")
+    return r.select("id", F.round("rank", 8).alias("pr_value"))
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Per-vertex local clustering coefficient (exact, degree-ordered
+    wedge counting) — rounded to 8 on both engines."""
+    from amanogawa_spark.graph.triangles import clustering_coefficient
+
+    return clustering_coefficient(derived_edges(spark, sf_dir)).select(
+        "id", "triangles", F.round("lcc", 8).alias("lcc_r")
+    )
+
+
 QUERIES = {
     "q_filter_numeric": q_filter_numeric,
     "q_filter_contains": q_filter_contains,
@@ -835,7 +870,10 @@ QUERIES = {
     "q_bow_topk": q_bow_topk,
     "q_bow_wakati_topk": q_bow_wakati_topk,
     "q_knn_edges": q_knn_edges,
-    # rows-only (no oracle_sql entry):
+    "q_domain_edges": q_domain_edges,
+    "q_pagerank_weighted3": q_pagerank_weighted3,
+    "q_clustering_coeff": q_clustering_coeff,
+    # converted from rows-only to value oracles in round 2:
     "q_pagerank_converged": q_pagerank_converged,
     "q_cc_star": q_cc_star,
     "q_minhash_dedup": q_minhash_dedup,
@@ -877,6 +915,52 @@ def _pagerank_sql(iters: int, round_to: int = 8) -> str:
         parts.append(
             f"r{c} AS MATERIALIZED (SELECT v.id, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.mass, 0.0) "
             f"+ (SELECT dm FROM d{c})/(SELECT n FROM nn)) AS pr FROM verts v "
+            f"LEFT JOIN c{c} c ON v.id = c.id)"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return (
+        body
+        + f"\nSELECT id, ROUND(CAST(pr AS DOUBLE), {round_to}) AS pr_value FROM r{iters}"
+    )
+
+
+_DOMAIN_EDGES_SQL = """
+wedges AS MATERIALIZED (
+  SELECT src_id % 50 AS src_id, dst_id % 50 AS dst_id, COUNT(*) AS weight
+  FROM edges WHERE src_id % 50 <> dst_id % 50
+  GROUP BY src_id % 50, dst_id % 50
+)"""
+
+
+def _pagerank_weighted_sql(iters: int, round_to: int = 8) -> str:
+    """Unrolled weighted power iteration over the domain rollup graph:
+    mass = SUM(pr * w / out_weight) — per-term doubles identical on both
+    engines; summation-order noise absorbed by the in-query ROUND."""
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _DOMAIN_EDGES_SQL.strip(),
+        "wverts AS MATERIALIZED (SELECT DISTINCT id FROM ("
+        "SELECT src_id AS id FROM wedges UNION ALL SELECT dst_id AS id FROM wedges))",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wverts)",
+        "outw AS MATERIALIZED (SELECT src_id AS id, CAST(SUM(weight) AS DOUBLE) AS ow "
+        "FROM wedges GROUP BY src_id)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS pr FROM wverts)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = k - 1, k
+        parts.append(
+            f"d{c} AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS dm FROM r{p} r "
+            f"LEFT JOIN outw o ON r.id = o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"c{c} AS MATERIALIZED (SELECT e.dst_id AS id, "
+            f"SUM(r.pr * e.weight / o.ow) AS mass FROM wedges e "
+            f"JOIN r{p} r ON e.src_id = r.id JOIN outw o ON e.src_id = o.id "
+            f"GROUP BY e.dst_id)"
+        )
+        parts.append(
+            f"r{c} AS MATERIALIZED (SELECT v.id, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.mass, 0.0) "
+            f"+ (SELECT dm FROM d{c})/(SELECT n FROM nn)) AS pr FROM wverts v "
             f"LEFT JOIN c{c} c ON v.id = c.id)"
         )
     body = parts[0] + ",\n" + ",\n".join(parts[1:])
@@ -1280,6 +1364,27 @@ ORACLE_SQL = {
         "COALESCE(in_degree, 0) AS in_degree FROM o FULL OUTER JOIN i ON o.id = i.id"
     ),
     "q_pagerank5": _pagerank_sql(5),
+    "q_domain_edges": (
+        f"WITH {_EDGES_SQL.strip()}, {_DOMAIN_EDGES_SQL.strip().replace(' MATERIALIZED', '', 1)} "
+        "SELECT src_id, dst_id, weight FROM wedges"
+    ),
+    "q_pagerank_weighted3": _pagerank_weighted_sql(3),
+    "q_clustering_coeff": (
+        f"WITH {_EDGES_SQL.strip()}, "
+        "und AS (SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b FROM edges), "
+        "deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) GROUP BY id), "
+        "ori AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u, "
+        "CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v "
+        "FROM und u JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id), "
+        "wed AS (SELECT e1.v AS x, e2.v AS y, e1.u AS pv FROM ori e1 JOIN ori e2 ON e1.u = e2.u WHERE e1.v < e2.v), "
+        "clo AS (SELECT u AS x, v AS y FROM ori UNION SELECT v AS x, u AS y FROM ori), "
+        "tri AS (SELECT pv, x, y FROM wed JOIN clo USING (x, y)), "
+        "tpv AS (SELECT id, COUNT(*) AS t FROM (SELECT pv AS id FROM tri "
+        "UNION ALL SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri) GROUP BY id) "
+        "SELECT d.id, CAST(COALESCE(tpv.t, 0) AS BIGINT) AS triangles, "
+        "ROUND(CASE WHEN d.d >= 2 THEN 2.0 * COALESCE(tpv.t, 0) / (d.d * (d.d - 1.0)) "
+        "ELSE 0.0 END, 8) AS lcc_r FROM deg d LEFT JOIN tpv ON d.id = tpv.id"
+    ),
     "q_pagerank_converged": _pagerank_sql(130, round_to=6),
     "q_cc_star": _cc_star_sql(),
     "q_triangle_approx": _doulion_md5_sql(0.5),

@@ -56,6 +56,20 @@ def test_triangles_exact(spark, graph):
     assert expected > 0  # fixture must make the test non-trivial
 
 
+def test_clustering_coefficient_known_graph(spark):
+    """K3 + pendant: triangle corners split between lcc=1 (deg 2) and
+    lcc=1/3 (the deg-3 corner carrying the pendant); pendant lcc=0."""
+    from amanogawa_spark.graph.triangles import clustering_coefficient
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3)], "src_id long, dst_id long"
+    )
+    got = {r.id: (r.triangles, r.lcc) for r in clustering_coefficient(e).collect()}
+    assert got[1] == (1, 1.0) and got[2] == (1, 1.0)
+    assert got[0][0] == 1 and abs(got[0][1] - 1.0 / 3.0) < 1e-12
+    assert got[3] == (0, 0.0)
+
+
 def test_triangle_approx_estimator(spark):
     """DOULION estimator: unbiased on a triangle-rich graph; deterministic."""
     from pyspark.sql import functions as F

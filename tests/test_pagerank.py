@@ -80,6 +80,62 @@ def test_pagerank_chunked_check_allclose(spark, graph):
     assert abs(got.sum() - 1.0) < 1e-9
 
 
+def test_pagerank_weighted_allclose(spark):
+    """Weighted walk: rank splits proportionally to edge weight. Verified
+    against a handwritten numpy weighted power iteration to 1e-12."""
+    edges = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (3, 0, 5.0), (3, 1, 1.0), (1, 4, 2.0),  # 4 is dangling
+    ]
+    n = 5
+    e = spark.createDataFrame(edges, "src_id long, dst_id long, weight double")
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    d = 0.85
+    W = np.zeros((n, n))
+    for s, t, w in edges:
+        W[s, t] = w
+    out_w = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(60):
+        dm = r[out_w == 0].sum()
+        contrib = np.zeros(n)
+        for s in range(n):
+            if out_w[s] > 0:
+                contrib += r[s] * W[s] / out_w[s]
+        r = (1 - d) / n + d * (contrib + dm / n)
+    res = pagerank(v, e, tol=-1.0, max_iter=60, weight_col="weight")
+    got = np.zeros(n)
+    for row in res.ranks.collect():
+        got[row.id] = row["rank"]
+    assert np.allclose(got, r, atol=1e-12, rtol=0)
+    assert abs(got.sum() - 1.0) < 1e-9
+    # weighting changes the answer vs the unweighted walk on this graph
+    unw = pagerank(v, e, tol=-1.0, max_iter=60)
+    got_unw = np.array([row["rank"] for row in unw.ranks.orderBy("id").collect()])
+    assert not np.allclose(got, got_unw, atol=1e-4)
+
+
+def test_rollup_edges_weights(spark):
+    """Page→domain rollup: multi-edges collapse to counts, self-loops drop."""
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.graph.build import rollup_edges
+
+    domain = lambda c: F.floor(c / 10).cast("long")  # noqa: E731
+    page_edges = [(0, 11), (1, 12), (2, 13), (10, 3), (11, 23), (1, 2)]
+    e = spark.createDataFrame(page_edges, "src_id long, dst_id long")
+    got = {
+        (r.src_id, r.dst_id): r.weight
+        for r in rollup_edges(e, domain).collect()
+    }
+    assert got == {(0, 1): 3, (1, 0): 1, (1, 2): 1}
+    with_loops = {
+        (r.src_id, r.dst_id): r.weight
+        for r in rollup_edges(e, domain, drop_self_loops=False).collect()
+    }
+    assert with_loops[(0, 0)] == 1  # the intra-domain (1,2) link
+
+
 def test_personalized_pagerank_converged_allclose(spark, graph):
     from amanogawa_spark.graph.pagerank import personalized_pagerank
 
