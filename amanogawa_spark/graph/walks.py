@@ -1,0 +1,99 @@
+"""Deterministic random walks over the edge table — graph training corpora.
+
+node2vec/DeepWalk-style pipelines need walk sequences sampled from the
+link graph as model input. RNG-state walks are irreproducible across
+retries and cluster sizes, so the transition choice here is a pure
+function of (start, walk_no, step, candidate): at each step the walker
+moves to the out-neighbor minimizing a per-edge hash. That is a uniform
+choice over neighbors (hash ranks are exchangeable), yet two runs — or
+two engines — produce the identical corpus.
+
+Scale shape: step k is ONE hash join (frontier ⋈ edges on the current
+vertex, the frontier is O(V·walks) rows and edges stay put on their
+src_id partitioning) plus a bounded top-1 window per walk. walk_length L
+costs L such rounds; the frontier only shrinks (walks die at dangling
+vertices). No RNG state, no driver action, fully lazy until the caller
+materializes.
+
+``hash='md5'`` is the engine-portable variant (DuckDB computes the same
+hex string, so the oracle SQL reproduces every transition exactly);
+'xxhash64' is the cheaper JVM default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _step_score(step: int, hash: str, seed: int):
+    if hash == "md5":
+        return F.md5(
+            F.encode(
+                F.concat_ws(
+                    "~",
+                    F.col("start_id").cast("string"),
+                    F.col("walk_no").cast("string"),
+                    F.lit(str(step)),
+                    F.col("dst_id").cast("string"),
+                ),
+                "UTF-8",
+            )
+        )
+    return F.xxhash64(
+        "start_id", "walk_no", F.lit(step), "dst_id", F.lit(seed)
+    ).cast("string")
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int,
+    walks_per_vertex: int = 1,
+    hash: str = "xxhash64",
+    seed: int = 7,
+) -> DataFrame:
+    """(start_id, walk_no, step, vertex_id) — hash-deterministic walks.
+
+    Step 0 is the start vertex itself (every vertex with >=1 out-edge
+    starts ``walks_per_vertex`` walks); step k's vertex is the
+    hash-argmin out-neighbor of step k-1's. Walks reaching a dangling
+    vertex stop early, so rows per walk range from 1 to walk_length+1.
+    """
+    starts = (
+        edges.select(F.col("src_id").alias("start_id"))
+        .distinct()
+        .select(
+            "start_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+            ).alias("walk_no"),
+        )
+    )
+    frontier = starts.select(
+        "start_id", "walk_no", F.col("start_id").alias("vertex_id")
+    )
+    out = frontier.select(
+        "start_id", "walk_no", F.lit(0).alias("step"), "vertex_id"
+    )
+    # dst tiebreak guards the (astronomically unlikely) hash collision —
+    # the choice must be total for determinism
+    w = Window.partitionBy("start_id", "walk_no").orderBy(
+        F.col("_score").asc(), F.col("dst_id").asc()
+    )
+    for k in range(1, walk_length + 1):
+        nxt = (
+            frontier.join(
+                edges, frontier["vertex_id"] == edges["src_id"], "inner"
+            )
+            .select("start_id", "walk_no", "dst_id")
+            .withColumn("_score", _step_score(k, hash, seed))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("start_id", "walk_no", F.col("dst_id").alias("vertex_id"))
+        )
+        out = out.unionAll(
+            nxt.select("start_id", "walk_no", F.lit(k).alias("step"), "vertex_id")
+        )
+        frontier = nxt
+    return out

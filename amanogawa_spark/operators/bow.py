@@ -66,6 +66,52 @@ def term_counts(
     )
 
 
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "whitespace",
+    min_df: int = 1,
+) -> DataFrame:
+    """(id, term, tf, df_count, tfidf) — smoothed TF-IDF term weighting.
+
+    tf = count/doc_len; idf = ln((N+1)/(df+1)) + 1 (the sklearn-style
+    smooth form: no division by zero, unseen-term idf bounded). ``min_df``
+    drops terms appearing in fewer than that many docs (vocab noise cut).
+
+    Scale shape: term counts are one map-side-combined shuffle; doc length
+    and document frequency are windows/aggregates over that SAME (id, term)
+    frame — no re-tokenization; N is a 1-row aggregate broadcast-cross-
+    joined in-plan (no driver action, fully lazy/composable). The weighted
+    vectors feed :func:`bow_cosine_topk`-style joins or vocabulary pruning
+    for training-data curation at corpus scale.
+    """
+    tc = term_counts(df, id_col, text_col, tokenizer)
+    wlen = Window.partitionBy("id")
+    tc = tc.withColumn("doc_len", F.sum("cnt").over(wlen))
+    dfreq = tc.groupBy("term").agg(F.count("*").cast("long").alias("df_count"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df_count") >= min_df)
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    return (
+        tc.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            (F.col("cnt") / F.col("doc_len")).alias("tf"),
+            "df_count",
+            (
+                (F.col("cnt") / F.col("doc_len"))
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df_count") + 1.0))
+                    + 1.0
+                )
+            ).alias("tfidf"),
+        )
+    )
+
+
 def bow_cosine_topk(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -825,6 +825,53 @@ def q_clustering_coeff(spark, sf_dir):
     )
 
 
+def q_tfidf(spark, sf_dir):
+    """Smoothed TF-IDF weights over a bounded doc slice — tf, document
+    frequency, and the weight all value-checked."""
+    from amanogawa_spark.operators.bow import tf_idf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return tf_idf(docs).select(
+        "id",
+        "term",
+        F.round("tf", 8).alias("tf_r"),
+        "df_count",
+        F.round("tfidf", 8).alias("tfidf_r"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic 5-docs-per-language sample (md5 hash order) —
+    engine-portable, so the exact sampled set is value-checked."""
+    from amanogawa_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 5, ["doc_id"], hash="md5").select(
+        "doc_id", "lang"
+    )
+
+
+def q_hash_sample(spark, sf_dir):
+    """Bernoulli(0.1) sample with a deterministic md5 per-row coin — a
+    pure filter, identical kept-set on both engines."""
+    from amanogawa_spark.operators.sampling import hash_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return hash_sample(ev, 0.1, ["event_id"], hash="md5").select(
+        "event_id", "user_id"
+    )
+
+
+def q_random_walks(spark, sf_dir):
+    """Hash-deterministic random walks (length 3, 2 walks/vertex) on a
+    200-vertex derived graph — every transition reproduced by the oracle's
+    unrolled md5-argmin steps."""
+    from amanogawa_spark.graph.walks import random_walks
+
+    e = derived_edges(spark, sf_dir, m=200)
+    return random_walks(e, walk_length=3, walks_per_vertex=2, hash="md5")
+
+
 QUERIES = {
     "q_filter_numeric": q_filter_numeric,
     "q_filter_contains": q_filter_contains,
@@ -873,6 +920,10 @@ QUERIES = {
     "q_domain_edges": q_domain_edges,
     "q_pagerank_weighted3": q_pagerank_weighted3,
     "q_clustering_coeff": q_clustering_coeff,
+    "q_tfidf": q_tfidf,
+    "q_stratified_sample": q_stratified_sample,
+    "q_hash_sample": q_hash_sample,
+    "q_random_walks": q_random_walks,
     # converted from rows-only to value oracles in round 2:
     "q_pagerank_converged": q_pagerank_converged,
     "q_cc_star": q_cc_star,
@@ -968,6 +1019,34 @@ def _pagerank_weighted_sql(iters: int, round_to: int = 8) -> str:
         body
         + f"\nSELECT id, ROUND(CAST(pr AS DOUBLE), {round_to}) AS pr_value FROM r{iters}"
     )
+
+
+def _random_walks_sql(m: int = 200, length: int = 3, wpv: int = 2) -> str:
+    """Unrolled hash-deterministic walk steps: step k picks the
+    md5-argmin out-neighbor — string-identical hash input on both
+    engines, so every transition (and thus the whole corpus) matches."""
+    vals = ", ".join(f"({i})" for i in range(wpv))
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT l_orderkey % {m} AS src_id, "
+        f"l_partkey % {m} AS dst_id FROM lineitem "
+        f"WHERE l_orderkey % {m} <> l_partkey % {m})",
+        "s0 AS MATERIALIZED (SELECT start_id, walk_no, start_id AS v FROM "
+        f"(SELECT DISTINCT src_id AS start_id FROM edges) CROSS JOIN (VALUES {vals}) wn(walk_no))",
+    ]
+    for k in range(1, length + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT start_id, walk_no, v FROM ("
+            f"SELECT w.start_id, w.walk_no, e.dst_id AS v, ROW_NUMBER() OVER ("
+            f"PARTITION BY w.start_id, w.walk_no ORDER BY "
+            f"md5(w.start_id::VARCHAR || '~' || w.walk_no::VARCHAR || '~{k}~' || e.dst_id::VARCHAR) ASC, "
+            f"e.dst_id ASC) AS rn "
+            f"FROM s{k - 1} w JOIN edges e ON w.v = e.src_id) WHERE rn = 1)"
+        )
+    steps = " UNION ALL ".join(
+        f"SELECT start_id, walk_no, {k} AS step, v AS vertex_id FROM s{k}"
+        for k in range(length + 1)
+    )
+    return ",\n".join(parts) + "\n" + steps
 
 
 def _cc_star_sql() -> str:
@@ -1369,6 +1448,28 @@ ORACLE_SQL = {
         "SELECT src_id, dst_id, weight FROM wedges"
     ),
     "q_pagerank_weighted3": _pagerank_weighted_sql(3),
+    "q_tfidf": (
+        f"WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents WHERE doc_id < 100), "
+        "tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base), "
+        "tc AS (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok "
+        "WHERE length(term) > 0 GROUP BY id, term), "
+        "dl AS (SELECT id, SUM(cnt) AS doc_len FROM tc GROUP BY id), "
+        "dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_count FROM tc GROUP BY term), "
+        "nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 100) "
+        "SELECT tc.id, tc.term, ROUND(cnt / doc_len, 8) AS tf_r, dfq.df_count, "
+        "ROUND((cnt / doc_len) * (ln((n_docs + 1.0) / (df_count + 1.0)) + 1.0), 8) AS tfidf_r "
+        "FROM tc JOIN dl USING (id) JOIN dfq USING (term) CROSS JOIN nd"
+    ),
+    "q_stratified_sample": (
+        "SELECT doc_id, lang FROM (SELECT doc_id, lang, ROW_NUMBER() OVER ("
+        "PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn "
+        "FROM documents) WHERE rn <= 5"
+    ),
+    "q_hash_sample": (
+        "SELECT event_id, user_id FROM events "
+        f"WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT < {int(0.1 * (1 << 32))}"
+    ),
+    "q_random_walks": _random_walks_sql(200, 3, 2),
     "q_clustering_coeff": (
         f"WITH {_EDGES_SQL.strip()}, "
         "und AS (SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b FROM edges), "
