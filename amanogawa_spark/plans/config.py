@@ -30,6 +30,13 @@ Anonymous single-component tables (``[source]`` / ``[flow]`` / ``[sink]``
 as in ``example/simple.toml`` / ``simple_to_graph.toml``) are wired
 linearly: source → flow → sink.
 
+Engine-extension flow types beyond the reference surface (the curation
+operators, declaratively reachable): ``type="sample"`` (``method=
+"hash"|"stratified"``, ``p``/``n``+``group_column``, ``keys``),
+``type="dedup"`` (``method="exact"|"minhash"``, ``id_column``,
+``column``, ``threshold``), ``type="tfidf"`` (``id_column``, ``column``,
+``tokenizer``, ``min_df``).
+
 Relative paths resolve against the config file's directory (CLI parity).
 Sinks write Spark-style part-file directories — at cluster scale that is
 the correct distributed output shape; single-file concat is a driver-side
@@ -157,6 +164,44 @@ def _flow_fn(spec: dict):
         return (lambda df: df.select(*cols)) if cols else (lambda df: df)
     if t == "to_graph":
         return _to_graph_fn(spec)
+    # --- engine extensions beyond the reference surface (curation ops) ---
+    if t == "sample":
+        from amanogawa_spark.operators.sampling import hash_sample, stratified_sample
+
+        method = spec.get("method", "hash")
+        keys = spec.get("keys") or [spec["key"]]
+        if method == "stratified":
+            return lambda df: stratified_sample(
+                df, spec["group_column"], int(spec.get("n", 100)), keys,
+                hash=spec.get("hash", "xxhash64"), seed=int(spec.get("seed", 7)),
+            )
+        return lambda df: hash_sample(
+            df, float(spec.get("p", 0.01)), keys,
+            hash=spec.get("hash", "xxhash64"), seed=int(spec.get("seed", 7)),
+        )
+    if t == "dedup":
+        method = spec.get("method", "exact")
+        id_col = spec.get("id_column", "doc_id")
+        col = spec.get("column", "text")
+        if method == "minhash":
+            from amanogawa_spark.operators.dedup import minhash_dedup
+
+            return lambda df: minhash_dedup(
+                df, id_col=id_col, text_col=col,
+                threshold=float(spec.get("threshold", 0.8)),
+            )
+        from amanogawa_spark.operators.dedup import dedup_exact
+
+        return lambda df: dedup_exact(df, id_col=id_col, text_col=col)
+    if t == "tfidf":
+        from amanogawa_spark.operators.bow import tf_idf
+
+        return lambda df: tf_idf(
+            df, id_col=spec.get("id_column", "doc_id"),
+            text_col=spec.get("column", "text"),
+            tokenizer=spec.get("tokenizer", "whitespace"),
+            min_df=int(spec.get("min_df", 1)),
+        )
     raise ValueError(f"unsupported flow type: {t!r}")
 
 

@@ -242,3 +242,60 @@ delimiter = " "
     run_config(str(tmp_path / "job.toml"), spark)
     rows = _read_rows(spark, str(tmp_path / "graph_out"), " ")
     assert rows == [("0", "1"), ("0", "2"), ("1", "2"), ("3", "4")]
+
+
+def test_flow_extensions_sample_dedup_tfidf(spark, tmp_path):
+    """Engine-extension flow types: curation ops declaratively reachable."""
+    docs = "\n".join(
+        f'{{"doc_id": {i}, "text": "{"alpha beta" if i % 2 else "gamma delta gamma"}", "grp": "g{i % 2}"}}'
+        for i in range(10)
+    )
+    (tmp_path / "docs.jsonl").write_text(docs + "\n")
+    (tmp_path / "job.toml").write_text(
+        """
+[source]
+type = "file"
+path = "docs.jsonl"
+[source.format]
+type = "json"
+columns = [
+  { name = "doc_id", type = "long" },
+  { name = "text", type = "string" },
+  { name = "grp", type = "string" },
+]
+
+[flow.pick]
+type = "sample"
+method = "stratified"
+group_column = "grp"
+n = 2
+keys = ["doc_id"]
+
+[flow.uniq]
+type = "dedup"
+method = "exact"
+from = "pick"
+
+[flow.weights]
+type = "tfidf"
+from = "uniq"
+
+[sink]
+type = "file"
+path = "weights_out"
+from = "weights"
+[sink.format]
+type = "csv"
+"""
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(str(tmp_path / "job.toml"), spark)
+    out = spark.read.csv(str(tmp_path / "weights_out"), header=True)
+    rows = {(r["id"], r["term"]) for r in out.collect()}
+    # stratified pick: 2 per grp (4 docs) -> exact dedup keeps one per
+    # distinct text (2 docs) -> tfidf emits one row per (doc, term)
+    terms = {t for _, t in rows}
+    assert terms <= {"alpha", "beta", "gamma", "delta"}
+    ids = {i for i, _ in rows}
+    assert len(ids) == 2
