@@ -1,0 +1,140 @@
+"""Strongly connected components — directed web-graph structure.
+
+The web link graph is DIRECTED; its condensation (bowtie: giant SCC +
+IN/OUT/tendrils) is the classic Common-Crawl structural analysis, and
+dangling-free PageRank variants, spam-farm detection, and crawl-frontier
+scheduling all consume SCC ids. The undirected components in
+``graph/components.py`` cannot see this structure.
+
+Algorithm: iterative forward-backward min-label peeling (the distributed
+"coloring" family — Orzan '04 / FW-BW Slota et al., re-expressed as
+DataFrame joins):
+
+  repeat until no active vertices:
+    f(v) = min id that REACHES v      (min-label propagation along edges)
+    b(v) = min id v REACHES           (same, along reversed edges)
+    f(v) == b(v) == m  ⟹  m→v and v→m  ⟹  v ∈ SCC(m): extract, peel.
+
+Each propagation MUST run to its fixpoint before extracting: at the
+fixpoint every member of an SCC carries the same (f, b) pair, so the
+extracted classes are complete SCCs — peeling them cannot split a
+surviving component. (Under a bounded propagation, f(v)=b(v)=m still
+implies v ∈ SCC(m), but only a PARTIAL subset of SCC(m) may qualify;
+removing that subset disconnects the remainder and corrupts later
+rounds — measured, not hypothetical. Hence no round-bound knob.) Each
+outer round removes at least the SCC of the minimum active vertex (its
+f and b are provably itself), so the peel terminates.
+
+Scale shape per inner round: one join shuffling the O(V) label side
+against the edge table (hash-partitioned once per outer round) + a
+map-side-combined min aggregate; the convergence signal is a single
+1-row sum (labels only decrease, so an unchanged sum means a fixpoint —
+one cheap action, no exceptAll scan). Lineage truncated every round;
+per-round caches released as soon as their successor materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _min_label_fixpoint(
+    verts: DataFrame,
+    edges: DataFrame,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """(id, lab): lab = min id with a directed path to v along src→dst.
+
+    Labels start at the vertex id and only decrease; the sum of labels is
+    therefore a strictly decreasing convergence signal.
+    """
+    labels = verts.select("id", F.col("id").alias("lab")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
+    while True:
+        incoming = (
+            edges.join(
+                labels.select(F.col("id").alias(src), "lab").hint("shuffle_hash"),
+                src,
+            )
+            .groupBy(F.col(dst).alias("id"))
+            .agg(F.min("lab").alias("in_lab"))
+        )
+        nxt = (
+            labels.join(incoming.hint("shuffle_hash"), "id", "left")
+            .select("id", F.least("lab", F.coalesce("in_lab", "lab")).alias("lab"))
+            .localCheckpoint(eager=False)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cur_sum = nxt.agg(F.sum("lab")).collect()[0][0]
+        labels.unpersist()
+        labels = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def strongly_connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_outer: int = 100,
+) -> DataFrame:
+    """(id, scc) — scc is the minimum vertex id of each strong component.
+
+    Exact. Every propagation runs to its fixpoint (required for
+    correctness — see the module docstring); on bowtie-shaped web graphs
+    the giant SCC and most of the condensation peel off in the first
+    outer round.
+    """
+    active = (
+        vertices.select("id").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e_all = edges.select("src_id", "dst_id").filter(
+        F.col("src_id") != F.col("dst_id")
+    )
+    done_parts: list[DataFrame] = []
+    for _ in range(max_outer):
+        if active.count() == 0:
+            break
+        e_act = (
+            e_all.join(active.select(F.col("id").alias("src_id")), "src_id", "left_semi")
+            .join(active.select(F.col("id").alias("dst_id")), "dst_id", "left_semi")
+            .localCheckpoint(eager=False)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        fwd = _min_label_fixpoint(active, e_act, "src_id", "dst_id")
+        bwd = _min_label_fixpoint(active, e_act, "dst_id", "src_id")
+        done = (
+            fwd.join(bwd.select("id", F.col("lab").alias("blab")), "id")
+            .filter(F.col("lab") == F.col("blab"))
+            .select("id", F.col("lab").alias("scc"))
+            .localCheckpoint(eager=True)  # materialize BEFORE parents unpersist
+        )
+        done_parts.append(done)
+        nxt_active = (
+            active.join(done, "id", "left_anti")
+            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        fwd.unpersist()
+        bwd.unpersist()
+        e_act.unpersist()
+        active.unpersist()
+        active = nxt_active
+    remaining = active  # empty unless max_outer was hit
+    out = done_parts[0] if done_parts else remaining.select(
+        "id", F.lit(None).cast("long").alias("scc")
+    )
+    for part in done_parts[1:]:
+        out = out.unionAll(part)
+    if done_parts and remaining.count() > 0:
+        out = out.unionAll(
+            remaining.select("id", F.lit(None).cast("long").alias("scc"))
+        )
+    active.unpersist()
+    return out

@@ -872,6 +872,32 @@ def q_random_walks(spark, sf_dir):
     return random_walks(e, walk_length=3, walks_per_vertex=2, hash="md5")
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components (directed!) of a sparsified derived
+    digraph with real bowtie structure (3 large SCCs + singleton DAG
+    tail). Oracle: DuckDB recursive transitive closure → mutual-reach
+    minimum — algorithm-independent ground truth."""
+    from amanogawa_spark.graph.scc import strongly_connected_components
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = 800
+    e = (
+        li.select(
+            (F.col("l_orderkey") % m).alias("src_id"),
+            (F.col("l_partkey") % m).alias("dst_id"),
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .filter((F.col("src_id") * 3 + F.col("dst_id")) % 13 == 0)
+        .distinct()
+    )
+    v = (
+        e.select(F.col("src_id").alias("id"))
+        .unionAll(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    return strongly_connected_components(v, e)
+
+
 QUERIES = {
     "q_filter_numeric": q_filter_numeric,
     "q_filter_contains": q_filter_contains,
@@ -920,6 +946,7 @@ QUERIES = {
     "q_domain_edges": q_domain_edges,
     "q_pagerank_weighted3": q_pagerank_weighted3,
     "q_clustering_coeff": q_clustering_coeff,
+    "q_scc": q_scc,
     "q_tfidf": q_tfidf,
     "q_stratified_sample": q_stratified_sample,
     "q_hash_sample": q_hash_sample,
@@ -1448,6 +1475,20 @@ ORACLE_SQL = {
         "SELECT src_id, dst_id, weight FROM wedges"
     ),
     "q_pagerank_weighted3": _pagerank_weighted_sql(3),
+    "q_scc": (
+        "WITH RECURSIVE edges AS ("
+        "SELECT DISTINCT l_orderkey % 800 AS src_id, l_partkey % 800 AS dst_id FROM lineitem "
+        "WHERE l_orderkey % 800 <> l_partkey % 800 "
+        "AND (l_orderkey % 800 * 3 + l_partkey % 800) % 13 = 0), "
+        "verts AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges "
+        "UNION ALL SELECT dst_id AS id FROM edges)), "
+        "reach(u, v) AS (SELECT src_id, dst_id FROM edges "
+        "UNION SELECT r.u, e.dst_id FROM reach r JOIN edges e ON r.v = e.src_id), "
+        "mutual AS (SELECT a.u AS id, a.v AS o FROM reach a "
+        "JOIN reach b ON a.u = b.v AND a.v = b.u) "
+        "SELECT vt.id, LEAST(vt.id, COALESCE(MIN(m.o), vt.id)) AS scc "
+        "FROM verts vt LEFT JOIN mutual m ON m.id = vt.id GROUP BY vt.id"
+    ),
     "q_tfidf": (
         f"WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents WHERE doc_id < 100), "
         "tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base), "
