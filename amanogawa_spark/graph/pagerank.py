@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from amanogawa_spark.checkpoint import CheckpointManager
+from amanogawa_spark.graph.iter_conf import iteration_conf
 
 
 @dataclass
@@ -51,6 +52,7 @@ def pagerank(
     num_partitions: int | None = None,
     check_every: int = 1,
     weight_col: str | None = None,
+    adaptive: bool = False,
 ) -> PageRankResult:
     """Power iteration: r' = (1-d)/N + d * (A^T r/outdeg + dangling/N).
 
@@ -214,62 +216,65 @@ def pagerank(
             ).alias("rank"),
         )
 
-    while it < max_iter and delta > tol:
-        t0 = time.time()
-        steps = min(max(1, check_every), max_iter - it)
-        cur = ranks
-        for _ in range(steps):
-            cur = _step(cur, scalar_dangling)
-        it += steps
-        joined = (
-            cur.join(
-                ranks.select("id", F.col("rank").alias("old_rank")).hint(
-                    "shuffle_hash"
-                ),
-                "id",
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        # the single per-chunk action: L1 delta across the chunk + the new
-        # dangling mass (metrics only — the update itself reads it in-plan)
-        stats = joined.agg(
-            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
-            F.sum(F.col("rank") * F.col("dang")).alias("dm"),
-        ).collect()[0]
-        delta = stats["delta"] or 0.0
-        dangling_mass = stats["dm"] or 0.0
-        if scalar_dangling is not None:
-            scalar_dangling = dangling_mass  # feeds the next scalar-path step
-        old = ranks
-        ranks = joined.select("id", "rank")
-        if checkpoint is not None and it % checkpoint_every < steps:
-            ranks = checkpoint.save(ranks, it)
-        elif steps > 1 or it % 2 == 0:
-            # lazy: the truncated RDD materializes inside the NEXT chunk's
-            # stats job instead of paying a dedicated job/barrier here.
-            # Scalar path truncates every 2 iterations (plan growth is 2x
-            # per iteration and `joined` is cached in between).
-            ranks = ranks.localCheckpoint(eager=False)
-        old.unpersist()
-        # the stats action fully materialized `joined`; its predecessor's
-        # cache blocks are now unreachable from live lineage heads — drop
-        # them (leaving every chunk's frame cached OOMs a real cluster)
-        if prev_joined is not None:
-            prev_joined.unpersist()
-        prev_joined = joined
-        row = {
-            "iteration": it,
-            "l1_delta": float(delta),
-            "dangling_mass": float(dangling_mass),
-            "seconds": time.time() - t0,
-        }
-        history.append(row)
-        if checkpoint is not None:
-            checkpoint.log_metrics(
-                it,
-                l1_delta=row["l1_delta"],
-                dangling_mass=row["dangling_mass"],
-                seconds=row["seconds"],
+    # AQE off for the loop (see graph/iter_conf.py: pinned plans, measured
+    # 3x on the bench corpus); `adaptive=True` opts back in for skew-split
+    with iteration_conf(spark, disable_aqe=not adaptive):
+        while it < max_iter and delta > tol:
+            t0 = time.time()
+            steps = min(max(1, check_every), max_iter - it)
+            cur = ranks
+            for _ in range(steps):
+                cur = _step(cur, scalar_dangling)
+            it += steps
+            joined = (
+                cur.join(
+                    ranks.select("id", F.col("rank").alias("old_rank")).hint(
+                        "shuffle_hash"
+                    ),
+                    "id",
+                ).persist(StorageLevel.MEMORY_AND_DISK)
             )
+            # the single per-chunk action: L1 delta across the chunk + the new
+            # dangling mass (metrics only — the update itself reads it in-plan)
+            stats = joined.agg(
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+                F.sum(F.col("rank") * F.col("dang")).alias("dm"),
+            ).collect()[0]
+            delta = stats["delta"] or 0.0
+            dangling_mass = stats["dm"] or 0.0
+            if scalar_dangling is not None:
+                scalar_dangling = dangling_mass  # feeds the next scalar-path step
+            old = ranks
+            ranks = joined.select("id", "rank")
+            if checkpoint is not None and it % checkpoint_every < steps:
+                ranks = checkpoint.save(ranks, it)
+            elif steps > 1 or it % 2 == 0:
+                # lazy: the truncated RDD materializes inside the NEXT chunk's
+                # stats job instead of paying a dedicated job/barrier here.
+                # Scalar path truncates every 2 iterations (plan growth is 2x
+                # per iteration and `joined` is cached in between).
+                ranks = ranks.localCheckpoint(eager=False)
+            old.unpersist()
+            # the stats action fully materialized `joined`; its predecessor's
+            # cache blocks are now unreachable from live lineage heads — drop
+            # them (leaving every chunk's frame cached OOMs a real cluster)
+            if prev_joined is not None:
+                prev_joined.unpersist()
+            prev_joined = joined
+            row = {
+                "iteration": it,
+                "l1_delta": float(delta),
+                "dangling_mass": float(dangling_mass),
+                "seconds": time.time() - t0,
+            }
+            history.append(row)
+            if checkpoint is not None:
+                checkpoint.log_metrics(
+                    it,
+                    l1_delta=row["l1_delta"],
+                    dangling_mass=row["dangling_mass"],
+                    seconds=row["seconds"],
+                )
 
     # materialize the result BEFORE tearing down the caches it is lazily
     # derived from (a lazy final localCheckpoint would otherwise recompute
@@ -292,6 +297,7 @@ def personalized_pagerank(
     tol: float = 1e-6,
     max_iter: int = 100,
     num_partitions: int | None = None,
+    adaptive: bool = False,
 ) -> PageRankResult:
     """Personalized PageRank: restart vector concentrated on ``seeds``.
 
@@ -347,62 +353,63 @@ def personalized_pagerank(
     delta = float("inf")
     it = 0
     prev_joined = None
-    while it < max_iter and delta > tol:
-        t0 = time.time()
-        it += 1
-        contribs = (
-            edges_w.join(
-                ranks.withColumnRenamed("id", "src_id").hint("shuffle_hash"),
-                "src_id",
+    with iteration_conf(spark, disable_aqe=not adaptive):
+        while it < max_iter and delta > tol:
+            t0 = time.time()
+            it += 1
+            contribs = (
+                edges_w.join(
+                    ranks.withColumnRenamed("id", "src_id").hint("shuffle_hash"),
+                    "src_id",
+                )
+                .select(
+                    F.col("dst_id").alias("id"),
+                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("in_mass"))
             )
-            .select(
-                F.col("dst_id").alias("id"),
-                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            joined = (
+                verts.join(contribs.hint("shuffle_hash"), "id", "left")
+                .join(
+                    ranks.select("id", F.col("rank").alias("old_rank")).hint(
+                        "shuffle_hash"
+                    ),
+                    "id",
+                )
+                .select(
+                    "id",
+                    "dang",
+                    (
+                        F.col("sv")
+                        * (F.lit(1.0 - damping) + F.lit(damping * dangling_mass))
+                        + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    ).alias("rank"),
+                    "old_rank",
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .groupBy("id")
-            .agg(F.sum("contrib").alias("in_mass"))
-        )
-        joined = (
-            verts.join(contribs.hint("shuffle_hash"), "id", "left")
-            .join(
-                ranks.select("id", F.col("rank").alias("old_rank")).hint(
-                    "shuffle_hash"
-                ),
-                "id",
+            stats = joined.agg(
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+                F.sum(F.col("rank") * F.col("dang")).alias("dm"),
+            ).collect()[0]
+            delta = stats["delta"] or 0.0
+            next_dangling = stats["dm"] or 0.0
+            ranks = joined.select("id", "rank")
+            if it % 2 == 0:
+                ranks = ranks.localCheckpoint(eager=False)
+            if prev_joined is not None:
+                prev_joined.unpersist()
+            prev_joined = joined
+            history.append(
+                {
+                    "iteration": it,
+                    "l1_delta": float(delta),
+                    "dangling_mass": float(dangling_mass),
+                    "seconds": time.time() - t0,
+                }
             )
-            .select(
-                "id",
-                "dang",
-                (
-                    F.col("sv")
-                    * (F.lit(1.0 - damping) + F.lit(damping * dangling_mass))
-                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                ).alias("rank"),
-                "old_rank",
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        stats = joined.agg(
-            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
-            F.sum(F.col("rank") * F.col("dang")).alias("dm"),
-        ).collect()[0]
-        delta = stats["delta"] or 0.0
-        next_dangling = stats["dm"] or 0.0
-        ranks = joined.select("id", "rank")
-        if it % 2 == 0:
-            ranks = ranks.localCheckpoint(eager=False)
-        if prev_joined is not None:
-            prev_joined.unpersist()
-        prev_joined = joined
-        history.append(
-            {
-                "iteration": it,
-                "l1_delta": float(delta),
-                "dangling_mass": float(dangling_mass),
-                "seconds": time.time() - t0,
-            }
-        )
-        dangling_mass = next_dangling
+            dangling_mass = next_dangling
 
     ranks = ranks.localCheckpoint(eager=True)
     if prev_joined is not None:

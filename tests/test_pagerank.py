@@ -80,6 +80,18 @@ def test_pagerank_chunked_check_allclose(spark, graph):
     assert abs(got.sum() - 1.0) < 1e-9
 
 
+def test_pagerank_restores_aqe_conf(spark):
+    """The loop disables AQE for itself only — session conf must come back."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    e = spark.createDataFrame([(0, 1), (1, 0)], "src_id long, dst_id long")
+    v = spark.createDataFrame([(0,), (1,)], "id long")
+    pagerank(v, e, tol=-1.0, max_iter=2)
+    assert spark.conf.get(key) == "true"
+    spark.conf.set(key, prev)
+
+
 def test_pagerank_weighted_allclose(spark):
     """Weighted walk: rank splits proportionally to edge weight. Verified
     against a handwritten numpy weighted power iteration to 1e-12."""
