@@ -195,6 +195,48 @@ def rollup_edges(
     return grouped.groupBy("src_id", "dst_id").agg(F.count("*").alias("weight"))
 
 
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One-row (n_edges, n_reciprocal, reciprocity) — the fraction of
+    directed edges whose reverse edge also exists. A standard web-graph
+    health statistic (link farms and boilerplate navigation push it up;
+    organic citation-style linking keeps it low). One self-join on the
+    canonical pair key — the reversed probe reuses the same hash
+    partitioning, so this is a single shuffle."""
+    e = (
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    recip = e.join(rev, ["src_id", "dst_id"], "left_semi")
+    return e.agg(F.count("*").alias("n_edges")).crossJoin(
+        recip.agg(F.count("*").alias("n_reciprocal"))
+    ).select(
+        "n_edges",
+        "n_reciprocal",
+        (F.col("n_reciprocal") / F.col("n_edges")).alias("reciprocity"),
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row (assortativity) — Pearson correlation between source
+    out-degree and destination in-degree across directed edges. Negative
+    on bowtie web graphs (hubs point at low-in-degree leaves); a strong
+    positive value flags a spam-farm-like core. Two degree aggregates +
+    two broadcast-size joins + one correlation aggregate."""
+    e = (
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+    out_d = e.groupBy(F.col("src_id")).agg(F.count("*").alias("od"))
+    in_d = e.groupBy(F.col("dst_id")).agg(F.count("*").alias("idg"))
+    j = e.join(out_d, "src_id").join(in_d, "dst_id")
+    return j.agg(F.corr(F.col("od"), F.col("idg")).alias("assortativity"))
+
+
 def degree_histogram(edges: DataFrame, col: str = "dst_id") -> DataFrame:
     """log2-bucketed degree histogram — the skew-detection job that sizes
     salting factors for hub vertices (SURVEY.md §4.2)."""

@@ -872,6 +872,24 @@ def q_random_walks(spark, sf_dir):
     return random_walks(e, walk_length=3, walks_per_vertex=2, hash="md5")
 
 
+def q_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity of the derived graph (one row)."""
+    from amanogawa_spark.graph.build import reciprocity
+
+    return reciprocity(derived_edges(spark, sf_dir)).select(
+        "n_edges", "n_reciprocal", F.round("reciprocity", 8).alias("reciprocity_r")
+    )
+
+
+def q_assortativity(spark, sf_dir):
+    """Out-degree/in-degree Pearson correlation across directed edges."""
+    from amanogawa_spark.graph.build import degree_assortativity
+
+    return degree_assortativity(derived_edges(spark, sf_dir)).select(
+        F.round("assortativity", 6).alias("assortativity_r")
+    )
+
+
 def q_scc(spark, sf_dir):
     """Strongly connected components (directed!) of a sparsified derived
     digraph with real bowtie structure (3 large SCCs + singleton DAG
@@ -947,6 +965,8 @@ QUERIES = {
     "q_pagerank_weighted3": q_pagerank_weighted3,
     "q_clustering_coeff": q_clustering_coeff,
     "q_scc": q_scc,
+    "q_reciprocity": q_reciprocity,
+    "q_assortativity": q_assortativity,
     "q_tfidf": q_tfidf,
     "q_stratified_sample": q_stratified_sample,
     "q_hash_sample": q_hash_sample,
@@ -1475,6 +1495,21 @@ ORACLE_SQL = {
         "SELECT src_id, dst_id, weight FROM wedges"
     ),
     "q_pagerank_weighted3": _pagerank_weighted_sql(3),
+    "q_reciprocity": (
+        f"WITH {_EDGES_SQL.strip()}, "
+        "r AS (SELECT COUNT(*) AS n_reciprocal FROM edges e "
+        "WHERE EXISTS (SELECT 1 FROM edges x WHERE x.src_id = e.dst_id AND x.dst_id = e.src_id)), "
+        "t AS (SELECT COUNT(*) AS n_edges FROM edges) "
+        "SELECT n_edges, n_reciprocal, "
+        "ROUND(CAST(n_reciprocal AS DOUBLE) / n_edges, 8) AS reciprocity_r FROM t CROSS JOIN r"
+    ),
+    "q_assortativity": (
+        f"WITH {_EDGES_SQL.strip()}, "
+        "o AS (SELECT src_id, COUNT(*) AS od FROM edges GROUP BY src_id), "
+        "i AS (SELECT dst_id, COUNT(*) AS idg FROM edges GROUP BY dst_id) "
+        "SELECT ROUND(corr(od, idg), 6) AS assortativity_r "
+        "FROM edges e JOIN o ON e.src_id = o.src_id JOIN i ON e.dst_id = i.dst_id"
+    ),
     "q_scc": (
         "WITH RECURSIVE edges AS ("
         "SELECT DISTINCT l_orderkey % 800 AS src_id, l_partkey % 800 AS dst_id FROM lineitem "

@@ -98,3 +98,35 @@ def test_wakati_term_counts_plan_stays_in_codegen(spark):
     assert "isFinalPlan=true" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
+
+
+def test_hash_sample_is_shuffle_free(spark, lineitem):
+    """Bernoulli hash sampling is a pure filter — no Exchange anywhere."""
+    from amanogawa_spark.operators.sampling import hash_sample
+
+    q = hash_sample(lineitem.select("l_orderkey", "l_quantity"), 0.1, ["l_orderkey"])
+    plan = _plan(q)
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # stays JVM-side
+
+
+def test_stratified_sample_single_shuffle(spark, lineitem):
+    """n-per-group sampling costs exactly one hash exchange (the window)."""
+    from amanogawa_spark.operators.sampling import stratified_sample
+
+    q = stratified_sample(
+        lineitem.select("l_orderkey", "l_returnflag"), "l_returnflag", 5, ["l_orderkey"]
+    )
+    plan = _plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+
+
+def test_tfidf_stays_jvm(spark):
+    """TF-IDF is pure Catalyst — no Python evaluation in the plan."""
+    from amanogawa_spark.operators.bow import tf_idf
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(tf_idf(docs))
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan  # 1-row N broadcast
