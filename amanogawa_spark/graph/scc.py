@@ -83,6 +83,7 @@ def strongly_connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_outer: int = 100,
+    checkpoint=None,
 ) -> DataFrame:
     """(id, scc) — scc is the minimum vertex id of each strong component.
 
@@ -90,6 +91,13 @@ def strongly_connected_components(
     correctness — see the module docstring); on bowtie-shaped web graphs
     the giant SCC and most of the condensation peel off in the first
     outer round.
+
+    ``checkpoint``: optional
+    :class:`~amanogawa_spark.checkpoint.CheckpointManager` — after each
+    outer round the full peel state is snapshotted as one frame
+    (``(id, scc)`` with NULL scc = still active), so a killed superjob
+    resumes at the last completed round (north rule: every iteration
+    resumable, with per-partition lineage manifests + metrics journal).
     """
     active = (
         vertices.select("id").distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -98,7 +106,21 @@ def strongly_connected_components(
         F.col("src_id") != F.col("dst_id")
     )
     done_parts: list[DataFrame] = []
-    for _ in range(max_outer):
+    start_round = 0
+    if checkpoint is not None:
+        last = checkpoint.latest_iteration()
+        if last is not None:
+            state = checkpoint.load(last)
+            done_parts = [state.filter(F.col("scc").isNotNull())]
+            resumed = (
+                state.filter(F.col("scc").isNull())
+                .select("id")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            active.unpersist()
+            active = resumed
+            start_round = last
+    for rnd in range(start_round + 1, max_outer + 1):
         if active.count() == 0:
             break
         e_act = (
@@ -121,6 +143,18 @@ def strongly_connected_components(
             .localCheckpoint(eager=True)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if checkpoint is not None:
+            state = nxt_active.select(
+                "id", F.lit(None).cast("long").alias("scc")
+            )
+            for part in done_parts:
+                state = state.unionAll(part)
+            saved = checkpoint.save(state, rnd)
+            # re-anchor the accumulator on the durable snapshot so later
+            # rounds (and the final union) read parquet, not long lineage
+            done_parts = [saved.filter(F.col("scc").isNotNull())]
+            n_extracted = done_parts[0].count()
+            checkpoint.log_metrics(rnd, n_done=n_extracted)
         fwd.unpersist()
         bwd.unpersist()
         e_act.unpersist()

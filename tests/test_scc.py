@@ -84,6 +84,25 @@ def test_scc_matches_tarjan(spark):
         assert got == expected, f"seed={seed} avg={avg}"
 
 
+def test_scc_resume_from_checkpoint(spark, tmp_path):
+    """Interrupted peel resumes at the saved round and matches a clean run."""
+    from amanogawa_spark.checkpoint import CheckpointManager
+
+    n = 40
+    edges = _random_digraph(n, 1.5, seed=5)
+    e = spark.createDataFrame(sorted(edges), "src_id long, dst_id long")
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    full = {r.id: r.scc for r in strongly_connected_components(v, e).collect()}
+    ckpt = CheckpointManager(spark, str(tmp_path / "scc"))
+    strongly_connected_components(v, e, max_outer=1, checkpoint=ckpt)
+    assert ckpt.latest_iteration() == 1
+    resumed = {
+        r.id: r.scc
+        for r in strongly_connected_components(v, e, checkpoint=ckpt).collect()
+    }
+    assert resumed == full == tarjan_scc(n, edges)
+
+
 def test_scc_two_cycles_with_dag_bridge(spark):
     """Two cycles bridged by a DAG path must stay distinct components;
     the bridge + tail vertices are singletons."""
