@@ -53,6 +53,7 @@ def pagerank(
     check_every: int = 1,
     weight_col: str | None = None,
     adaptive: bool = False,
+    initial_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Power iteration: r' = (1-d)/N + d * (A^T r/outdeg + dangling/N).
 
@@ -146,6 +147,20 @@ def pagerank(
         if last is not None:
             ranks = checkpoint.load(last)
             start_iter = last
+    if ranks is None and initial_ranks is not None:
+        # warm start (incremental recrawl): project yesterday's scores onto
+        # today's vertex set — new pages get the uniform share, dropped
+        # pages vanish — then renormalize to unit mass so the dangling
+        # redistribution algebra stays exact. Convergence from a nearby
+        # vector takes a fraction of the cold-start iterations while the
+        # fixpoint itself is unchanged (power iteration has a unique
+        # attractor), so this trades nothing for the speedup.
+        warm = verts.join(
+            initial_ranks.select("id", F.col("rank").alias("_r0")), "id", "left"
+        ).select("id", F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"))
+        warm = warm.persist(StorageLevel.MEMORY_AND_DISK)
+        mass = warm.agg(F.sum("rank")).collect()[0][0] or 1.0
+        ranks = warm.select("id", (F.col("rank") / F.lit(mass)).alias("rank"))
     if ranks is None:
         ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)

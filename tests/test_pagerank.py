@@ -80,6 +80,18 @@ def test_pagerank_chunked_check_allclose(spark, graph):
     assert abs(got.sum() - 1.0) < 1e-9
 
 
+def test_pagerank_warm_start_converges_faster_same_fixpoint(spark, graph):
+    """initial_ranks (incremental recrawl): fewer iterations, identical
+    fixpoint within the north rule's allclose(1e-6)."""
+    v, e, n, id_edges = graph
+    cold = pagerank(v, e, tol=1e-6, max_iter=200)
+    warm = pagerank(v, e, tol=1e-6, max_iter=200, initial_ranks=cold.ranks)
+    assert warm.iterations < cold.iterations
+    cold_d = {r.id: r["rank"] for r in cold.ranks.collect()}
+    warm_d = {r.id: r["rank"] for r in warm.ranks.collect()}
+    assert all(abs(cold_d[i] - warm_d[i]) <= 1e-6 for i in cold_d)
+
+
 def test_pagerank_restores_aqe_conf(spark):
     """The loop disables AQE for itself only — session conf must come back."""
     key = "spark.sql.adaptive.enabled"
