@@ -1,0 +1,103 @@
+"""URL parsing/normalization — the vertex-key hygiene layer for web graphs.
+
+At 10^12 pages the url→id dictionary is only as good as its key: the
+same page crawled as ``HTTP://Example.com:80/a/`` and
+``http://example.com/a`` must collapse to one vertex or the link graph
+fragments (reference parity: the to_graph dictionary keys raw strings,
+``plugin/flow/to_graph/to_graph.cpp:60-80`` — normalization is the
+engine's addition for crawl-scale input). All functions are pure
+Catalyst ``regexp_extract``/string expressions restricted to basic
+regex syntax so a DuckDB oracle can evaluate the identical pattern —
+no Python, no UDFs, codegen-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# scheme://[userinfo@]host[:port]/path...  — capture the host
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+# second-level labels under which the registered domain needs three labels
+# (heuristic subset of the public-suffix list — deterministic, documented)
+_SECOND_LEVEL = ("co", "com", "net", "org", "ac", "gov", "edu")
+
+
+def host_of(url: Column | str) -> Column:
+    """Lowercased host (authority minus userinfo/port); '' for non-URLs."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(c, _HOST_RE, 1))
+
+
+def registered_domain(url: Column | str) -> Column:
+    """eTLD+1 heuristic: last two host labels, or three when the middle
+    label is a common second-level registry (co.uk, com.au, ...)."""
+    host = host_of(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    second = F.element_at(parts, -2)
+    take3 = (n >= 3) & second.isin(*_SECOND_LEVEL)
+    return F.when(
+        n >= 3,
+        F.when(
+            take3,
+            F.concat_ws(
+                ".",
+                F.element_at(parts, -3),
+                second,
+                F.element_at(parts, -1),
+            ),
+        ).otherwise(F.concat_ws(".", second, F.element_at(parts, -1))),
+    ).otherwise(host)
+
+
+def path_of(url: Column | str) -> Column:
+    """Path component ('' when absent); query/fragment excluded."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(c, _PATH_RE, 1)
+
+
+def path_depth(url: Column | str) -> Column:
+    """Number of non-empty path segments (long)."""
+    p = path_of(url)
+    return F.size(
+        F.filter(F.split(p, "/"), lambda s: F.length(s) > 0)
+    ).cast("long")
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical form: lowercase scheme+host, default ports stripped,
+    fragment stripped, trailing slash on a bare path stripped.
+
+    Deterministic textbook rules (RFC 3986 §6.2.2-6.2.3 subset) — enough
+    to collapse the crawl-duplicate forms that fragment a link graph.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    # lowercase scheme
+    lowered = F.concat(
+        F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)),
+        F.lit("://"),
+        F.regexp_replace(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", ""),
+    )
+    # lowercase host (authority up to first /?# or end)
+    host = F.regexp_extract(lowered, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    rest = F.regexp_replace(lowered, r"^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    canon_host = F.regexp_replace(
+        F.regexp_replace(F.lower(host), r":80$", ""), r":443$", ""
+    )
+    joined = F.concat(
+        F.regexp_extract(lowered, r"^([a-z][a-z0-9+.-]*)", 1),
+        F.lit("://"),
+        canon_host,
+        rest,
+    )
+    # non-URL strings (no scheme) pass through untouched — a crawl frame
+    # can carry junk keys and normalization must not manufacture them
+    # into colliding '://'-prefixed values
+    return F.when(
+        c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+        F.regexp_replace(joined, r"/$", ""),
+    ).otherwise(c)

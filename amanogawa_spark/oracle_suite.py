@@ -872,6 +872,52 @@ def q_random_walks(spark, sf_dir):
     return random_walks(e, walk_length=3, walks_per_vertex=2, hash="md5")
 
 
+def q_url_parse(spark, sf_dir):
+    """URL hygiene functions (host, registered domain, path depth,
+    normalization) over deterministically synthesized crawl-style URLs —
+    mixed case, userinfo, default ports, fragments, trailing slashes."""
+    from amanogawa_spark.functions.url import (
+        host_of,
+        normalize_url,
+        path_depth,
+        registered_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    url = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("HTTP://User@WWW.Site"),
+                (d % 37).cast("string"),
+                F.lit(".COM:80/a/b/p"),
+                d.cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("https://news.site"),
+                (d % 37).cast("string"),
+                F.lit(".co.uk/x/y?q=1#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://site"), (d % 37).cast("string"), F.lit(".org"))
+        )
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        host_of(F.col("url")).alias("host"),
+        registered_domain(F.col("url")).alias("rdom"),
+        path_depth(F.col("url")).alias("depth"),
+        normalize_url(F.col("url")).alias("norm"),
+    )
+
+
 def q_reciprocity(spark, sf_dir):
     """Directed-edge reciprocity of the derived graph (one row)."""
     from amanogawa_spark.graph.build import reciprocity
@@ -965,6 +1011,7 @@ QUERIES = {
     "q_pagerank_weighted3": q_pagerank_weighted3,
     "q_clustering_coeff": q_clustering_coeff,
     "q_scc": q_scc,
+    "q_url_parse": q_url_parse,
     "q_reciprocity": q_reciprocity,
     "q_assortativity": q_assortativity,
     "q_tfidf": q_tfidf,
@@ -1495,6 +1542,48 @@ ORACLE_SQL = {
         "SELECT src_id, dst_id, weight FROM wedges"
     ),
     "q_pagerank_weighted3": _pagerank_weighted_sql(3),
+    "q_url_parse": r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 3 = 0 THEN 'HTTP://User@WWW.Site' || (doc_id % 37) || '.COM:80/a/b/p' || doc_id || '/'
+      WHEN doc_id % 3 = 1 THEN 'https://news.site' || (doc_id % 37) || '.co.uk/x/y?q=1#frag'
+      ELSE 'http://site' || (doc_id % 37) || '.org'
+    END AS url
+  FROM documents WHERE doc_id < 300),
+h AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
+  FROM u),
+r AS (
+  SELECT doc_id, url, host, path, string_split(host, '.') AS parts FROM h),
+n1 AS (
+  SELECT doc_id, url, host, path, parts,
+    regexp_replace(url, '#.*$', '') AS nofrag FROM r),
+n2 AS (
+  SELECT *,
+    lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' ||
+    regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS lowered
+  FROM n1),
+n3 AS (
+  SELECT *,
+    regexp_extract(lowered, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+    regexp_replace(lowered, '^[a-z][a-z0-9+.-]*://[^/?#]*', '') AS rest
+  FROM n2)
+SELECT doc_id, host,
+  CASE
+    WHEN len(parts) >= 3 AND parts[-2] IN ('co','com','net','org','ac','gov','edu')
+      THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+    WHEN len(parts) >= 3 THEN parts[-2] || '.' || parts[-1]
+    ELSE host
+  END AS rdom,
+  CAST(len(list_filter(string_split(path, '/'), s -> len(s) > 0)) AS BIGINT) AS depth,
+  regexp_replace(
+    regexp_extract(lowered, '^([a-z][a-z0-9+.-]*)', 1) || '://' ||
+    regexp_replace(regexp_replace(lower(auth), ':80$', ''), ':443$', '') || rest,
+    '/$', '') AS norm
+FROM n3""",
     "q_reciprocity": (
         f"WITH {_EDGES_SQL.strip()}, "
         "r AS (SELECT COUNT(*) AS n_reciprocal FROM edges e "

@@ -1,0 +1,52 @@
+"""URL hygiene functions: canonical-form collapsing for vertex keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amanogawa_spark.functions.url import (
+    host_of,
+    normalize_url,
+    path_depth,
+    registered_domain,
+)
+
+
+def test_url_functions_edge_cases(spark):
+    rows = [
+        (0, "HTTP://User@WWW.Example.COM:80/a/b/"),
+        (1, "https://example.com:443/a#frag"),
+        (2, "http://news.bbc.co.uk/x/y/z"),
+        (3, "http://example.org"),
+        (4, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {
+        r.i: (r.host, r.rdom, r.depth, r.norm)
+        for r in df.select(
+            "i",
+            host_of("url").alias("host"),
+            registered_domain("url").alias("rdom"),
+            path_depth("url").alias("depth"),
+            normalize_url("url").alias("norm"),
+        ).collect()
+    }
+    assert got[0] == ("www.example.com", "example.com", 2, "http://user@www.example.com/a/b")
+    assert got[1] == ("example.com", "example.com", 1, "https://example.com/a")
+    assert got[2] == ("news.bbc.co.uk", "bbc.co.uk", 3, "http://news.bbc.co.uk/x/y/z")
+    assert got[3] == ("example.org", "example.org", 0, "http://example.org")
+    assert got[4] == ("", "", 0, "not a url")
+
+
+def test_normalized_urls_collapse_crawl_duplicates(spark):
+    """The motivating property: crawl-duplicate spellings of one page
+    normalize to a single vertex key."""
+    dupes = [
+        "HTTP://Example.com:80/page",
+        "http://example.com/page",
+        "http://EXAMPLE.COM/page/",
+        "http://example.com/page#section-2",
+    ]
+    df = spark.createDataFrame([(u,) for u in dupes], "url string")
+    n = df.select(normalize_url("url").alias("n")).distinct().count()
+    assert n == 1
