@@ -90,12 +90,22 @@ def dense_rank_ids(
     return out
 
 
-def build_vertices(pages: DataFrame, id_mode: str = "dense") -> DataFrame:
+def build_vertices(
+    pages: DataFrame, id_mode: str = "dense", normalize: bool = False
+) -> DataFrame:
     """url → int64 id dictionary over the pages table.
 
     dense: ids are 0..N-1 by url sort order (repartition-invariant).
     hash: xxhash64(url) (no global sort; caller should collision-check).
+    ``normalize``: canonicalize keys first (functions/url.py) so
+    crawl-duplicate spellings collapse to one vertex — keep the flag
+    consistent with :func:`build_edges` or link targets miss the
+    dictionary.
     """
+    if normalize:
+        from amanogawa_spark.functions.url import normalize_url
+
+        pages = pages.select(normalize_url(F.col("url")).alias("url"))
     urls = pages.select("url").distinct()
     if id_mode == "hash":
         return urls.select("url", F.xxhash64("url").alias("id"))
@@ -106,13 +116,19 @@ def build_vertices(pages: DataFrame, id_mode: str = "dense") -> DataFrame:
     return dense_rank_ids(urls, "url")
 
 
-def extract_edges_urls(pages: DataFrame) -> DataFrame:
+def extract_edges_urls(pages: DataFrame, normalize: bool = False) -> DataFrame:
     """pages → (src_url, dst_url): explode extracted hrefs, drop self-links, dedup."""
-    return (
-        pages.select(F.col("url").alias("src_url"), F.explode(extract_links("html")).alias("dst_url"))
-        .filter(F.col("src_url") != F.col("dst_url"))
-        .distinct()
-    )
+    src_u = F.col("url")
+    dst_u = F.explode(extract_links("html"))
+    if normalize:
+        from amanogawa_spark.functions.url import normalize_url
+
+        e = pages.select(
+            normalize_url(src_u).alias("src_url"), dst_u.alias("dst_url")
+        ).select("src_url", normalize_url(F.col("dst_url")).alias("dst_url"))
+    else:
+        e = pages.select(src_u.alias("src_url"), dst_u.alias("dst_url"))
+    return e.filter(F.col("src_url") != F.col("dst_url")).distinct()
 
 
 def build_edges(
@@ -120,6 +136,7 @@ def build_edges(
     vertices: DataFrame,
     undirected: bool = False,
     broadcast_vertices: bool = False,
+    normalize: bool = False,
 ) -> DataFrame:
     """Resolve url edges to int64 id edges; drop links to unknown urls.
 
@@ -132,7 +149,7 @@ def build_edges(
     if broadcast_vertices:
         vsrc, vdst = F.broadcast(vsrc), F.broadcast(vdst)
     e = (
-        extract_edges_urls(pages)
+        extract_edges_urls(pages, normalize=normalize)
         .join(vsrc, "src_url")
         .join(vdst, "dst_url")
         .select("src_id", "dst_id")
@@ -145,9 +162,14 @@ def build_edges(
     return e.distinct()
 
 
-def build_graph(pages: DataFrame, id_mode: str = "dense", undirected: bool = False) -> Graph:
-    vertices = build_vertices(pages, id_mode=id_mode)
-    edges = build_edges(pages, vertices, undirected=undirected)
+def build_graph(
+    pages: DataFrame,
+    id_mode: str = "dense",
+    undirected: bool = False,
+    normalize: bool = False,
+) -> Graph:
+    vertices = build_vertices(pages, id_mode=id_mode, normalize=normalize)
+    edges = build_edges(pages, vertices, undirected=undirected, normalize=normalize)
     return Graph(vertices=vertices, edges=edges)
 
 

@@ -50,3 +50,26 @@ def test_normalized_urls_collapse_crawl_duplicates(spark):
     df = spark.createDataFrame([(u,) for u in dupes], "url string")
     n = df.select(normalize_url("url").alias("n")).distinct().count()
     assert n == 1
+
+
+def test_build_graph_normalize_collapses_duplicate_vertices(spark):
+    """Two spellings of one page merge into a single vertex and their
+    outgoing links land on the merged id."""
+    pages = [
+        ("http://a.com/p", b"<a href='HTTP://B.com:80/x#f'>l</a>"),
+        ("HTTP://A.com:80/p/", b"<a href='http://c.com/'>l</a>"),
+        ("http://b.com/x", b""),
+        ("http://c.com", b""),
+    ]
+    df = spark.createDataFrame(pages, "url string, html binary")
+    from amanogawa_spark.graph.build import build_graph
+
+    raw = build_graph(df)
+    norm = build_graph(df, normalize=True)
+    assert raw.vertices.count() == 4  # duplicate spelling kept as junk vertex
+    assert norm.vertices.count() == 3
+    # normalized: a.com/p -> b.com/x and a.com/p -> c.com both resolve
+    ids = {r.url: r.id for r in norm.vertices.collect()}
+    edges = {(r.src_id, r.dst_id) for r in norm.edges.collect()}
+    assert (ids["http://a.com/p"], ids["http://b.com/x"]) in edges
+    assert (ids["http://a.com/p"], ids["http://c.com"]) in edges
