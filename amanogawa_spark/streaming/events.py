@@ -115,6 +115,49 @@ def streaming_sessionize(
     )
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def streaming_dedup_exact(
+    spark: SparkSession,
+    path: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen doc per content fingerprint wins.
+
+    ``dropDuplicates`` on the 128-bit fingerprint with an event-time
+    watermark bounds the dedup state store — fingerprints older than the
+    watermark are evicted, so state is O(docs-per-watermark-window), not
+    O(corpus). That is the only formulation that survives an unbounded
+    crawl feed: a late duplicate beyond the watermark is admitted (the
+    documented at-least-once trade-off), everything inside it dedups
+    exactly. Same fingerprint as the batch path (operators/dedup.py), so
+    a batch backfill and the stream agree on identity.
+    """
+    from amanogawa_spark.operators.dedup import normalized_text
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(path)
+    norm = normalized_text(F.col("text"))
+    # identical 128-bit key construction to exact_duplicates (salt FIRST —
+    # see operators/dedup.py for the seed-chain collision math)
+    fp = F.struct(
+        F.xxhash64(F.lit(1), norm).alias("h1"),
+        F.xxhash64(F.lit(2), norm).alias("h2"),
+    )
+    return (
+        stream.withColumn("dup_key", fp)
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["dup_key"])
+        .select("doc_id", "ts", "text")
+    )
+
+
 def run_stream_once(df: DataFrame, query_name: str = "stream_out"):
     """Drive a streaming DF to completion over currently-available input."""
     q = (

@@ -93,6 +93,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         res = pagerank(vertices, edges, tol=1e-6, max_iter=100)
         pr_res["iters"] = res.iterations
         pr_res["edges"] = edges.count()
+        pr_res["ranks"] = res.ranks  # converged vector, reused by the warm probe
 
     results["pagerank_converge"] = _timed(_pr)
     results["pagerank_iters"] = float(pr_res["iters"])
@@ -174,6 +175,42 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         ).count()
 
     results["ann_lsh_scale"] = _timed(_ann_lsh_scale)
+
+    # --- round-2 operator probes -------------------------------------------
+    # warm start (incremental recrawl): re-converge from the earlier run's
+    # converged vector — only the warm leg is timed
+    warm = {}
+
+    def _pr_warm():
+        res = pagerank(
+            vertices, edges, tol=1e-6, max_iter=100, initial_ranks=pr_res["ranks"]
+        )
+        warm["warm_iters"] = res.iterations
+
+    results["pagerank_warm_restart"] = _timed(_pr_warm)
+    results["pagerank_warm_iters"] = float(warm.get("warm_iters", -1))
+
+    # hash-deterministic walk corpus over the sparse bench graph
+    from amanogawa_spark.graph.walks import random_walks
+
+    results["random_walks_l4"] = _timed(
+        lambda: random_walks(edges, walk_length=4, walks_per_vertex=2).count()
+    )
+
+    # directed condensation of the derived digraph (SCC peel to fixpoint)
+    from amanogawa_spark.graph.scc import strongly_connected_components
+    from amanogawa_spark.oracle_suite import derived_edges
+
+    def _scc():
+        de = derived_edges(spark, sf_dir)
+        dv = (
+            de.select(F.col("src_id").alias("id"))
+            .unionAll(de.select(F.col("dst_id").alias("id")))
+            .distinct()
+        )
+        strongly_connected_components(dv, de).count()
+
+    results["scc_derived"] = _timed(_scc)
     pages.unpersist()
     return results
 
@@ -183,7 +220,11 @@ def run_default() -> dict:
 
     spark = get_spark(cpus=CPUS, app_name="amanogawa_bench")
     qtimes = bench_queries(spark, SF_DIR)
-    total = sum(v for k, v in qtimes.items() if not k.startswith("pagerank_iters") and not k.endswith("_per_sec"))
+    total = sum(
+        v
+        for k, v in qtimes.items()
+        if not k.endswith("_iters") and not k.endswith("_per_sec")
+    )
     out = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),

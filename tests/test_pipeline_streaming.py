@@ -121,3 +121,50 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
     assert r.user_id == 1 and r.n_events == 2
     assert r.session_start.strftime("%H:%M") == "10:00"
     assert r.session_end.strftime("%H:%M") == "10:05"
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Watermarked streaming dedup keeps one doc per content fingerprint
+    across micro-batches; batch dedup_exact agrees on the survivor count."""
+    from datetime import datetime, timedelta
+
+    from amanogawa_spark.streaming.events import streaming_dedup_exact
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    base = datetime(2026, 1, 1)
+    rows1 = [
+        (0, base, "alpha beta"),
+        (1, base + timedelta(minutes=1), "Alpha  Beta"),  # normalizes to dup of 0
+        (2, base + timedelta(minutes=2), "gamma"),
+    ]
+    rows2 = [
+        (3, base + timedelta(minutes=3), "alpha beta"),  # dup across batches
+        (4, base + timedelta(minutes=4), "delta"),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    dedup = streaming_dedup_exact(spark, str(stream_dir))
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("docs_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = {r.doc_id for r in spark.sql("SELECT doc_id FROM docs_dedup").collect()}
+    # doc 1 (same normalized text as 0) and doc 3 (cross-batch dup) dropped
+    assert out == {0, 2, 4}
+    # batch path agrees on the survivor count
+    from amanogawa_spark.operators.dedup import dedup_exact
+
+    all_docs = spark.createDataFrame(rows1 + rows2, schema)
+    assert dedup_exact(all_docs).count() == 3
