@@ -872,6 +872,21 @@ def q_random_walks(spark, sf_dir):
     return random_walks(e, walk_length=3, walks_per_vertex=2, hash="md5")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """LLM pretraining sequence packing: global token cumsum over the
+    md5-shuffled doc stream → (seq_id, seq_offset) per document. The
+    Spark side is the two-pass range-partitioned cumsum (no
+    single-partition window); the oracle is DuckDB's plain window —
+    value equality proves the distributed formulation computes the exact
+    global cumulative sum."""
+    from amanogawa_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, max_tokens=2048, tokens_col="n_chars", hash="md5"
+    )
+
+
 def q_url_parse(spark, sf_dir):
     """URL hygiene functions (host, registered domain, path depth,
     normalization) over deterministically synthesized crawl-style URLs —
@@ -1011,6 +1026,7 @@ QUERIES = {
     "q_pagerank_weighted3": q_pagerank_weighted3,
     "q_clustering_coeff": q_clustering_coeff,
     "q_scc": q_scc,
+    "q_pack_sequences": q_pack_sequences,
     "q_url_parse": q_url_parse,
     "q_reciprocity": q_reciprocity,
     "q_assortativity": q_assortativity,
@@ -1542,6 +1558,14 @@ ORACLE_SQL = {
         "SELECT src_id, dst_id, weight FROM wedges"
     ),
     "q_pagerank_weighted3": _pagerank_weighted_sql(3),
+    "q_pack_sequences": (
+        "SELECT doc_id, n_chars, CAST(FLOOR(cum / 2048) AS BIGINT) AS seq_id, "
+        "cum % 2048 AS seq_offset FROM ("
+        "SELECT doc_id, n_chars, COALESCE(SUM(n_chars) OVER ("
+        "ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum "
+        "FROM documents)"
+    ),
     "q_url_parse": r"""
 WITH u AS (
   SELECT doc_id,

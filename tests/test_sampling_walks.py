@@ -66,3 +66,30 @@ def test_random_walks_follow_edges(spark):
             assert (steps[k - 1], steps[k]) in edge_set
     w2 = random_walks(e.repartition(11), walk_length=4, walks_per_vertex=2)
     assert w.exceptAll(w2).count() == 0 and w2.exceptAll(w).count() == 0
+
+
+def test_pack_sequences_exact_global_cumsum(spark):
+    """The two-pass distributed cumsum equals the single-node reference:
+    contiguous stream, correct (seq_id, seq_offset), repartition-invariant."""
+    import hashlib
+
+    from amanogawa_spark.operators.packing import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in pack_sequences(df, max_tokens=512, hash="md5").collect()
+    }
+    # single-node reference
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    cum = 0
+    for doc_id, toks in order:
+        assert got[doc_id] == (cum // 512, cum % 512), doc_id
+        cum += toks
+    assert cum == sum(t for _, t in rows)
+    got2 = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in pack_sequences(df.repartition(17), max_tokens=512, hash="md5").collect()
+    }
+    assert got2 == got
