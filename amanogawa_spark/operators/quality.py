@@ -1,0 +1,103 @@
+"""Corpus quality filters — the C4/Gopher-style curation rules.
+
+Web text destined for pretraining gets filtered by structural signals
+before any model sees it: repeated-line boilerplate, navigation junk
+(lines without terminal punctuation), contact-info PII. These are the
+published rule families (C4: Raffel et al. 2020 §2.2; Gopher: Rae et
+al. 2021 appendix A) re-expressed as pure Catalyst expressions — one
+explode+aggregate per doc for the repetition features, zero-shuffle
+string transforms for the line filter and redaction. No Python in any
+hot path; every operator has a DuckDB value oracle.
+
+All functions take/return DataFrames keyed by ``id_col`` so they chain
+with dedup → quality → sampling → packing into one curation plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+_TERMINAL = (".", "!", "?", '"', "'")
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_lines, dup_line_frac, top_line_frac) — boilerplate signals.
+
+    dup_line_frac: fraction of lines whose (trimmed, lowercased) text
+    occurs more than once in the doc. top_line_frac: share held by the
+    single most-repeated line. Gopher filters docs where these exceed
+    ~0.3 / ~0.2. One explode + two-level aggregate; the per-(doc, line)
+    partial count collapses map-side, so a 10^6-line boilerplate doc
+    moves one row per distinct line, not per line.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+        )
+        .select("id", F.lower(F.trim(F.col("raw"))).alias("line"))
+        .filter(F.length("line") > 0)
+    )
+    per_line = lines.groupBy("id", "line").agg(F.count("*").alias("c"))
+    return per_line.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c")
+        ).alias("dup_line_frac"),
+        (F.max("c") / F.sum("c")).alias("top_line_frac"),
+    )
+
+
+def _line_ok(line: Column, min_words: int) -> Column:
+    trimmed = F.trim(line)
+    words = F.size(F.filter(F.split(trimmed, r"\s+"), lambda w: F.length(w) > 0))
+    ends_ok = F.substring(trimmed, -1, 1).isin(*_TERMINAL)
+    return (words >= min_words) & ends_ok
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+) -> DataFrame:
+    """(id, clean_text, n_kept, n_dropped) — C4 rule: keep only lines with
+    >= min_words words that end in terminal punctuation. Pure per-row
+    array expression — zero shuffle, survives any scale by construction."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda l: _line_ok(l, min_words))
+    return df.select(
+        F.col(id_col).alias("id"),
+        # NB: an unwrapped `F.trim` here would receive transform's index as
+        # trim's second (trim-chars) argument — silent digit-stripping
+        F.array_join(F.transform(kept, lambda l: F.trim(l)), "\n").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (
+            F.size(F.filter(lines, lambda l: F.length(F.trim(l)) > 0)) - F.size(kept)
+        ).cast("long").alias("n_dropped"),
+    )
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, redacted, n_emails, n_phones) — contact-info scrubbing with
+    counting (the audit trail curation pipelines keep). Zero shuffle."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0)).cast("long")
+    no_email = F.regexp_replace(t, _EMAIL_RE, "[EMAIL]")
+    n_phones = F.size(
+        F.regexp_extract_all(no_email, F.lit(_PHONE_RE), 0)
+    ).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(no_email, _PHONE_RE, "[PHONE]").alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )

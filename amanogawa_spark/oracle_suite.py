@@ -872,6 +872,80 @@ def q_random_walks(spark, sf_dir):
     return random_walks(e, walk_length=3, walks_per_vertex=2, hash="md5")
 
 
+def _synth_multiline(d):
+    """Deterministic multi-line crawl-ish text from doc_id — identical
+    string construction in Spark and DuckDB (see the SQL mirror): six
+    lines mixing repeated sentences (period-4 collisions), junk nav lines
+    without terminal punctuation, and PII on every 4th doc."""
+    lines = []
+    for i in range(6):
+        lines.append(
+            F.when(
+                (d + i) % 4 == 0, F.lit("menu home about")
+            ).otherwise(
+                F.concat(
+                    F.lit("sentence variant "),
+                    ((d * 3 + i) % 4).cast("string"),
+                    F.lit("."),
+                )
+            )
+        )
+    pii = F.when(
+        d % 4 == 0,
+        F.concat(
+            F.lit("\ncontact john"),
+            (d % 7).cast("string"),
+            F.lit("@mail.com or call +1 555 1234567 now."),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.concat_ws("\n", *lines), pii)
+
+
+_SYNTH_MULTILINE_SQL = (
+    "SELECT doc_id, "
+    + " || chr(10) || ".join(
+        f"(CASE WHEN (doc_id + {i}) % 4 = 0 THEN 'menu home about' "
+        f"ELSE 'sentence variant ' || ((doc_id * 3 + {i}) % 4) || '.' END)"
+        for i in range(6)
+    )
+    + " || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'contact john' || (doc_id % 7) "
+    "|| '@mail.com or call +1 555 1234567 now.' ELSE '' END) AS text "
+    "FROM documents WHERE doc_id < 300"
+)
+
+
+def q_repetition_features(spark, sf_dir):
+    """Gopher repetition signals over synthesized boilerplate-heavy text."""
+    from amanogawa_spark.operators.quality import repetition_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    synth = docs.select("doc_id", _synth_multiline(F.col("doc_id")).alias("text"))
+    return repetition_features(synth).select(
+        "id",
+        "n_lines",
+        F.round("dup_line_frac", 8).alias("dup_frac_r"),
+        F.round("top_line_frac", 8).alias("top_frac_r"),
+    )
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line rule: >=3 words + terminal punctuation."""
+    from amanogawa_spark.operators.quality import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    synth = docs.select("doc_id", _synth_multiline(F.col("doc_id")).alias("text"))
+    return c4_line_filter(synth)
+
+
+def q_redact_pii(spark, sf_dir):
+    """Email/phone redaction with audit counts."""
+    from amanogawa_spark.operators.quality import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    synth = docs.select("doc_id", _synth_multiline(F.col("doc_id")).alias("text"))
+    return redact_pii(synth)
+
+
 def q_pack_sequences(spark, sf_dir):
     """LLM pretraining sequence packing: global token cumsum over the
     md5-shuffled doc stream → (seq_id, seq_offset) per document. The
@@ -1027,6 +1101,9 @@ QUERIES = {
     "q_clustering_coeff": q_clustering_coeff,
     "q_scc": q_scc,
     "q_pack_sequences": q_pack_sequences,
+    "q_repetition_features": q_repetition_features,
+    "q_c4_line_filter": q_c4_line_filter,
+    "q_redact_pii": q_redact_pii,
     "q_url_parse": q_url_parse,
     "q_reciprocity": q_reciprocity,
     "q_assortativity": q_assortativity,
@@ -1558,6 +1635,39 @@ ORACLE_SQL = {
         "SELECT src_id, dst_id, weight FROM wedges"
     ),
     "q_pagerank_weighted3": _pagerank_weighted_sql(3),
+    "q_repetition_features": (
+        f"WITH synth AS ({_SYNTH_MULTILINE_SQL}), "
+        "lines AS (SELECT doc_id AS id, lower(trim(l)) AS line FROM "
+        "(SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM synth) "
+        "WHERE length(trim(l)) > 0), "
+        "per AS (SELECT id, line, COUNT(*) AS c FROM lines GROUP BY id, line) "
+        "SELECT id, CAST(SUM(c) AS BIGINT) AS n_lines, "
+        "ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 8) AS dup_frac_r, "
+        "ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 8) AS top_frac_r "
+        "FROM per GROUP BY id"
+    ),
+    "q_c4_line_filter": (
+        f"WITH synth AS ({_SYNTH_MULTILINE_SQL}), "
+        "base AS (SELECT doc_id AS id, string_split(text, chr(10)) AS ls FROM synth), "
+        "k AS (SELECT id, list_filter(ls, l -> "
+        "len(list_filter(regexp_split_to_array(trim(l), '\\s+'), w -> len(w) > 0)) >= 3 "
+        "AND right(trim(l), 1) IN ('.', '!', '?', '\"', '''')) AS kept, ls FROM base) "
+        "SELECT id, array_to_string(list_transform(kept, l -> trim(l)), chr(10)) AS clean_text, "
+        "CAST(len(kept) AS BIGINT) AS n_kept, "
+        "CAST(len(list_filter(ls, l -> len(trim(l)) > 0)) - len(kept) AS BIGINT) AS n_dropped "
+        "FROM k"
+    ),
+    "q_redact_pii": (
+        f"WITH synth AS ({_SYNTH_MULTILINE_SQL}), "
+        "e AS (SELECT doc_id AS id, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+        "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1 "
+        "FROM synth) "
+        "SELECT id, regexp_replace(t1, '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '[PHONE]', 'g') AS redacted, "
+        "n_emails, "
+        "CAST(len(regexp_extract_all(t1, '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) AS BIGINT) AS n_phones "
+        "FROM e"
+    ),
     "q_pack_sequences": (
         "SELECT doc_id, n_chars, CAST(FLOOR(cum / 2048) AS BIGINT) AS seq_id, "
         "cum % 2048 AS seq_offset FROM ("
