@@ -35,7 +35,9 @@ operators, declaratively reachable): ``type="sample"`` (``method=
 "hash"|"stratified"``, ``p``/``n``+``group_column``, ``keys``),
 ``type="dedup"`` (``method="exact"|"minhash"``, ``id_column``,
 ``column``, ``threshold``), ``type="tfidf"`` (``id_column``, ``column``,
-``tokenizer``, ``min_df``).
+``tokenizer``, ``min_df``), ``type="quality"`` (``method=
+"c4"|"repetition"|"redact"``, ``min_words``), ``type="pack"``
+(``max_tokens``, ``tokens_column``, ``hash``, ``seed``).
 
 Relative paths resolve against the config file's directory (CLI parity).
 Sinks write Spark-style part-file directories — at cluster scale that is
@@ -201,6 +203,35 @@ def _flow_fn(spec: dict):
             text_col=spec.get("column", "text"),
             tokenizer=spec.get("tokenizer", "whitespace"),
             min_df=int(spec.get("min_df", 1)),
+        )
+    if t == "quality":
+        from amanogawa_spark.operators.quality import (
+            c4_line_filter,
+            redact_pii,
+            repetition_features,
+        )
+
+        method = spec.get("method", "c4")
+        id_col = spec.get("id_column", "doc_id")
+        col = spec.get("column", "text")
+        if method == "repetition":
+            return lambda df: repetition_features(df, id_col=id_col, text_col=col)
+        if method == "redact":
+            return lambda df: redact_pii(df, id_col=id_col, text_col=col)
+        return lambda df: c4_line_filter(
+            df, id_col=id_col, text_col=col,
+            min_words=int(spec.get("min_words", 3)),
+        )
+    if t == "pack":
+        from amanogawa_spark.operators.packing import pack_sequences
+
+        return lambda df: pack_sequences(
+            df,
+            max_tokens=int(spec.get("max_tokens", 2048)),
+            id_col=spec.get("id_column", "doc_id"),
+            tokens_col=spec.get("tokens_column", "n_tokens"),
+            hash=spec.get("hash", "xxhash64"),
+            seed=int(spec.get("seed", 7)),
         )
     raise ValueError(f"unsupported flow type: {t!r}")
 

@@ -299,3 +299,62 @@ type = "csv"
     assert terms <= {"alpha", "beta", "gamma", "delta"}
     ids = {i for i, _ in rows}
     assert len(ids) == 2
+
+
+def test_flow_extensions_quality_pack(spark, tmp_path):
+    """quality (c4) -> pack flow types chain declaratively."""
+    docs = "\n".join(
+        f'{{"doc_id": {i}, "text": "Keep this sentence number {i}.\\nmenu nav", "n_tokens": {50 + i}}}'
+        for i in range(8)
+    )
+    (tmp_path / "docs.jsonl").write_text(docs + "\n")
+    (tmp_path / "job.toml").write_text(
+        """
+[source]
+type = "file"
+path = "docs.jsonl"
+[source.format]
+type = "json"
+columns = [
+  { name = "doc_id", type = "long" },
+  { name = "text", type = "string" },
+  { name = "n_tokens", type = "long" },
+]
+
+[flow.cleaned]
+type = "quality"
+method = "c4"
+
+[flow.packed]
+type = "pack"
+max_tokens = 128
+id_column = "doc_id"
+tokens_column = "n_tokens"
+from = "source"
+
+[sink.clean_out]
+type = "file"
+path = "clean_out"
+from = "cleaned"
+[sink.clean_out.format]
+type = "parquet"
+
+[sink.pack_out]
+type = "file"
+path = "pack_out"
+from = "packed"
+[sink.pack_out.format]
+type = "parquet"
+"""
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(str(tmp_path / "job.toml"), spark)
+    clean = spark.read.parquet(str(tmp_path / "clean_out"))
+    assert clean.count() == 8
+    assert all("menu nav" not in r.clean_text for r in clean.collect())
+    packed = spark.read.parquet(str(tmp_path / "pack_out"))
+    rows = packed.collect()
+    assert len(rows) == 8
+    assert {r.seq_id for r in rows}  # bin ids assigned
+    assert all(0 <= r.seq_offset < 128 for r in rows)
