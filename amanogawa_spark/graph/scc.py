@@ -48,13 +48,18 @@ def _min_label_fixpoint(
 ) -> DataFrame:
     """(id, lab): lab = min id with a directed path to v along src→dst.
 
-    Labels start at the vertex id and only decrease; the sum of labels is
-    therefore a strictly decreasing convergence signal.
+    Labels start at the vertex id and only decrease. The convergence
+    signal is the COUNT of labels that changed this round (one 1-row
+    action over the same frame the round materializes anyway) — NOT a
+    sum of label values: with ``xxhash64`` vertex ids (the web-scale id
+    path) label values sit near ±2^63 and an ANSI-mode sum overflows
+    long on the first aggregate; a double-typed sum silently loses the
+    low bits and can declare a false fixpoint. Measured, not
+    hypothetical: the 200k-page hash-id probe overflowed immediately.
     """
     labels = verts.select("id", F.col("id").alias("lab")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
     while True:
         incoming = (
             edges.join(
@@ -64,18 +69,30 @@ def _min_label_fixpoint(
             .groupBy(F.col(dst).alias("id"))
             .agg(F.min("lab").alias("in_lab"))
         )
-        nxt = (
-            labels.join(incoming.hint("shuffle_hash"), "id", "left")
-            .select("id", F.least("lab", F.coalesce("in_lab", "lab")).alias("lab"))
+        stepped = (
+            labels.select("id", F.col("lab").alias("_old"))
+            .join(incoming.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                "_old",
+                F.least("_old", F.coalesce("in_lab", "_old")).alias("lab"),
+            )
             .localCheckpoint(eager=False)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        cur_sum = nxt.agg(F.sum("lab")).collect()[0][0]
+        n_changed = (
+            stepped.agg(
+                F.sum((F.col("lab") != F.col("_old")).cast("long"))
+            ).collect()[0][0]
+            or 0
+        )
         labels.unpersist()
-        labels = nxt
-        if cur_sum == prev_sum:
+        # keep the PERSISTED handle itself (a .select() projection would
+        # make the caller's unpersist a cache-manager no-op); the extra
+        # _old column is dropped by every downstream projection
+        labels = stepped
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     return labels
 
 
