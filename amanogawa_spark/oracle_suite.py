@@ -946,6 +946,51 @@ def q_redact_pii(spark, sf_dir):
     return redact_pii(synth)
 
 
+def q_hll_registers(spark, sf_dir):
+    """HLL register table (bucket, max-rho) over doc ids — exact integer
+    state, bit-identical across engines (the mergeable sketch form)."""
+    from amanogawa_spark.operators.sketch import hll_registers
+
+    return hll_registers(_t(spark, sf_dir, "documents"), "doc_id", p=12)
+
+
+def q_hll_estimate(spark, sf_dir):
+    """HLL distinct estimate from those registers (small-range corrected)."""
+    from amanogawa_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "documents"), "doc_id", p=12).select(
+        F.round("estimate", 6).alias("estimate_r")
+    )
+
+
+def _hll_sql(p: int = 12, round_to: int = 6) -> tuple[str, str]:
+    """(registers_sql, estimate_sql) mirroring operators/sketch.py —
+    identical md5 hash, bit ops, and integer-comparison rho chain."""
+    m = 1 << p
+    tail_bits = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rho_case = "CASE " + " ".join(
+        f"WHEN tail >= {1 << (tail_bits - k)} THEN {k}"
+        for k in range(1, tail_bits + 1)
+    ) + f" ELSE {tail_bits + 1} END"
+    regs = (
+        "WITH h AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h32 "
+        "FROM documents), "
+        f"bt AS (SELECT h32 >> {tail_bits} AS bucket, h32 & {(1 << tail_bits) - 1} AS tail FROM h), "
+        f"r AS (SELECT bucket, {rho_case} AS r FROM bt) "
+        "SELECT bucket, CAST(MAX(r) AS BIGINT) AS rho FROM r GROUP BY bucket"
+    )
+    est = (
+        f"WITH regs AS ({regs}), "
+        "a AS (SELECT SUM(POWER(2.0, -rho)) AS s_present, COUNT(*) AS v_present FROM regs) "
+        f"SELECT ROUND(CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} / (s_present + ({m} - v_present)) <= 2.5 * {m} "
+        f"AND ({m} - v_present) > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / ({m} - v_present)) "
+        f"ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / (s_present + ({m} - v_present)) END, {round_to}) AS estimate_r FROM a"
+    )
+    return regs, est
+
+
 def q_pack_sequences(spark, sf_dir):
     """LLM pretraining sequence packing: global token cumsum over the
     md5-shuffled doc stream → (seq_id, seq_offset) per document. The
@@ -1102,6 +1147,8 @@ QUERIES = {
     "q_scc": q_scc,
     "q_pack_sequences": q_pack_sequences,
     "q_repetition_features": q_repetition_features,
+    "q_hll_registers": q_hll_registers,
+    "q_hll_estimate": q_hll_estimate,
     "q_c4_line_filter": q_c4_line_filter,
     "q_redact_pii": q_redact_pii,
     "q_url_parse": q_url_parse,
@@ -1635,6 +1682,8 @@ ORACLE_SQL = {
         "SELECT src_id, dst_id, weight FROM wedges"
     ),
     "q_pagerank_weighted3": _pagerank_weighted_sql(3),
+    "q_hll_registers": _hll_sql(12)[0],
+    "q_hll_estimate": _hll_sql(12)[1],
     "q_repetition_features": (
         f"WITH synth AS ({_SYNTH_MULTILINE_SQL}), "
         "lines AS (SELECT doc_id AS id, lower(trim(l)) AS line FROM "

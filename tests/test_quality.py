@@ -39,3 +39,28 @@ def test_redact_pii_known(spark):
     assert r.n_emails == 2 and r.n_phones == 1
     assert "[EMAIL]" in r.redacted and "[PHONE]" in r.redacted
     assert "test.org" not in r.redacted and "555" not in r.redacted
+
+
+def test_hll_accuracy_and_merge(spark):
+    """Estimate within ~5% at 20k distinct (p=12 → ~1.6% std err); merging
+    two shard sketches equals sketching the union."""
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(0, 20_000).select(F.col("id"))
+    est = hll_distinct(df, "id").collect()[0].estimate
+    assert abs(est - 20_000) / 20_000 < 0.05
+    # shard merge: [0,12k) ∪ [8k,20k) (overlapping) == full sketch
+    a = hll_registers(df.filter(F.col("id") < 12_000), "id")
+    b = hll_registers(df.filter(F.col("id") >= 8_000), "id")
+    merged = hll_merge(a, b)
+    full = {(r.bucket, r.rho) for r in hll_registers(df, "id").collect()}
+    assert {(r.bucket, r.rho) for r in merged.collect()} == full
+    est_m = hll_estimate(merged).collect()[0].estimate
+    assert est_m == est
