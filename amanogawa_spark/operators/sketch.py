@@ -93,3 +93,85 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
 def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     """One row (estimate double) — approximate COUNT(DISTINCT col)."""
     return hll_estimate(hll_registers(df, col, p), p)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — frequency estimates / heavy-hitter screening
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(col: Column, row: int, w: int) -> Column:
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(F.concat_ws("~", F.lit(str(row)), col.cast("string")), "UTF-8")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % w
+
+
+def cms_registers(
+    df: DataFrame, col: str, d: int = 4, w: int = 2048
+) -> DataFrame:
+    """(row, bucket, cnt) — the count-min table (Cormode & Muthukrishnan
+    2005): ``d`` independent md5 hash rows of ``w`` counters. ONE
+    map-side-combined aggregate over d·w bounded partials per task; the
+    register table merges across shards by summing cnt. Point estimates
+    overcount (never undercount) by at most eps·N with prob 1-delta for
+    w=e/eps, d=ln(1/delta)."""
+    c = F.col(col)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), _cms_bucket(c, i, w).alias("bucket"))
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*register_tables: DataFrame) -> DataFrame:
+    """Combine shard sketches by summing counters."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionAll(t)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_query(
+    registers: DataFrame,
+    items: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 2048,
+) -> DataFrame:
+    """(col, est) — frequency upper-bound per item: min over the d rows'
+    counters. The register side is tiny (≤ d·w rows) and broadcasts;
+    the item side never shuffles."""
+    c = F.col(col)
+    keyed = items.select(
+        c,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _cms_bucket(c, i, w).alias("bucket")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select(col, "rb.row", "rb.bucket")
+    return (
+        keyed.join(F.broadcast(registers), ["row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+    )

@@ -991,6 +991,39 @@ def _hll_sql(p: int = 12, round_to: int = 6) -> tuple[str, str]:
     return regs, est
 
 
+def q_cms_query(spark, sf_dir):
+    """Count-min frequency estimates for every event type — registers and
+    point queries computed identically in both engines (md5 buckets,
+    integer counters)."""
+    from amanogawa_spark.operators.sketch import cms_query, cms_registers
+
+    ev = _t(spark, sf_dir, "events")
+    regs = cms_registers(ev, "event_type", d=4, w=512)
+    items = ev.select("event_type").distinct()
+    return cms_query(regs, items, "event_type", d=4, w=512)
+
+
+def _cms_sql(d: int = 4, w: int = 512) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, ('0x' || substr(md5('{i}~' || event_type), 1, 8))::BIGINT % {w} AS bucket "
+        "FROM events"
+        for i in range(d)
+    )
+    item_rows = " UNION ALL ".join(
+        f"SELECT event_type, {i} AS row, "
+        f"('0x' || substr(md5('{i}~' || event_type), 1, 8))::BIGINT % {w} AS bucket "
+        "FROM (SELECT DISTINCT event_type FROM events)"
+        for i in range(d)
+    )
+    return (
+        f"WITH rb AS ({rows}), "
+        "regs AS (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM rb GROUP BY row, bucket), "
+        f"items AS ({item_rows}) "
+        "SELECT event_type, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est "
+        "FROM items LEFT JOIN regs USING (row, bucket) GROUP BY event_type"
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """LLM pretraining sequence packing: global token cumsum over the
     md5-shuffled doc stream → (seq_id, seq_offset) per document. The
@@ -1149,6 +1182,7 @@ QUERIES = {
     "q_repetition_features": q_repetition_features,
     "q_hll_registers": q_hll_registers,
     "q_hll_estimate": q_hll_estimate,
+    "q_cms_query": q_cms_query,
     "q_c4_line_filter": q_c4_line_filter,
     "q_redact_pii": q_redact_pii,
     "q_url_parse": q_url_parse,
@@ -1684,6 +1718,7 @@ ORACLE_SQL = {
     "q_pagerank_weighted3": _pagerank_weighted_sql(3),
     "q_hll_registers": _hll_sql(12)[0],
     "q_hll_estimate": _hll_sql(12)[1],
+    "q_cms_query": _cms_sql(4, 512),
     "q_repetition_features": (
         f"WITH synth AS ({_SYNTH_MULTILINE_SQL}), "
         "lines AS (SELECT doc_id AS id, lower(trim(l)) AS line FROM "

@@ -64,3 +64,27 @@ def test_hll_accuracy_and_merge(spark):
     assert {(r.bucket, r.rho) for r in merged.collect()} == full
     est_m = hll_estimate(merged).collect()[0].estimate
     assert est_m == est
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """Point estimates are upper bounds that equal true counts when
+    collisions are absent; shard merge == full sketch."""
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.operators.sketch import cms_merge, cms_query, cms_registers
+
+    # skewed frequencies: value v appears v+1 times, v in 0..49
+    rows = [(v,) for v in range(50) for _ in range(v + 1)]
+    df = spark.createDataFrame(rows, "v long")
+    regs = cms_registers(df, "v", d=4, w=2048)
+    items = df.select("v").distinct()
+    est = {r.v: r.est for r in cms_query(regs, items, "v", d=4, w=2048).collect()}
+    for v in range(50):
+        assert est[v] >= v + 1  # CMS never undercounts
+    # with w=2048 and 50 keys collisions are essentially absent in >=1 row
+    assert sum(1 for v in range(50) if est[v] == v + 1) >= 48
+    a = cms_registers(df.filter(F.col("v") < 25), "v", d=4, w=2048)
+    b = cms_registers(df.filter(F.col("v") >= 25), "v", d=4, w=2048)
+    merged = {(r.row, r.bucket): r.cnt for r in cms_merge(a, b).collect()}
+    full = {(r.row, r.bucket): r.cnt for r in regs.collect()}
+    assert merged == full
