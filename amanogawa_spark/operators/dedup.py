@@ -74,6 +74,54 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, n_hits, contaminated) — eval-set decontamination screening.
+
+    A training doc is flagged when it shares >= 1 word ``n``-gram with any
+    benchmark document (the standard n-gram-overlap contamination test,
+    n=8..13 in published pipelines; GPT-3 paper §C used 13-gram spans).
+
+    Scale shape: the benchmark shingle set is tiny relative to the corpus
+    (thousands of eval docs vs 10^12 training docs) — it is distinct-ed
+    and BROADCAST, so the corpus side streams through a map-side hash
+    join of its exploded shingles with no shuffle of document text;
+    n_hits aggregates back on the already-partitioned doc id. Flagged
+    ids then drive an anti-join upstream (the docs frame is returned
+    keyed, not rewritten, so callers choose drop vs audit).
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles(F.col(bench_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """array<long> of length num_hashes: min over shingles of seeded xxhash64.
 

@@ -991,6 +991,16 @@ def _hll_sql(p: int = 12, round_to: int = 6) -> tuple[str, str]:
     return regs, est
 
 
+def q_contamination(spark, sf_dir):
+    """Eval-set decontamination: flag training docs sharing any 5-gram
+    with the benchmark subset (every 50th doc)."""
+    from amanogawa_spark.operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_flags(docs, bench, n=5)
+
+
 def q_cms_query(spark, sf_dir):
     """Count-min frequency estimates for every event type — registers and
     point queries computed identically in both engines (md5 buckets,
@@ -1183,6 +1193,7 @@ QUERIES = {
     "q_hll_registers": q_hll_registers,
     "q_hll_estimate": q_hll_estimate,
     "q_cms_query": q_cms_query,
+    "q_contamination": q_contamination,
     "q_c4_line_filter": q_c4_line_filter,
     "q_redact_pii": q_redact_pii,
     "q_url_parse": q_url_parse,
@@ -1719,6 +1730,21 @@ ORACLE_SQL = {
     "q_hll_registers": _hll_sql(12)[0],
     "q_hll_estimate": _hll_sql(12)[1],
     "q_cms_query": _cms_sql(4, 512),
+    "q_contamination": (
+        f"WITH base AS (SELECT doc_id, {_NORM} AS norm FROM documents), "
+        "tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM base), "
+        "shl AS (SELECT doc_id, CASE WHEN len(toks) >= 5 "
+        "THEN list_distinct(list_transform(range(0, len(toks) - 4), "
+        "i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))) "
+        "ELSE [array_to_string(toks, ' ')] END AS sh FROM tk), "
+        "bg AS (SELECT DISTINCT unnest(sh) AS gram FROM shl WHERE doc_id % 50 = 0), "
+        "dg AS (SELECT doc_id AS id, unnest(sh) AS gram FROM shl), "
+        "h AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM dg "
+        "JOIN bg USING (gram) GROUP BY id) "
+        "SELECT d.doc_id AS id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "COALESCE(h.n_hits, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN h ON d.doc_id = h.id"
+    ),
     "q_repetition_features": (
         f"WITH synth AS ({_SYNTH_MULTILINE_SQL}), "
         "lines AS (SELECT doc_id AS id, lower(trim(l)) AS line FROM "

@@ -88,3 +88,23 @@ def test_cms_never_undercounts_and_merges(spark):
     merged = {(r.row, r.bucket): r.cnt for r in cms_merge(a, b).collect()}
     full = {(r.row, r.bucket): r.cnt for r in regs.collect()}
     assert merged == full
+
+
+def test_contamination_flags_known(spark):
+    from amanogawa_spark.operators.dedup import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "a completely different sentence with no overlap at all"),
+            (2, "we note the quick brown fox jumps over the fence"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "quick brown fox jumps over the lazy")], "bid long, text string"
+    )
+    got = {r.id: (r.n_hits, r.contaminated) for r in contamination_flags(docs, bench, n=5).collect()}
+    assert got[0][1] is True and got[0][0] >= 1  # shares 5-grams
+    assert got[1] == (0, False)
+    assert got[2][1] is True  # 'quick brown fox jumps over' present
