@@ -112,6 +112,47 @@ def tf_idf(
     )
 
 
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "whitespace",
+) -> DataFrame:
+    """(id, n_tokens, avg_logprob) — corpus-trained unigram LM score.
+
+    The classic LM quality filter (CCNet-style): train a unigram model on
+    the corpus itself (Laplace-smoothed: p(t) = (tf_t + 1) / (T + V)) and
+    score each document by its mean token log-probability. Gibberish,
+    OCR noise, and rare-token spam sit far below the corpus mode;
+    curation keeps a percentile band.
+
+    Two passes over the SAME (id, term, cnt) aggregate: global term
+    frequencies (map-side combined) and the per-doc weighted mean,
+    joined back on ``term``. Corpus totals (T, V) ride along as a 1-row
+    broadcast cross join — fully lazy, no driver action, pure Catalyst.
+    """
+    tc = term_counts(df, id_col, text_col, tokenizer)
+    vocab = tc.groupBy("term").agg(F.sum("cnt").alias("tf"))
+    totals = vocab.agg(
+        F.sum("tf").alias("tt"), F.count("*").cast("double").alias("vv")
+    )
+    scored = (
+        tc.join(vocab, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            "cnt",
+            (F.col("cnt") * F.log((F.col("tf") + 1.0) / (F.col("tt") + F.col("vv")))).alias(
+                "w_logp"
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        (F.sum("w_logp") / F.sum("cnt")).alias("avg_logprob"),
+    )
+
+
 def bow_cosine_topk(
     df: DataFrame,
     id_col: str = "doc_id",

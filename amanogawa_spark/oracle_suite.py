@@ -991,6 +991,16 @@ def _hll_sql(p: int = 12, round_to: int = 6) -> tuple[str, str]:
     return regs, est
 
 
+def q_lm_scores(spark, sf_dir):
+    """Corpus-trained unigram LM mean log-prob per doc (CCNet-style
+    quality score) — rounded to 8 on both engines."""
+    from amanogawa_spark.operators.bow import unigram_logprob_scores
+
+    return unigram_logprob_scores(_t(spark, sf_dir, "documents")).select(
+        "id", "n_tokens", F.round("avg_logprob", 8).alias("avg_logprob_r")
+    )
+
+
 def q_contamination(spark, sf_dir):
     """Eval-set decontamination: flag training docs sharing any 5-gram
     with the benchmark subset (every 50th doc)."""
@@ -1194,6 +1204,7 @@ QUERIES = {
     "q_hll_estimate": q_hll_estimate,
     "q_cms_query": q_cms_query,
     "q_contamination": q_contamination,
+    "q_lm_scores": q_lm_scores,
     "q_c4_line_filter": q_c4_line_filter,
     "q_redact_pii": q_redact_pii,
     "q_url_parse": q_url_parse,
@@ -1730,6 +1741,17 @@ ORACLE_SQL = {
     "q_hll_registers": _hll_sql(12)[0],
     "q_hll_estimate": _hll_sql(12)[1],
     "q_cms_query": _cms_sql(4, 512),
+    "q_lm_scores": (
+        f"WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents), "
+        "tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base), "
+        "tc AS (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok "
+        "WHERE length(term) > 0 GROUP BY id, term), "
+        "vocab AS (SELECT term, SUM(cnt) AS tf FROM tc GROUP BY term), "
+        "tot AS (SELECT SUM(tf) AS tt, CAST(COUNT(*) AS DOUBLE) AS vv FROM vocab) "
+        "SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, "
+        "ROUND(SUM(cnt * ln((tf + 1.0) / (tt + vv))) / SUM(cnt), 8) AS avg_logprob_r "
+        "FROM tc JOIN vocab USING (term) CROSS JOIN tot GROUP BY id"
+    ),
     "q_contamination": (
         f"WITH base AS (SELECT doc_id, {_NORM} AS norm FROM documents), "
         "tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM base), "

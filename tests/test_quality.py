@@ -108,3 +108,28 @@ def test_contamination_flags_known(spark):
     assert got[0][1] is True and got[0][0] >= 1  # shares 5-grams
     assert got[1] == (0, False)
     assert got[2][1] is True  # 'quick brown fox jumps over' present
+
+
+def test_unigram_lm_scores_rank_gibberish_lower(spark):
+    """Common-word docs must outscore a rare-token doc; values match a
+    handwritten Laplace model."""
+    import math
+
+    from amanogawa_spark.operators.bow import unigram_logprob_scores
+
+    docs = [
+        (0, "the cat sat"),
+        (1, "the cat ran"),
+        (2, "zq xv jk"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.id: (r.n_tokens, r.avg_logprob) for r in unigram_logprob_scores(df).collect()}
+    tf = {"the": 2, "cat": 2, "sat": 1, "ran": 1, "zq": 1, "xv": 1, "jk": 1}
+    T, V = sum(tf.values()), len(tf)
+
+    def lp(t):
+        return math.log((tf[t] + 1) / (T + V))
+
+    exp0 = (lp("the") + lp("cat") + lp("sat")) / 3
+    assert got[0][0] == 3 and abs(got[0][1] - exp0) < 1e-12
+    assert got[2][1] < got[0][1] and got[2][1] < got[1][1]
