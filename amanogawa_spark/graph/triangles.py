@@ -195,6 +195,94 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     )
 
 
+def edge_triangle_support(edges: DataFrame) -> DataFrame:
+    """(a, b, support) — triangles through each canonical undirected edge.
+    Degree-ordered wedge enumeration (each triangle found once) exploded
+    to its three edges + one hash aggregate; edges in no triangle are
+    absent (support 0)."""
+    oriented = _oriented_edges(edges)
+    e1 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("y"))
+    wedges = e1.join(e2, "pivot").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+        oriented.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    ).distinct()
+    tri = wedges.join(closing, ["x", "y"], "inner")
+    edge_keys = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("pivot", "x").alias("a"),
+                    F.greatest("pivot", "x").alias("b"),
+                ),
+                F.struct(
+                    F.least("pivot", "y").alias("a"),
+                    F.greatest("pivot", "y").alias("b"),
+                ),
+                F.struct(
+                    F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    return edge_keys.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("support")
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    fixed_rounds: int | None = None,
+) -> DataFrame:
+    """(a, b) — canonical undirected edges of the k-truss: the maximal
+    subgraph where every edge closes >= k-2 triangles WITHIN the subgraph
+    (Cohen 2008). Stronger cohesion than k-core (which bounds degrees,
+    not shared neighborhoods) — the community-core extractor for link
+    farms / tightly-knit topic clusters.
+
+    Peel loop: recompute per-edge support on the surviving subgraph,
+    drop under-supported edges, repeat to fixpoint (``fixed_rounds``
+    skips the convergence check — the SQL-oracle variant). Each round is
+    the degree-ordered wedge join, so the O(√m) orientation bound and
+    the same exact-counting scale caveat apply per round.
+    """
+    cur = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if k <= 2:
+        return cur  # every edge trivially satisfies support >= 0
+    n_cur = cur.count()
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for _ in range(rounds):
+        sup = edge_triangle_support(
+            cur.select(F.col("a").alias("src_id"), F.col("b").alias("dst_id"))
+        )
+        nxt = (
+            cur.join(sup, ["a", "b"], "inner")
+            .filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        cur.unpersist()
+        cur = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        if fixed_rounds is None:
+            n_new = cur.count()
+            if n_new == n_cur:
+                break
+            n_cur = n_new
+    out = cur.localCheckpoint(eager=True)
+    cur.unpersist()
+    return out
+
+
 def triangle_total(edges: DataFrame) -> DataFrame:
     """One-row DataFrame (n_triangles long) — the SQL-oracle-friendly shape."""
     oriented = _oriented_edges(edges)

@@ -991,6 +991,53 @@ def _hll_sql(p: int = 12, round_to: int = 6) -> tuple[str, str]:
     return regs, est
 
 
+def q_ktruss(spark, sf_dir):
+    """k-truss edges (k=4, 3 fixed peel rounds) on the derived graph —
+    DuckDB unrolls the identical per-round support recomputation."""
+    from amanogawa_spark.graph.triangles import k_truss
+
+    return k_truss(derived_edges(spark, sf_dir), k=4, fixed_rounds=3)
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 3) -> str:
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src_id, dst_id) AS a, "
+        "GREATEST(src_id, dst_id) AS b FROM edges WHERE src_id <> dst_id)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"deg{r} AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM ("
+            f"SELECT a AS id FROM e{p} UNION ALL SELECT b AS id FROM e{p}) GROUP BY id)"
+        )
+        parts.append(
+            f"ori{r} AS MATERIALIZED (SELECT "
+            f"CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u, "
+            f"CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v "
+            f"FROM e{p} u JOIN deg{r} da ON u.a = da.id JOIN deg{r} db ON u.b = db.id)"
+        )
+        parts.append(
+            f"tri{r} AS MATERIALIZED (SELECT w.pv, w.x, w.y FROM "
+            f"(SELECT e1.u AS pv, e1.v AS x, e2.v AS y FROM ori{r} e1 "
+            f"JOIN ori{r} e2 ON e1.u = e2.u WHERE e1.v < e2.v) w "
+            f"JOIN (SELECT u AS x, v AS y FROM ori{r} "
+            f"UNION SELECT v AS x, u AS y FROM ori{r}) c USING (x, y))"
+        )
+        parts.append(
+            f"sup{r} AS MATERIALIZED (SELECT a, b, COUNT(*) AS c FROM ("
+            f"SELECT LEAST(pv, x) AS a, GREATEST(pv, x) AS b FROM tri{r} "
+            f"UNION ALL SELECT LEAST(pv, y), GREATEST(pv, y) FROM tri{r} "
+            f"UNION ALL SELECT LEAST(x, y), GREATEST(x, y) FROM tri{r}) GROUP BY a, b)"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{p} e "
+            f"JOIN sup{r} s ON e.a = s.a AND e.b = s.b WHERE s.c >= {k - 2})"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return body + f"\nSELECT a, b FROM e{rounds}"
+
+
 def q_lm_scores(spark, sf_dir):
     """Corpus-trained unigram LM mean log-prob per doc (CCNet-style
     quality score) — rounded to 8 on both engines."""
@@ -1205,6 +1252,7 @@ QUERIES = {
     "q_cms_query": q_cms_query,
     "q_contamination": q_contamination,
     "q_lm_scores": q_lm_scores,
+    "q_ktruss": q_ktruss,
     "q_c4_line_filter": q_c4_line_filter,
     "q_redact_pii": q_redact_pii,
     "q_url_parse": q_url_parse,
@@ -1741,6 +1789,7 @@ ORACLE_SQL = {
     "q_hll_registers": _hll_sql(12)[0],
     "q_hll_estimate": _hll_sql(12)[1],
     "q_cms_query": _cms_sql(4, 512),
+    "q_ktruss": _ktruss_sql(4, 3),
     "q_lm_scores": (
         f"WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents), "
         "tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base), "

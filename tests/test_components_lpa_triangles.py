@@ -179,3 +179,21 @@ def test_coreness_single_peel_matches_kcore_ladder(spark):
         assert ladder == from_coreness, f"k={k}"
     hist = {r.k: r.core_size for r in coreness_histogram(verts, edges, ks=[1, 2, 3, 5]).collect()}
     assert hist == {k: sum(1 for cc in c.values() if cc >= k) for k in (1, 2, 3, 5)}
+
+
+def test_k_truss_known_graph(spark):
+    """K4 survives 4-truss peeling; a pendant triangle and bridge edges
+    peel away (and the bridge's removal is what kills the triangle —
+    the cascade the fixpoint loop must capture)."""
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.graph.triangles import k_truss
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    extra = [(3, 4), (4, 5), (4, 6), (5, 6)]  # bridge 3-4 + triangle 4-5-6
+    e = spark.createDataFrame(k4 + extra, "src_id long, dst_id long")
+    out = {(r.a, r.b) for r in k_truss(e, k=4).collect()}
+    assert out == set(k4)
+    # 3-truss keeps both triangles' edges but drops the bridge
+    out3 = {(r.a, r.b) for r in k_truss(e, k=3).collect()}
+    assert out3 == set(k4) | {(4, 5), (4, 6), (5, 6)}
