@@ -991,6 +991,53 @@ def _hll_sql(p: int = 12, round_to: int = 6) -> tuple[str, str]:
     return regs, est
 
 
+def q_lpa_weighted2(spark, sf_dir):
+    """Weighted label propagation (2 rounds) over the domain rollup graph
+    — labels adopt by incident link-mass, not neighbor count."""
+    from amanogawa_spark.graph.build import rollup_edges
+    from amanogawa_spark.graph.lpa import label_propagation
+
+    e = rollup_edges(derived_edges(spark, sf_dir), lambda c: c % 50)
+    v = (
+        e.select(F.col("src_id").alias("id"))
+        .unionAll(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    return label_propagation(v, e, max_rounds=2, weight_col="weight")
+
+
+def _lpa_weighted_sql(rounds: int = 2) -> str:
+    parts = [
+        f"WITH {_EDGES_SQL.strip()}",
+        _DOMAIN_EDGES_SQL.strip().replace(" MATERIALIZED", "", 1),
+        "sym AS (SELECT u, v, SUM(w) AS w FROM ("
+        "SELECT src_id AS u, dst_id AS v, CAST(weight AS DOUBLE) AS w FROM wedges "
+        "UNION ALL SELECT dst_id AS u, src_id AS v, CAST(weight AS DOUBLE) AS w FROM wedges"
+        ") GROUP BY u, v)",
+        "wverts AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM wedges "
+        "UNION ALL SELECT dst_id AS id FROM wedges))",
+        "l0 AS (SELECT id, id AS lab FROM wverts)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"cnt{k} AS (SELECT s.u AS id, l.lab AS lab, SUM(s.w) AS freq FROM sym s "
+            f"JOIN l{p} l ON s.v = l.id GROUP BY s.u, l.lab)"
+        )
+        parts.append(
+            f"best{k} AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY freq DESC, lab ASC) AS rn FROM cnt{k}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{k} AS (SELECT l.id, COALESCE(b.lab, l.lab) AS lab FROM l{p} l "
+            f"LEFT JOIN best{k} b ON l.id = b.id)"
+        )
+    return (
+        parts[0] + ",\n" + ",\n".join(parts[1:])
+        + f"\nSELECT id, lab AS label FROM l{rounds}"
+    )
+
+
 def q_ktruss(spark, sf_dir):
     """k-truss edges (k=4, 3 fixed peel rounds) on the derived graph —
     DuckDB unrolls the identical per-round support recomputation."""
@@ -1253,6 +1300,7 @@ QUERIES = {
     "q_contamination": q_contamination,
     "q_lm_scores": q_lm_scores,
     "q_ktruss": q_ktruss,
+    "q_lpa_weighted2": q_lpa_weighted2,
     "q_c4_line_filter": q_c4_line_filter,
     "q_redact_pii": q_redact_pii,
     "q_url_parse": q_url_parse,
@@ -1790,6 +1838,7 @@ ORACLE_SQL = {
     "q_hll_estimate": _hll_sql(12)[1],
     "q_cms_query": _cms_sql(4, 512),
     "q_ktruss": _ktruss_sql(4, 3),
+    "q_lpa_weighted2": _lpa_weighted_sql(2),
     "q_lm_scores": (
         f"WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents), "
         "tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base), "

@@ -197,3 +197,19 @@ def test_k_truss_known_graph(spark):
     # 3-truss keeps both triangles' edges but drops the bridge
     out3 = {(r.a, r.b) for r in k_truss(e, k=3).collect()}
     assert out3 == set(k4) | {(4, 5), (4, 6), (5, 6)}
+
+
+def test_lpa_weighted_outvotes_count(spark):
+    """A single heavy edge must beat several light edges under weight_col,
+    even when the heavy neighbor has the LARGEST label (so the unweighted
+    count+tiebreak path provably chooses differently)."""
+    from amanogawa_spark.graph.lpa import label_propagation
+
+    # vertex 5: heavy edge to 9 (w=10), light edges to 0 and 1 (w=1)
+    edges = [(5, 9, 10.0), (5, 0, 1.0), (5, 1, 1.0)]
+    e = spark.createDataFrame(edges, "src_id long, dst_id long, weight double")
+    v = spark.createDataFrame([(i,) for i in (0, 1, 5, 9)], "id long")
+    w1 = {r.id: r.label for r in label_propagation(v, e, max_rounds=1, weight_col="weight").collect()}
+    assert w1[5] == 9  # mass 10 beats 1+1
+    u1 = {r.id: r.label for r in label_propagation(v, e, max_rounds=1).collect()}
+    assert u1[5] == 0  # unweighted: three-way count tie -> smallest label
