@@ -7,7 +7,13 @@ from amanogawa_spark.graph.build import (
 from amanogawa_spark.graph.pagerank import pagerank
 from amanogawa_spark.graph.components import connected_components, connected_components_minlabel
 from amanogawa_spark.graph.lpa import label_propagation
-from amanogawa_spark.graph.triangles import triangle_count
+from amanogawa_spark.graph.triangles import (
+    clustering_coefficient,
+    k_truss,
+    triangle_count,
+)
+from amanogawa_spark.graph.scc import strongly_connected_components
+from amanogawa_spark.graph.walks import random_walks
 
 __all__ = [
     "build_edges",
@@ -18,5 +24,9 @@ __all__ = [
     "connected_components",
     "connected_components_minlabel",
     "label_propagation",
+    "clustering_coefficient",
+    "k_truss",
+    "strongly_connected_components",
+    "random_walks",
     "triangle_count",
 ]
