@@ -21,6 +21,21 @@ def main() -> None:
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--id-mode", choices=["dense", "hash"], default="dense")
+    ap.add_argument(
+        "--normalize-urls", action="store_true",
+        help="canonicalize page/link urls before the dictionary joins "
+        "(collapses crawl-duplicate spellings; functions/url.py)",
+    )
+    ap.add_argument(
+        "--warm-ranks", default=None,
+        help="parquet path of a previous run's ranks (id, rank) — warm-start "
+        "the power iteration for incremental recrawls",
+    )
+    ap.add_argument(
+        "--adaptive", action="store_true",
+        help="keep AQE enabled inside the iteration loop (default off — "
+        "see graph/iter_conf.py; opt in for AQE skew-splitting)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -35,14 +50,19 @@ def main() -> None:
         if "." in args.pages and not args.pages.startswith("/") and "://" not in args.pages
         else spark.read.parquet(args.pages)
     )
-    vertices = build_vertices(pages, id_mode=args.id_mode).persist()
-    edges = build_edges(pages, vertices).persist()
+    vertices = build_vertices(
+        pages, id_mode=args.id_mode, normalize=args.normalize_urls
+    ).persist()
+    edges = build_edges(
+        pages, vertices, normalize=args.normalize_urls
+    ).persist()
     vertices.write.mode("overwrite").parquet(f"{args.out}/vertices")
     edges.write.mode("overwrite").parquet(f"{args.out}/edges")
 
     ckpt = (
         CheckpointManager(spark, args.checkpoint_dir) if args.checkpoint_dir else None
     )
+    warm = spark.read.parquet(args.warm_ranks) if args.warm_ranks else None
     res = pagerank(
         vertices,
         edges,
@@ -50,6 +70,8 @@ def main() -> None:
         tol=args.tol,
         max_iter=args.max_iter,
         checkpoint=ckpt,
+        initial_ranks=warm,
+        adaptive=args.adaptive,
     )
     res.ranks.write.mode("overwrite").parquet(f"{args.out}/ranks")
     print(
