@@ -434,6 +434,79 @@ def personalized_pagerank(
     return PageRankResult(ranks=ranks, iterations=it, delta=float(delta), history=history)
 
 
+def katz_centrality(
+    vertices: DataFrame,
+    edges: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    iterations: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, katz) — Katz centrality by fixed-point iteration:
+    x' = α·Aᵀx + β (x₀ = β·1). Counts ALL walks into a vertex damped by
+    length — unlike PageRank it does not split a source's influence by
+    out-degree, so a hub endorses every target at full strength (the
+    citation/endorsement reading). α must stay below 1/λ_max for the
+    series to converge; the fixed-iteration form is the oracle-friendly
+    truncation. Same execution shape as :func:`pagerank`: edges
+    hash-partitioned+persisted once, per-iteration only the score vector
+    shuffles, shuffle_hash hints on the O(V) sides, AQE off in the loop,
+    lineage truncated every 2 rounds."""
+    spark = vertices.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = (
+        vertices.select("id").distinct().repartition(n_part, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges_p = (
+        edges.select("src_id", "dst_id")
+        .repartition(n_part, "src_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges_p.count()
+    scores = verts.select("id", F.lit(beta).alias("katz"))
+    prev_cached = None
+    with iteration_conf(spark, disable_aqe=True):
+        for it in range(1, iterations + 1):
+            contribs = (
+                edges_p.join(
+                    scores.select(
+                        F.col("id").alias("src_id"), F.col("katz")
+                    ).hint("shuffle_hash"),
+                    "src_id",
+                )
+                .groupBy(F.col("dst_id").alias("id"))
+                .agg(F.sum("katz").alias("in_sum"))
+            )
+            cached = (
+                verts.join(contribs.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(alpha) * F.coalesce("in_sum", F.lit(0.0))
+                        + F.lit(beta)
+                    ).alias("katz"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            if it % 2 == 0:
+                # truncate lineage; unpersist must target `cached`, not the
+                # checkpoint WRAPPER (a no-op on the cache-manager entry)
+                scores = cached.localCheckpoint(eager=True)
+            else:
+                cached.count()
+                scores = cached
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = cached
+    out = scores.localCheckpoint(eager=True)
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    edges_p.unpersist()
+    verts.unpersist()
+    return out
+
+
 def pagerank_fixed_iterations(
     vertices: DataFrame,
     edges: DataFrame,

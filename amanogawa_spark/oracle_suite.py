@@ -991,6 +991,45 @@ def _hll_sql(p: int = 12, round_to: int = 6) -> tuple[str, str]:
     return regs, est
 
 
+def q_katz5(spark, sf_dir):
+    """Katz centrality, 5 fixed iterations (α=1/16, β=1) on the derived
+    digraph — walk-counting centrality without out-degree splitting.
+    α is DYADIC (0.0625 = 2^-4) so every score is an exactly-representable
+    binary rational: summation order cannot perturb a single bit, and the
+    in-query rounding is boundary-proof (a decimal α like 0.05 produced
+    true values sitting exactly on round-half boundaries that the two
+    engines' different summation orders tipped opposite ways)."""
+    from amanogawa_spark.graph.pagerank import katz_centrality
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return katz_centrality(v, e, alpha=0.0625, beta=1.0, iterations=5).select(
+        "id", F.round("katz", 8).alias("katz_r")
+    )
+
+
+def _katz_sql(iters: int = 5, alpha: float = 0.05, beta: float = 1.0) -> str:
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
+        f"x0 AS MATERIALIZED (SELECT id, CAST({beta!r} AS DOUBLE) AS x FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst_id AS id, SUM(r.x) AS s FROM edges e "
+            f"JOIN x{p} r ON e.src_id = r.id GROUP BY e.dst_id)"
+        )
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT v.id, {alpha!r} * COALESCE(c.s, 0.0) + {beta!r} AS x "
+            f"FROM verts v LEFT JOIN c{k} c ON v.id = c.id)"
+        )
+    return (
+        parts[0] + ",\n" + ",\n".join(parts[1:])
+        + f"\nSELECT id, ROUND(CAST(x AS DOUBLE), 8) AS katz_r FROM x{iters}"
+    )
+
+
 def q_lpa_weighted2(spark, sf_dir):
     """Weighted label propagation (2 rounds) over the domain rollup graph
     — labels adopt by incident link-mass, not neighbor count."""
@@ -1301,6 +1340,7 @@ QUERIES = {
     "q_lm_scores": q_lm_scores,
     "q_ktruss": q_ktruss,
     "q_lpa_weighted2": q_lpa_weighted2,
+    "q_katz5": q_katz5,
     "q_c4_line_filter": q_c4_line_filter,
     "q_redact_pii": q_redact_pii,
     "q_url_parse": q_url_parse,
@@ -1839,6 +1879,7 @@ ORACLE_SQL = {
     "q_cms_query": _cms_sql(4, 512),
     "q_ktruss": _ktruss_sql(4, 3),
     "q_lpa_weighted2": _lpa_weighted_sql(2),
+    "q_katz5": _katz_sql(5, 0.0625, 1.0),
     "q_lm_scores": (
         f"WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents), "
         "tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base), "

@@ -177,3 +177,25 @@ def test_personalized_pagerank_converged_allclose(spark, graph):
     assert np.allclose(got, expected, atol=1e-9, rtol=0)
     # scores concentrate near the seeds: total seed mass exceeds uniform share
     assert got[list(seed_ids)].sum() > len(seed_ids) / n
+
+
+def test_katz_centrality_matches_numpy(spark):
+    from amanogawa_spark.graph.pagerank import katz_centrality
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 1), (3, 2), (4, 0)]
+    n, alpha, beta, iters = 5, 0.0625, 1.0, 8
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    x = np.full(n, beta)
+    for _ in range(iters):
+        x = alpha * (A.T @ x) + beta
+    e = spark.createDataFrame(edges, "src_id long, dst_id long")
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got_df = katz_centrality(v, e, alpha=alpha, beta=beta, iterations=iters)
+    got = np.zeros(n)
+    for r in got_df.collect():
+        got[r.id] = r.katz
+    assert np.allclose(got, x, atol=0, rtol=0)  # dyadic alpha -> exact
+    # walk-counting semantics: 1 and 2 (fed by hub 3) outrank source-only 3, 4
+    assert got[1] > got[3] and got[2] > got[4]
