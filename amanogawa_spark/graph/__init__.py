@@ -4,7 +4,7 @@ from amanogawa_spark.graph.build import (
     build_vertices,
     degrees,
 )
-from amanogawa_spark.graph.pagerank import pagerank
+from amanogawa_spark.graph.pagerank import katz_centrality, pagerank
 from amanogawa_spark.graph.components import connected_components, connected_components_minlabel
 from amanogawa_spark.graph.lpa import label_propagation
 from amanogawa_spark.graph.triangles import (
@@ -21,6 +21,7 @@ __all__ = [
     "build_vertices",
     "degrees",
     "pagerank",
+    "katz_centrality",
     "connected_components",
     "connected_components_minlabel",
     "label_propagation",
