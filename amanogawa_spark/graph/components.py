@@ -37,8 +37,20 @@ def connected_components(
     max_rounds: int = 50,
     checkpoint_every: int = 1,
     checkpoint=None,
+    initial: DataFrame | None = None,
 ) -> DataFrame:
     """Small-star/large-star alternation until the edge set stops changing.
+
+    ``initial``: optional previous assignment ``(id, component)`` — the
+    incremental-recrawl warm start. Each prior (id → component) pair is
+    injected as an extra parent-pointer edge, so vertices already known
+    to be connected contract to their old component minimum in round one
+    and only NEW cross-component edges need the full star cascade. The
+    fixpoint is unchanged PROVIDED edges were only ADDED since the prior
+    run (the append-only crawl model): injected pairs then connect only
+    vertices still connected in the new graph. After edge DELETIONS a
+    component can split and the warm start would glue it back — rerun
+    cold in that case.
 
     State is the parent-pointer edge set ``(u, v)`` with v a candidate
     parent. Large-star: connect all strictly-larger neighbors of u to
@@ -53,7 +65,16 @@ def connected_components(
     resumable). The durable re-read doubles as the lineage truncation.
     """
     spark = vertices.sparkSession
-    pairs = _symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    base = _symmetrize(edges)
+    if initial is not None:
+        warm = (
+            initial.select(F.col("id").alias("u"), F.col("component").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        base = base.union(warm).union(
+            warm.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    pairs = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     def large_star(e: DataFrame) -> DataFrame:
         nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()

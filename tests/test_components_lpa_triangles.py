@@ -213,3 +213,25 @@ def test_lpa_weighted_outvotes_count(spark):
     assert w1[5] == 9  # mass 10 beats 1+1
     u1 = {r.id: r.label for r in label_propagation(v, e, max_rounds=1).collect()}
     assert u1[5] == 0  # unweighted: three-way count tie -> smallest label
+
+
+def test_components_incremental_warm_start(spark):
+    """Append-only update: warm-started CC equals the cold recompute on
+    the grown graph and converges in fewer rounds (job-count proxy:
+    compare metrics via history-free API -> just assert equality +
+    correctness against BFS)."""
+    from tests.oracles import components_bfs
+
+    day1 = [(0, 1), (1, 2), (5, 6), (8, 9)]
+    new_edges = [(2, 5), (9, 10)]  # merges {0,1,2}+{5,6}; extends {8,9}
+    e1 = spark.createDataFrame(day1, "src_id long, dst_id long")
+    v1 = spark.createDataFrame([(i,) for i in range(11)], "id long")
+    prior = connected_components(v1, e1)
+    e2 = spark.createDataFrame(day1 + new_edges, "src_id long, dst_id long")
+    warm = {
+        r.id: r.component
+        for r in connected_components(v1, e2, initial=prior).collect()
+    }
+    cold = {r.id: r.component for r in connected_components(v1, e2).collect()}
+    expected = components_bfs(11, set(day1 + new_edges))
+    assert warm == cold == expected
