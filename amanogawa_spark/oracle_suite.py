@@ -4,9 +4,10 @@ Each entry in :data:`QUERIES` is a callable ``(spark, sf_dir) -> DataFrame``;
 :data:`ORACLE_SQL` holds the equivalent ANSI SQL for DuckDB over the same
 parquet tables. Column names and types are aligned on both sides; computed
 doubles are rounded in-query (both sides) so order-of-summation noise can't
-break the driver's value hash. Queries without an oracle entry are
-iterative/hash-seeded ops the driver checks rows-only (their real oracles
-live in tests/ as numpy/BFS/brute-force cross-checks).
+break the driver's value hash. EVERY query has a value oracle (round 2
+converted the round-1 rows-only set via engine-portable md5 hashing,
+recursive CTEs, and exact unrolled mirrors); the independent numpy/BFS/
+brute-force algorithm oracles live in tests/.
 
 Graph queries run over a deterministic edge table derived from ``lineitem``
 (``src_id = l_orderkey % M, dst_id = l_partkey % M``) so both engines build
