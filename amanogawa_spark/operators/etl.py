@@ -81,3 +81,31 @@ def key_join(
         rhs[c] for c in right.columns if c != right_key
     ]
     return joined.select(*out_cols)
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep the newest row per key — recrawl dedup, the first step of any
+    Common-Crawl-style ingest (a url recrawled N times must contribute ONE
+    version to the vertex dictionary, or the graph double-counts pages).
+
+    Deterministic: ties on ``order_col`` break by ``tiebreak_cols``
+    ascending (pass the natural unique key). One hash shuffle; the
+    bounded top-1 window prunes losers inside the partial sort, so a
+    url recrawled 10^4 times still moves one surviving row downstream.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.desc(order_col)] + [
+        F.asc(c) for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -992,6 +992,17 @@ def _hll_sql(p: int = 12, round_to: int = 6) -> tuple[str, str]:
     return regs, est
 
 
+def q_latest_event_per_user(spark, sf_dir):
+    """Recrawl-dedup pattern: newest row per key with deterministic
+    tiebreak (the latest_by_key operator over events)."""
+    from amanogawa_spark.operators.etl import latest_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    return latest_by_key(
+        ev, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    ).select("user_id", "event_id", "event_type")
+
+
 def q_katz5(spark, sf_dir):
     """Katz centrality, 5 fixed iterations (α=1/16, β=1) on the derived
     digraph — walk-counting centrality without out-degree splitting.
@@ -1342,6 +1353,7 @@ QUERIES = {
     "q_ktruss": q_ktruss,
     "q_lpa_weighted2": q_lpa_weighted2,
     "q_katz5": q_katz5,
+    "q_latest_event_per_user": q_latest_event_per_user,
     "q_c4_line_filter": q_c4_line_filter,
     "q_redact_pii": q_redact_pii,
     "q_url_parse": q_url_parse,
@@ -1881,6 +1893,12 @@ ORACLE_SQL = {
     "q_ktruss": _ktruss_sql(4, 3),
     "q_lpa_weighted2": _lpa_weighted_sql(2),
     "q_katz5": _katz_sql(5, 0.0625, 1.0),
+    "q_latest_event_per_user": (
+        "SELECT user_id, event_id, event_type FROM ("
+        "SELECT user_id, event_id, event_type, ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn FROM events) "
+        "WHERE rn = 1"
+    ),
     "q_lm_scores": (
         f"WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents), "
         "tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base), "

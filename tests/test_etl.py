@@ -189,3 +189,23 @@ def test_xml_write_read_roundtrip(spark, tmp_path):
     )
     rows = sorted(tuple(r) for r in back.collect())
     assert rows == [(1, "Aries", 3.5), (2, "Tau<rus>", None), (3, "Gem&ini", 1.25)]
+
+
+def test_latest_by_key_recrawl_dedup(spark):
+    """Newest version per url wins; ties break deterministically."""
+    from datetime import datetime
+
+    from amanogawa_spark.operators.etl import latest_by_key
+
+    rows = [
+        ("a.com", datetime(2026, 1, 1), 1, b"old"),
+        ("a.com", datetime(2026, 1, 3), 2, b"new"),
+        ("a.com", datetime(2026, 1, 3), 3, b"same-ts"),
+        ("b.com", datetime(2026, 1, 2), 4, b"only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, crawl long, html binary")
+    got = {
+        r.url: (r.crawl, bytes(r.html))
+        for r in latest_by_key(df, ["url"], "warc_ts", ["crawl"]).collect()
+    }
+    assert got == {"a.com": (2, b"new"), "b.com": (4, b"only")}
