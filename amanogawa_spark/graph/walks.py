@@ -73,9 +73,11 @@ def random_walks(
     frontier = starts.select(
         "start_id", "walk_no", F.col("start_id").alias("vertex_id")
     )
-    out = frontier.select(
-        "start_id", "walk_no", F.lit(0).alias("step"), "vertex_id"
-    )
+    parts = [
+        frontier.select(
+            "start_id", "walk_no", F.lit(0).alias("step"), "vertex_id"
+        )
+    ]
     # dst tiebreak guards the (astronomically unlikely) hash collision —
     # the choice must be total for determinism
     w = Window.partitionBy("start_id", "walk_no").orderBy(
@@ -92,8 +94,20 @@ def random_walks(
             .filter(F.col("_rn") == 1)
             .select("start_id", "walk_no", F.col("dst_id").alias("vertex_id"))
         )
-        out = out.unionAll(
-            nxt.select("start_id", "walk_no", F.lit(k).alias("step"), "vertex_id")
+        # node2vec-length walks (40-80 steps) chain that many joins: without
+        # periodic truncation Catalyst re-analyzes an O(L)-deep plan at
+        # every added step (O(L^2) total) and the final union references
+        # every intermediate. Cut lineage every 8 steps; the eager
+        # materialization is one bounded O(V·walks) frame.
+        if k % 8 == 0 and k < walk_length:
+            nxt = nxt.localCheckpoint(eager=True)
+        parts.append(
+            nxt.select(
+                "start_id", "walk_no", F.lit(k).alias("step"), "vertex_id"
+            )
         )
         frontier = nxt
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
     return out

@@ -93,3 +93,28 @@ def test_pack_sequences_exact_global_cumsum(spark):
         for r in pack_sequences(df.repartition(17), max_tokens=512, hash="md5").collect()
     }
     assert got2 == got
+
+
+def test_random_walks_node2vec_length(spark):
+    """Length-25 walks (lineage-truncation regime) stay correct and fast:
+    every transition is an edge; all walks reach full length on a graph
+    with no dangling vertices."""
+    import time
+
+    edges = [(i, (i * 5 + j) % 60) for i in range(60) for j in (1, 2)]
+    e = spark.createDataFrame(
+        [(s, d) for s, d in edges if s != d], "src_id long, dst_id long"
+    )
+    t0 = time.time()
+    w = random_walks(e, walk_length=25, walks_per_vertex=1)
+    rows = w.collect()
+    wall = time.time() - t0
+    edge_set = {(s, d) for s, d in edges if s != d}
+    by_walk: dict = {}
+    for r in rows:
+        by_walk.setdefault((r.start_id, r.walk_no), {})[r.step] = r.vertex_id
+    for steps in by_walk.values():
+        assert len(steps) == 26  # no dangling -> full length
+        for k in range(1, 26):
+            assert (steps[k - 1], steps[k]) in edge_set
+    assert wall < 120, f"walk chain too slow: {wall:.0f}s"
