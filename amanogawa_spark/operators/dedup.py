@@ -122,6 +122,39 @@ def contamination_flags(
     )
 
 
+def cluster_duplicates(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, cluster) — transitive near-duplicate clusters from a verified
+    pair list (LSH/Jaccard/embedding output): cluster = min doc id of the
+    connected component. THE finalization step of every near-dedup
+    pipeline — pairwise matches alone under-remove, because A~B and B~C
+    puts A,C in one cluster even when A~C was never emitted (band
+    collision missed). Keep ``cluster`` as the survivor id and anti-join
+    the rest.
+
+    Runs the small-star/large-star components over the pair graph, so the
+    clustering inherits its O(log² n) round bound — no union-find on the
+    driver, no connectivity via iterative self-joins on the full corpus
+    (only ids that appear in a pair participate).
+    """
+    from amanogawa_spark.graph.components import connected_components
+
+    edges = pairs.select(
+        F.col(id_a).alias("src_id"), F.col(id_b).alias("dst_id")
+    )
+    verts = (
+        edges.select(F.col("src_id").alias("id"))
+        .unionAll(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    return connected_components(verts, edges).select(
+        "id", F.col("component").alias("cluster")
+    )
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """array<long> of length num_hashes: min over shingles of seeded xxhash64.
 

@@ -334,6 +334,15 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup pairs → transitive clusters (small-star CC over the
+    Jaccard>=0.2 pair graph); oracle = recursive reachability minimum."""
+    from amanogawa_spark.operators.dedup import cluster_duplicates
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.2)
+    return cluster_duplicates(pairs)
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-3 per query over vec_id<150 (raw-cosine formula)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
@@ -1319,6 +1328,7 @@ QUERIES = {
     "q_quality_scores": q_quality_scores,
     "q_lang_detect": q_lang_detect,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_dup_clusters": q_dup_clusters,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_embed_neardup": q_embed_neardup,
@@ -2143,6 +2153,19 @@ FROM n3""",
         "THEN len(list_distinct(list_concat(a.s, b.s))) ELSE 1 END AS DOUBLE), 6) AS jaccard "
         "FROM sh a JOIN sh b ON a.id < b.id"
         ") WHERE jaccard >= 0.05"
+    ),
+    "q_dup_clusters": (
+        "WITH RECURSIVE sh AS (SELECT doc_id AS id, "
+        f"list_distinct(string_split({_NORM}, ' ')) AS s FROM documents WHERE doc_id < 120), "
+        "p AS (SELECT a.id AS id_a, b.id AS id_b FROM sh a JOIN sh b ON a.id < b.id "
+        "WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) * 1.0 / "
+        "CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0 "
+        "THEN len(list_distinct(list_concat(a.s, b.s))) ELSE 1 END AS DOUBLE), 6) >= 0.2), "
+        "verts AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p)), "
+        "sym AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p), "
+        "reach(id, lab) AS (SELECT id, id FROM verts "
+        "UNION SELECT s.u AS id, r.lab FROM sym s JOIN reach r ON s.v = r.id) "
+        "SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id"
     ),
     "q_degree_histogram": (
         f"WITH {_EDGES_SQL.strip()}, "

@@ -182,3 +182,14 @@ def test_minhash_max_bucket_guard(spark):
     }
     assert (100, 101) in guarded  # small bucket survives
     assert not any(a < 30 and b < 30 for a, b in guarded)  # hot bucket cut
+
+
+def test_cluster_duplicates_transitive(spark):
+    """A~B and B~C must land A, B, C in ONE cluster even without an A~C pair."""
+    from amanogawa_spark.operators.dedup import cluster_duplicates
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster for r in cluster_duplicates(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
