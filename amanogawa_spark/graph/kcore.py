@@ -107,12 +107,19 @@ def coreness(
     # by the lazy alive/removed chains; released at each checkpoint barrier
     k = 1
 
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
     def _merge(parts: list[DataFrame], base: DataFrame | None) -> DataFrame:
         merged = parts[0]
         for part in parts[1:]:
             merged = merged.unionByName(part)
         out = merged if base is None else base.unionByName(merged)
-        return out.localCheckpoint(eager=True)
+        # union CONCATENATES partitions: without the coalesce the
+        # accumulated frame gains ~(parts x partitions) empty-ish
+        # partitions per barrier and each later merge rewrites them all —
+        # measured 2,496 tasks/stage by round ~70 on a 100k-vertex peel
+        # (O(rounds^2) scheduling). The result is O(V) rows; cap it.
+        return out.coalesce(n_part).localCheckpoint(eager=True)
 
     for rnd in range(1, max_rounds + 1):
         degd = (
