@@ -85,15 +85,16 @@ def normalize_url(url: Column | str) -> Column:
     # lowercase host (authority up to first /?# or end)
     host = F.regexp_extract(lowered, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
     rest = F.regexp_replace(lowered, r"^[a-z][a-z0-9+.-]*://[^/?#]*", "")
-    canon_host = F.regexp_replace(
-        F.regexp_replace(F.lower(host), r":80$", ""), r":443$", ""
+    # strip only the scheme's own default port: :80 for http, :443 for
+    # https — http://host:443/x is a distinct resource from http://host/x
+    scheme = F.regexp_extract(lowered, r"^([a-z][a-z0-9+.-]*)", 1)
+    lhost = F.lower(host)
+    canon_host = (
+        F.when(scheme == "http", F.regexp_replace(lhost, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(lhost, r":443$", ""))
+        .otherwise(lhost)
     )
-    joined = F.concat(
-        F.regexp_extract(lowered, r"^([a-z][a-z0-9+.-]*)", 1),
-        F.lit("://"),
-        canon_host,
-        rest,
-    )
+    joined = F.concat(scheme, F.lit("://"), canon_host, rest)
     # non-URL strings (no scheme) pass through untouched — a crawl frame
     # can carry junk keys and normalization must not manufacture them
     # into colliding '://'-prefixed values

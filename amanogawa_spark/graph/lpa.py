@@ -47,6 +47,10 @@ def label_propagation(
     import time as _time
 
     if weight_col is not None:
+        # drop self-loops before symmetrizing, matching _symmetrize's u != v
+        # filter on the unweighted path — otherwise a self-loop votes weight
+        # 2w for the vertex's own label
+        edges = edges.filter(F.col("src_id") != F.col("dst_id"))
         fwd = edges.select(
             F.col("src_id").alias("u"),
             F.col("dst_id").alias("v"),

@@ -142,6 +142,7 @@ def pagerank(
 
     start_iter = 0
     ranks = None
+    warm = None
     if checkpoint is not None:
         last = checkpoint.latest_iteration()
         if last is not None:
@@ -164,6 +165,12 @@ def pagerank(
     if ranks is None:
         ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    if warm is not None:
+        # materialize the ranks cache, then release the warm frame — it only
+        # feeds this one projection and would otherwise stay cached for the
+        # session lifetime
+        ranks.count()
+        warm.unpersist()
 
     base = (1.0 - damping) / n
     history: list[dict] = []

@@ -96,10 +96,71 @@ def _min_label_fixpoint(
     return labels
 
 
+def _trim_trivial(
+    active: DataFrame, e_act: DataFrame, max_trim: int
+) -> tuple[DataFrame, DataFrame, list[DataFrame], list[DataFrame]]:
+    """FW-BW-**Trim**: peel vertices with no in- or no out-edge in the
+    active subgraph — each is its own singleton SCC — before paying for
+    the double min-label fixpoint.
+
+    On bowtie-shaped web graphs the IN/OUT tendrils and disconnected
+    fringe are a large share of vertices; removing them shrinks every
+    subsequent propagation round's join input. Each trim round costs two
+    distinct-projections + two semi-joins + one count — about one
+    fixpoint propagation round — and is capped at ``max_trim`` (a long
+    chain would otherwise trim one layer per round; past the cap the
+    fixpoint handles what's left).
+
+    Returns (core_active, core_edges, singleton_parts, handles_to_unpersist).
+    """
+    singles: list[DataFrame] = []
+    handles: list[DataFrame] = []
+    cur_v, cur_e = active, e_act
+    n_cur = active.count()
+    for _ in range(max_trim):
+        has_out = cur_e.select(F.col("src_id").alias("id")).distinct()
+        has_in = cur_e.select(F.col("dst_id").alias("id")).distinct()
+        core = (
+            cur_v.join(has_out, "id", "left_semi")
+            .join(has_in, "id", "left_semi")
+            .localCheckpoint(eager=False)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_core = core.count()
+        if n_core == n_cur:
+            core.unpersist()
+            break
+        trimmed = (
+            cur_v.join(core, "id", "left_anti")
+            .select("id", F.col("id").alias("scc"))
+            .localCheckpoint(eager=True)
+        )
+        singles.append(trimmed)
+        new_e = (
+            cur_e.join(core.select(F.col("id").alias("src_id")), "src_id", "left_semi")
+            .join(core.select(F.col("id").alias("dst_id")), "dst_id", "left_semi")
+            .localCheckpoint(eager=False)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if cur_v is not active:
+            cur_v.unpersist()
+        if cur_e is not e_act:
+            cur_e.unpersist()
+        cur_v, cur_e, n_cur = core, new_e, n_core
+        if n_core == 0:
+            break
+    if cur_v is not active:
+        handles.append(cur_v)
+    if cur_e is not e_act:
+        handles.append(cur_e)
+    return cur_v, cur_e, singles, handles
+
+
 def strongly_connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_outer: int = 100,
+    max_trim: int = 5,
     checkpoint=None,
 ) -> DataFrame:
     """(id, scc) — scc is the minimum vertex id of each strong component.
@@ -108,6 +169,11 @@ def strongly_connected_components(
     correctness — see the module docstring); on bowtie-shaped web graphs
     the giant SCC and most of the condensation peel off in the first
     outer round.
+
+    Contract when ``max_outer`` is exhausted before the peel completes:
+    unassigned vertices are returned with ``scc IS NULL`` and a WARNING
+    is logged. Callers that require a total assignment must check for
+    NULLs (or raise ``max_outer``).
 
     ``checkpoint``: optional
     :class:`~amanogawa_spark.checkpoint.CheckpointManager` — after each
@@ -146,14 +212,20 @@ def strongly_connected_components(
             .localCheckpoint(eager=False)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        fwd = _min_label_fixpoint(active, e_act, "src_id", "dst_id")
-        bwd = _min_label_fixpoint(active, e_act, "dst_id", "src_id")
+        core_v, core_e, singles, trim_handles = _trim_trivial(
+            active, e_act, max_trim
+        )
+        fwd = _min_label_fixpoint(core_v, core_e, "src_id", "dst_id")
+        bwd = _min_label_fixpoint(core_v, core_e, "dst_id", "src_id")
         done = (
             fwd.join(bwd.select("id", F.col("lab").alias("blab")), "id")
             .filter(F.col("lab") == F.col("blab"))
             .select("id", F.col("lab").alias("scc"))
             .localCheckpoint(eager=True)  # materialize BEFORE parents unpersist
         )
+        # this round's full assignment = trim singletons + fixpoint peel
+        for s in singles:
+            done = done.unionAll(s)
         done_parts.append(done)
         nxt_active = (
             active.join(done, "id", "left_anti")
@@ -174,16 +246,30 @@ def strongly_connected_components(
             checkpoint.log_metrics(rnd, n_done=n_extracted)
         fwd.unpersist()
         bwd.unpersist()
+        for h in trim_handles:
+            h.unpersist()
         e_act.unpersist()
         active.unpersist()
         active = nxt_active
     remaining = active  # empty unless max_outer was hit
+    n_remaining = remaining.count()
+    if n_remaining > 0:
+        # incomplete peel: surface it loudly — NULL scc rows silently
+        # misbehave in downstream joins/groupBys (see docstring contract)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "strongly_connected_components: max_outer=%d exhausted with %d "
+            "vertices unassigned; their scc is NULL in the result",
+            max_outer,
+            n_remaining,
+        )
     out = done_parts[0] if done_parts else remaining.select(
         "id", F.lit(None).cast("long").alias("scc")
     )
     for part in done_parts[1:]:
         out = out.unionAll(part)
-    if done_parts and remaining.count() > 0:
+    if done_parts and n_remaining > 0:
         out = out.unionAll(
             remaining.select("id", F.lit(None).cast("long").alias("scc"))
         )

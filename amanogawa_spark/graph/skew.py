@@ -23,12 +23,46 @@ def hot_keys(df: DataFrame, key: str, threshold: int) -> DataFrame:
     return df.groupBy(key).agg(F.count("*").alias("n")).filter(F.col("n") > threshold)
 
 
+def auto_salt_factor(
+    df: DataFrame,
+    key: str,
+    target_per_reducer: int = 1_000_000,
+    sample_fraction: float | None = None,
+    max_factor: int = 1024,
+) -> int:
+    """Pick the salt factor from the key-frequency histogram (SURVEY §4.2:
+    "the degree histogram job decides the salt factor").
+
+    ceil(max_key_frequency / target_per_reducer), clamped to
+    [1, max_factor]: the hottest key's rows land on that many partial
+    reducers, so no reducer sees more than ~target_per_reducer of them.
+    ``sample_fraction`` trades one exact counting pass for a Bernoulli
+    sample (frequencies scale by 1/fraction) — at 10^12 edges the exact
+    histogram is itself a full shuffle, and the salt factor only needs
+    order-of-magnitude accuracy.
+    """
+    import math
+
+    src = df.sample(fraction=sample_fraction, seed=7) if sample_fraction else df
+    row = (
+        src.groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]
+    )
+    mx = row["mx"] or 0
+    if sample_fraction:
+        mx = int(mx / sample_fraction)
+    return max(1, min(max_factor, math.ceil(mx / target_per_reducer)))
+
+
 def salted_group_sum(
     df: DataFrame,
     key: str,
     value: Column | str,
     out_name: str,
-    salt_factor: int = 16,
+    salt_factor: int | str = 16,
+    target_per_reducer: int = 1_000_000,
 ) -> DataFrame:
     """``df.groupBy(key).sum(value)`` with a two-level salted aggregate.
 
@@ -37,10 +71,18 @@ def salted_group_sum(
     Identical result to the direct aggregate (sum is commutative), but
     bounded per-reducer fan-in.
 
+    ``salt_factor='auto'`` runs the degree-histogram job first
+    (:func:`auto_salt_factor`): ceil(max_freq / target_per_reducer),
+    so a uniform key distribution degenerates gracefully to factor 1
+    (one aggregation level, no extra shuffle width) while a Zipf hub
+    fans out exactly as wide as needed.
+
     Note: Spark's hash aggregate already does map-side partials, which
     covers mild skew; this helps when a single key's *post-partial* row
     count still dominates (e.g. millions of map tasks all feeding one hub).
     """
+    if salt_factor == "auto":
+        salt_factor = auto_salt_factor(df, key, target_per_reducer)
     value_col = F.col(value) if isinstance(value, str) else value
     salt = (F.xxhash64(F.monotonically_increasing_id()) % salt_factor).alias("_salt")
     partial = (

@@ -258,7 +258,12 @@ def k_truss(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if k <= 2:
-        return cur  # every edge trivially satisfies support >= 0
+        # every edge trivially satisfies support >= 0; hand back a
+        # checkpointed frame and release the cache rather than leaking the
+        # persisted handle for the session lifetime
+        out = cur.localCheckpoint(eager=True)
+        cur.unpersist()
+        return out
     n_cur = cur.count()
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
     for _ in range(rounds):

@@ -306,6 +306,7 @@ def embedding_neardup(
     planes: list[list[list[float]]] | None = None,
     stride: int = 25,
     nprobe: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= threshold).
 
@@ -320,6 +321,15 @@ def embedding_neardup(
       candidate volume ~ n²·nprobe/C.
     - ``'brute'``: O(n²) cross join — correctness baseline, explicit
       opt-in only (round-1 made it the default; see VERDICT r1 §wrong 2).
+
+    ``max_bucket_size``: same hot-bucket guard as :func:`cosine_topk_lsh`
+    — drop LSH sign-buckets / IVF inverted lists with more members than
+    this before the candidate self-join. A clustered-embedding corpus
+    (boilerplate regions, template farms) otherwise funnels a dense
+    region into one bucket whose self-join costs B² pairs — the measured
+    ~80M-pair/130 s failure in BENCH/BASELINE.md §3c — through exactly
+    this entry point. Members of a dropped bucket still meet via their
+    other tables/probes. None = unguarded (bounded corpora only).
 
     Recall is not 1.0 for lsh/ivf (a pair hashing into disjoint buckets is
     missed); tests/test_similarity_multimodal.py pins recall-vs-brute.
@@ -339,6 +349,14 @@ def embedding_neardup(
         bucketed = unit.select("id", "u", F.explode(keys).alias("bk")).select(
             "id", "u", "bk.table", "bk.bucket"
         )
+        if max_bucket_size is not None:
+            ok = (
+                bucketed.groupBy("table", "bucket")
+                .agg(F.count("*").alias("_sz"))
+                .filter(F.col("_sz") <= max_bucket_size)
+                .select("table", "bucket")
+            )
+            bucketed = bucketed.join(ok, ["table", "bucket"], "left_semi")
         a = bucketed.select(F.col("id").alias("id_a"), F.col("u").alias("ua"), "table", "bucket")
         b = bucketed.select(F.col("id").alias("id_b"), F.col("u").alias("ub"), "table", "bucket")
         cand = (
@@ -359,6 +377,14 @@ def embedding_neardup(
         wc = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
         ranked = scored.withColumn("crn", F.row_number().over(wc))
         probes = ranked.filter(F.col("crn") <= nprobe).select("id", "u", "cid")
+        if max_bucket_size is not None:
+            ok = (
+                probes.groupBy("cid")
+                .agg(F.count("*").alias("_sz"))
+                .filter(F.col("_sz") <= max_bucket_size)
+                .select("cid")
+            )
+            probes = probes.join(ok, "cid", "left_semi")
         a = probes.select(F.col("id").alias("id_a"), F.col("u").alias("ua"), "cid")
         b = probes.select(F.col("id").alias("id_b"), F.col("u").alias("ub"), "cid")
         cand = (
@@ -409,20 +435,28 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    mode: str = "exact",
+    mode: str = "approx",
     undirected: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Reference ``to_graph`` cosine parity: rows → kNN edge table.
 
-    exact ↔ reference exact mode (to_graph.cpp:88-117); 'approx' uses the
-    LSH path (the reference used NN-Descent — same contract, different
-    approximation strategy, chosen because bucket joins are the
-    shuffle-native Spark formulation).
+    ``mode='approx'`` (default — mirrors the reference, whose
+    ``knn.mode`` config also defaults to approximate, to_graph.cpp:33-44)
+    uses the bucket-local LSH path: no cross join anywhere in the plan,
+    so the default a user grabs survives a 100× corpus. The reference
+    used NN-Descent for approximation — same contract, different
+    strategy, chosen because bucket joins are the shuffle-native Spark
+    formulation (:func:`~amanogawa_spark.graph.knn_descent.nn_descent`
+    exists for the iterative-refinement variant).
+
+    ``mode='exact'`` ↔ reference exact mode (to_graph.cpp:88-117): O(n²)
+    cross join — verification/bounded corpora only.
     """
     topk = (
         cosine_topk_brute(df, id_col, vec_col, k)
         if mode == "exact"
-        else cosine_topk_lsh(df, id_col, vec_col, k)
+        else cosine_topk_lsh(df, id_col, vec_col, k, max_bucket_size=max_bucket_size)
     )
     e = topk.select(
         F.col("query_id").alias("src_id"), F.col("neighbor_id").alias("dst_id")

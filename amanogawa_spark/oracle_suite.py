@@ -1303,57 +1303,14 @@ def q_scc(spark, sf_dir):
     return strongly_connected_components(v, e)
 
 
+# Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
+# entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
+# driver row despite passing local DuckDB checks, so the first block below is
+# exactly those 27, then q_pack_sequences (oracle-SQL cast fixed this round),
+# then new round-3 queries, then high-value anchors re-confirmed from round 2.
+# Unioned with CORRECTNESS_r02.json, every query has a green driver row.
 QUERIES = {
-    "q_filter_numeric": q_filter_numeric,
-    "q_filter_contains": q_filter_contains,
-    "q_filter_not_contains": q_filter_not_contains,
-    "q_branch_project": q_branch_project,
-    "q_key_join": q_key_join,
-    "q_agg_pricing": q_agg_pricing,
-    "q_topk_per_group": q_topk_per_group,
-    "q_join_agg_revenue": q_join_agg_revenue,
-    "q_sort_limit": q_sort_limit,
-    "q_distinct_union": q_distinct_union,
-    "q_cube_counts": q_cube_counts,
-    "q_user_sessions": q_user_sessions,
-    "q_edges_build": q_edges_build,
-    "q_edges_canonical_undirected": q_edges_canonical_undirected,
-    "q_degrees": q_degrees,
-    "q_pagerank5": q_pagerank5,
-    "q_cc_minlabel8": q_cc_minlabel8,
-    "q_lpa3": q_lpa3,
-    "q_triangle_count": q_triangle_count,
-    "q_dedup_exact_groups": q_dedup_exact_groups,
-    "q_token_stats": q_token_stats,
-    "q_quality_scores": q_quality_scores,
-    "q_lang_detect": q_lang_detect,
-    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "q_dup_clusters": q_dup_clusters,
-    "q_ann_topk": q_ann_topk,
-    "q_ann_ivf": q_ann_ivf,
-    "q_embed_neardup": q_embed_neardup,
-    "q_embed_neardup_lsh": q_embed_neardup_lsh,
-    "q_doc_fingerprint": q_doc_fingerprint,
-    "q_salted_indegree": q_salted_indegree,
-    "q_ppr4": q_ppr4,
-    "q_kcore45": q_kcore45,
-    "q_coreness": q_coreness,
-    "q_degeneracy_order": q_degeneracy_order,
-    "q_hits3": q_hits3,
-    "q_semi_join": q_semi_join,
-    "q_anti_join": q_anti_join,
-    "q_window_lag_delta": q_window_lag_delta,
-    "q_degree_histogram": q_degree_histogram,
-    "q_pivot_qty": q_pivot_qty,
-    "q_hourly_event_stats": q_hourly_event_stats,
-    "q_bow_topk": q_bow_topk,
-    "q_bow_wakati_topk": q_bow_wakati_topk,
-    "q_knn_edges": q_knn_edges,
-    "q_domain_edges": q_domain_edges,
-    "q_pagerank_weighted3": q_pagerank_weighted3,
-    "q_clustering_coeff": q_clustering_coeff,
-    "q_scc": q_scc,
-    "q_pack_sequences": q_pack_sequences,
+    # -- 27 queries that never got a CORRECTNESS row (past the r2 cap) --
     "q_repetition_features": q_repetition_features,
     "q_hll_registers": q_hll_registers,
     "q_hll_estimate": q_hll_estimate,
@@ -1373,7 +1330,6 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_hash_sample": q_hash_sample,
     "q_random_walks": q_random_walks,
-    # converted from rows-only to value oracles in round 2:
     "q_pagerank_converged": q_pagerank_converged,
     "q_cc_star": q_cc_star,
     "q_minhash_dedup": q_minhash_dedup,
@@ -1382,6 +1338,60 @@ QUERIES = {
     "q_ann_lsh": q_ann_lsh,
     "q_knn_nndescent": q_knn_nndescent,
     "q_triangle_approx": q_triangle_approx,
+    # -- red row in r2 (oracle HUGEINT cast fixed; Spark values unchanged) --
+    "q_pack_sequences": q_pack_sequences,
+    # -- new round-3 queries (inserted here so they land inside the cap) --
+    # -- anchors: re-confirm the §2-critical operators from round 2 --
+    "q_pagerank5": q_pagerank5,
+    "q_cc_minlabel8": q_cc_minlabel8,
+    "q_lpa3": q_lpa3,
+    "q_triangle_count": q_triangle_count,
+    "q_edges_build": q_edges_build,
+    "q_key_join": q_key_join,
+    "q_filter_numeric": q_filter_numeric,
+    "q_filter_contains": q_filter_contains,
+    "q_filter_not_contains": q_filter_not_contains,
+    "q_scc": q_scc,
+    "q_hits3": q_hits3,
+    "q_kcore45": q_kcore45,
+    "q_dedup_exact_groups": q_dedup_exact_groups,
+    "q_ann_topk": q_ann_topk,
+    "q_ann_ivf": q_ann_ivf,
+    "q_embed_neardup_lsh": q_embed_neardup_lsh,
+    "q_dup_clusters": q_dup_clusters,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_ppr4": q_ppr4,
+    "q_salted_indegree": q_salted_indegree,
+    "q_user_sessions": q_user_sessions,
+    "q_bow_topk": q_bow_topk,
+    # ---------------- driver cap (50) falls around here ----------------
+    "q_branch_project": q_branch_project,
+    "q_agg_pricing": q_agg_pricing,
+    "q_topk_per_group": q_topk_per_group,
+    "q_join_agg_revenue": q_join_agg_revenue,
+    "q_sort_limit": q_sort_limit,
+    "q_distinct_union": q_distinct_union,
+    "q_cube_counts": q_cube_counts,
+    "q_edges_canonical_undirected": q_edges_canonical_undirected,
+    "q_degrees": q_degrees,
+    "q_token_stats": q_token_stats,
+    "q_quality_scores": q_quality_scores,
+    "q_lang_detect": q_lang_detect,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_embed_neardup": q_embed_neardup,
+    "q_coreness": q_coreness,
+    "q_degeneracy_order": q_degeneracy_order,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_window_lag_delta": q_window_lag_delta,
+    "q_degree_histogram": q_degree_histogram,
+    "q_pivot_qty": q_pivot_qty,
+    "q_hourly_event_stats": q_hourly_event_stats,
+    "q_bow_wakati_topk": q_bow_wakati_topk,
+    "q_knn_edges": q_knn_edges,
+    "q_domain_edges": q_domain_edges,
+    "q_pagerank_weighted3": q_pagerank_weighted3,
+    "q_clustering_coeff": q_clustering_coeff,
 }
 
 
@@ -1970,7 +1980,10 @@ ORACLE_SQL = {
     ),
     "q_pack_sequences": (
         "SELECT doc_id, n_chars, CAST(FLOOR(cum / 2048) AS BIGINT) AS seq_id, "
-        "cum % 2048 AS seq_offset FROM ("
+        # CAST: DuckDB widens windowed SUM(BIGINT) to HUGEINT, which serializes
+        # differently from Spark's BIGINT in the driver's value hasher even
+        # though the numeric values are identical.
+        "CAST(cum % 2048 AS BIGINT) AS seq_offset FROM ("
         "SELECT doc_id, n_chars, COALESCE(SUM(n_chars) OVER ("
         "ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum "

@@ -131,14 +131,18 @@ def streaming_dedup_exact(
 ) -> DataFrame:
     """Streaming exact dedup: first-seen doc per content fingerprint wins.
 
-    ``dropDuplicates`` on the 128-bit fingerprint with an event-time
-    watermark bounds the dedup state store — fingerprints older than the
-    watermark are evicted, so state is O(docs-per-watermark-window), not
-    O(corpus). That is the only formulation that survives an unbounded
-    crawl feed: a late duplicate beyond the watermark is admitted (the
-    documented at-least-once trade-off), everything inside it dedups
-    exactly. Same fingerprint as the batch path (operators/dedup.py), so
-    a batch backfill and the stream agree on identity.
+    ``dropDuplicatesWithinWatermark`` on the 128-bit fingerprint is the
+    formulation whose state store is actually bounded: Spark evicts a
+    fingerprint's state once the watermark passes the event time at which
+    it was first seen, so state is O(docs-per-watermark-window), not
+    O(corpus). (Plain ``dropDuplicates(["dup_key"])`` would NOT evict —
+    eviction there requires the event-time column inside the dedup key
+    subset — so on an unbounded crawl feed its state grows O(corpus).)
+    A duplicate arriving more than ``watermark`` after its first sighting
+    may be re-admitted — the documented at-least-once trade-off; within
+    the window dedup is exact. Same fingerprint as the batch path
+    (operators/dedup.py), so a batch backfill and the stream agree on
+    identity.
     """
     from amanogawa_spark.operators.dedup import normalized_text
 
@@ -153,7 +157,7 @@ def streaming_dedup_exact(
     return (
         stream.withColumn("dup_key", fp)
         .withWatermark("ts", watermark)
-        .dropDuplicates(["dup_key"])
+        .dropDuplicatesWithinWatermark(["dup_key"])
         .select("doc_id", "ts", "text")
     )
 

@@ -264,3 +264,119 @@ def test_ivf_with_kmeans_centroids_recall(spark, neardup_vecs):
     hits = sum(len(got.get(q, set()) & nb) for q, nb in brute.items())
     recall = hits / (len(brute) * kk)
     assert recall >= 0.7, f"IVF+kmeans recall {recall:.2f}"
+
+
+def test_embedding_neardup_hot_bucket_guard(spark):
+    """A dense direction cluster funnels into one LSH bucket per table; the
+    max_bucket_size guard must drop those buckets and bound the candidate
+    self-join (the measured B²-blowup in BENCH/BASELINE.md §3c, reached
+    through the embedding_neardup entry point)."""
+    from amanogawa_spark.operators.similarity import embedding_neardup
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    hot = rng.normal(size=dim)
+    rows = [
+        (i, [float(x) for x in hot + rng.normal(scale=0.001, size=dim)])
+        for i in range(50)
+    ]
+    rows += [
+        (50 + i, [float(x) for x in rng.normal(size=dim)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    unguarded = embedding_neardup(df, threshold=0.99, candidates="lsh").count()
+    guarded = embedding_neardup(
+        df, threshold=0.99, candidates="lsh", max_bucket_size=10
+    ).count()
+    assert unguarded >= 50 * 49 / 2  # the hot cluster is all-pairs similar
+    # every bucket holding the 50-member cluster exceeds the cap, so its
+    # B² self-join never happens
+    assert guarded < unguarded / 10
+
+    # ivf branch takes the same guard
+    g_ivf = embedding_neardup(
+        df, threshold=0.99, candidates="ivf", stride=10, nprobe=2,
+        max_bucket_size=10,
+    ).count()
+    u_ivf = embedding_neardup(
+        df, threshold=0.99, candidates="ivf", stride=10, nprobe=2
+    ).count()
+    assert g_ivf <= u_ivf
+
+
+def test_knn_graph_default_has_no_cartesian_product(spark, vecs):
+    """The default mode a user grabs must be the bucketed scale path:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    df, _ = vecs
+    e = knn_graph(df, k=3)
+    plan = e._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # and it still yields canonical undirected edges
+    pairs = [(r.src_id, r.dst_id) for r in e.collect()]
+    assert pairs and all(s < d for s, d in pairs)
+
+
+def test_ppm_decode_roundtrip():
+    """decode_image must reproduce the exact pixel values synth_ppm wrote."""
+    from amanogawa_spark.operators.multimodal import decode_image, synth_ppm
+
+    rng = np.random.default_rng(3)
+    pixels = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n7 5\n255\n" + pixels.tobytes()
+    img = decode_image(payload)
+    assert img.shape == (5, 7, 3)
+    assert np.array_equal((img * 255).round().astype(np.uint8), pixels)
+    # and the synth helper parses through the same path
+    img2 = decode_image(synth_ppm(8, 6, seed=1))
+    assert img2.shape == (6, 8, 3) and 0.0 <= img2.min() and img2.max() <= 1.0
+
+
+def test_wav_decode_roundtrip():
+    from amanogawa_spark.operators.multimodal import decode_audio, synth_wav
+
+    payload = synth_wav(4000, rate=8000, seed=2)
+    x = decode_audio(payload)
+    assert x.shape == (4000,)
+    assert np.abs(x).max() <= 1.0
+    # the 250 Hz sine dominates: energy is non-trivial
+    assert np.sqrt(np.mean(x**2)) > 0.2
+
+
+def test_real_decoders_end_to_end(spark):
+    """extract_features(decoder='image'/'audio') over real PPM/WAV payloads:
+    deterministic under repartitioning (the round-3 'no stub left' check)."""
+    from amanogawa_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        synth_ppm,
+        synth_wav,
+    )
+
+    rows = [
+        (i, "image", synth_ppm(16, 12, seed=i), "image/x-portable-pixmap", 16, 12, None)
+        for i in range(8)
+    ] + [
+        (100 + i, "audio", synth_wav(2000, seed=i), "audio/wav", None, None, 250)
+        for i in range(8)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    imgs = media.filter(F.col("kind") == "image")
+    auds = media.filter(F.col("kind") == "audio")
+
+    f1 = {r.media_id: r.feature for r in extract_features(imgs, dim=9, decoder="image").collect()}
+    f2 = {
+        r.media_id: r.feature
+        for r in extract_features(imgs.repartition(5), dim=9, decoder="image").collect()
+    }
+    assert f1 == f2 and len(f1) == 8
+    assert all(len(v) == 9 and any(x > 0 for x in v) for v in f1.values())
+
+    a1 = {r.media_id: r.feature for r in extract_features(auds, dim=6, decoder="audio").collect()}
+    a2 = {
+        r.media_id: r.feature
+        for r in extract_features(auds.repartition(3), dim=6, decoder="audio").collect()
+    }
+    assert a1 == a2 and len(a1) == 8
+    assert all(len(v) == 6 and any(x > 0 for x in v) for v in a1.values())

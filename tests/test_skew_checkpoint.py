@@ -136,3 +136,36 @@ def test_lpa_resumable(spark, tmp_path):
         ).collect()
     }
     assert resumed == plain
+
+
+def test_auto_salt_factor_zipf(spark, zipf_edges):
+    """'auto' reads the degree histogram: hub freq ~1250 with
+    target_per_reducer=100 -> ceil(1250/100) = 13; a uniform key column
+    degenerates to factor 1 (no extra aggregation width)."""
+    from amanogawa_spark.graph.skew import auto_salt_factor
+
+    hub_n = zipf_edges.filter(F.col("dst_id") == 0).count()
+    f = auto_salt_factor(zipf_edges, "dst_id", target_per_reducer=100)
+    assert f == -(-hub_n // 100)  # ceil
+    assert auto_salt_factor(zipf_edges, "src_id", target_per_reducer=100_000) == 1
+    # sampled estimate lands within 2x of exact (order-of-magnitude is all
+    # the salt factor needs)
+    fs = auto_salt_factor(
+        zipf_edges, "dst_id", target_per_reducer=100, sample_fraction=0.5
+    )
+    assert f / 2 <= fs <= f * 2
+
+    # and salt_factor='auto' end-to-end equals the direct aggregate
+    direct = {
+        r.dst_id: r.s
+        for r in zipf_edges.groupBy("dst_id").agg(F.sum("w").alias("s")).collect()
+    }
+    auto = {
+        r.dst_id: r.s
+        for r in salted_group_sum(
+            zipf_edges, "dst_id", "w", "s", salt_factor="auto", target_per_reducer=100
+        ).collect()
+    }
+    assert set(direct) == set(auto)
+    for k in direct:
+        assert abs(direct[k] - auto[k]) < 1e-6

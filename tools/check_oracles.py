@@ -45,6 +45,59 @@ def rows_key(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def spark_type_family(dt) -> str:
+    """Canonical physical-type family for a Spark DataType.
+
+    Int widths collapse to one family: the driver's hasher accepts
+    int32 vs int64 (r2 ledger: q_topk_per_group's row_number was green)
+    but NOT int64 vs HUGEINT/decimal — that is the case to catch.
+    """
+    name = dt.simpleString()
+    return {
+        "tinyint": "int", "smallint": "int", "int": "int",
+        "bigint": "int", "float": "float32", "double": "float64",
+        "string": "string", "boolean": "bool", "date": "date",
+        "binary": "binary",
+    }.get(name, name)
+
+
+def arrow_type_family(at) -> str:
+    """Canonical physical-type family for an Arrow type (DuckDB result)."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(at):
+        return "timestamp"
+    if pa.types.is_decimal(at):
+        return f"decimal({at.precision},{at.scale})"
+    if pa.types.is_large_string(at):
+        return "string"
+    if pa.types.is_integer(at):
+        return "int"
+    # align Arrow's spelling with the Spark families above
+    return {"double": "float64", "float": "float32", "halffloat": "float16"}.get(
+        str(at), str(at)
+    )
+
+
+def dtype_problems(sdf_schema, arrow_schema):
+    """Compare Spark vs DuckDB-Arrow physical column types by name.
+
+    The driver hashes serialized values, so a DuckDB HUGEINT/DECIMAL result
+    hash-mismatches a Spark BIGINT even when the numeric values are identical
+    (the r2 q_pack_sequences red row). Catch that locally.
+    """
+    spark_types = {f.name: spark_type_family(f.dataType) for f in sdf_schema.fields}
+    problems = []
+    for field in arrow_schema:
+        st = spark_types.get(field.name)
+        if st is None:
+            continue
+        dt = arrow_type_family(field.type)
+        if st != dt and {st, dt} != {"timestamp"}:
+            problems.append(f"dtype mismatch {field.name}: spark={st} duckdb={dt}")
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -81,7 +134,8 @@ def main() -> int:
         try:
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            atbl = cur.fetch_arrow_table()
+            drows = [tuple(r.values()) for r in atbl.to_pylist()]
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"[FAIL] {name}: duckdb error: {str(e)[:300]}")
@@ -91,6 +145,7 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        problems.extend(dtype_problems(sdf.schema, atbl.schema))
         if not problems:
             sk = rows_key(scols, [tuple(r) for r in srows])
             dk = rows_key(dcols, drows)
