@@ -74,6 +74,39 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, n_shingles, novel_frac) — corpus-level n-gram novelty.
+
+    ``novel_frac`` = fraction of a document's distinct word ``n``-grams
+    that appear in NO other document — the diversity/boilerplate signal
+    curation pipelines threshold on (low novelty ⇒ template/boilerplate
+    text; near 1.0 ⇒ original content). Complements
+    :func:`contamination_flags` (overlap vs a benchmark) and
+    repetition_features (intra-document repetition).
+
+    Scale shape: explode + two aggregates (shingle doc-frequency, then
+    per-doc novelty) — both map-side combinable; no joins against the
+    text itself, only against the exploded shingle stream.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("s"))
+    docfreq = sh.groupBy("s").agg(F.countDistinct(id_col).alias("df"))
+    return (
+        sh.join(docfreq, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            (
+                F.sum((F.col("df") == 1).cast("long")) / F.count("*")
+            ).alias("novel_frac"),
+        )
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -1303,6 +1303,72 @@ def q_scc(spark, sf_dir):
     return strongly_connected_components(v, e)
 
 
+def q_linkpred_topk(spark, sf_dir):
+    """Link prediction (common-neighbors / Adamic-Adar / Jaccard) — top 100
+    non-adjacent pairs of the derived undirected graph, AA-desc ranked."""
+    from amanogawa_spark.graph.linkpred import link_prediction_scores
+
+    e = derived_edges(spark, sf_dir)
+    return link_prediction_scores(e, k=100).select(
+        "id_a",
+        "id_b",
+        "cn",
+        F.round("adamic_adar", 8).alias("aa_r"),
+        F.round("jaccard", 8).alias("jaccard_r"),
+    )
+
+
+def q_harmonic2(spark, sf_dir):
+    """Exact truncated harmonic centrality, radius 2, on the derived
+    digraph. d ∈ {1, 2} keeps every 1/d term an exact binary rational, so
+    the sum is order-independent bit-for-bit across engines (same dyadic
+    trick as q_katz5)."""
+    from amanogawa_spark.graph.centrality import truncated_harmonic
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return truncated_harmonic(v, e, radius=2).select(
+        "id", F.col("harmonic").alias("harmonic2")
+    )
+
+
+def q_hyperball2(spark, sf_dir):
+    """HyperBall radius-2 ball-size estimates (p=6, engine-portable md5
+    registers): the scale path for neighborhood/centrality statistics.
+    The oracle computes the EXACT 2-ball then applies the identical
+    register + estimator math — the estimate is a deterministic function
+    of the ball set, so values match bit-for-bit."""
+    from amanogawa_spark.graph.hyperball import hyperball
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return hyperball(v, e, radius=2, p=6).select(
+        "id", F.round("estimate", 6).alias("ball2_est_r")
+    )
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (size 120, stride 90): the curation→packing
+    step. Pure Catalyst sequence/explode/substring — chunks at scan speed."""
+    from amanogawa_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=120, stride=90).select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_text", "chunk_len"
+    )
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Corpus-level 3-gram novelty per document (share of its shingles
+    appearing in no other document) — the boilerplate/diversity signal."""
+    from amanogawa_spark.operators.dedup import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3).select(
+        "doc_id", "n_shingles", F.round("novel_frac", 8).alias("novel_frac_r")
+    )
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1341,6 +1407,11 @@ QUERIES = {
     # -- red row in r2 (oracle HUGEINT cast fixed; Spark values unchanged) --
     "q_pack_sequences": q_pack_sequences,
     # -- new round-3 queries (inserted here so they land inside the cap) --
+    "q_linkpred_topk": q_linkpred_topk,
+    "q_harmonic2": q_harmonic2,
+    "q_hyperball2": q_hyperball2,
+    "q_doc_chunks": q_doc_chunks,
+    "q_ngram_novelty": q_ngram_novelty,
     # -- anchors: re-confirm the §2-critical operators from round 2 --
     "q_pagerank5": q_pagerank5,
     "q_cc_minlabel8": q_cc_minlabel8,
@@ -1833,7 +1904,95 @@ FROM scored"""
 
 _STOP_ARR = "['the','and','of','to','in','is','that','it','for','was']"
 
+
+def _linkpred_sql(k: int = 100) -> str:
+    return f"""
+WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)},
+ue AS MATERIALIZED (SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b FROM edges),
+adj AS MATERIALIZED (SELECT a AS u, b AS w FROM ue UNION ALL SELECT b AS u, a AS w FROM ue),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM adj GROUP BY u),
+wed AS (SELECT n1.u AS u, n2.u AS v, n1.w AS w FROM adj n1 JOIN adj n2 ON n1.w = n2.w WHERE n1.u < n2.u),
+sc AS (SELECT wed.u, wed.v, COUNT(*) AS cn, SUM(1.0 / ln(d.deg)) AS aa
+       FROM wed JOIN deg d ON wed.w = d.u GROUP BY wed.u, wed.v),
+na AS (SELECT * FROM sc WHERE NOT EXISTS (SELECT 1 FROM ue WHERE ue.a = sc.u AND ue.b = sc.v))
+SELECT na.u AS id_a, na.v AS id_b, na.cn,
+  ROUND(na.aa, 8) AS aa_r,
+  ROUND(na.cn * 1.0 / (du.deg + dv.deg - na.cn), 8) AS jaccard_r
+FROM na JOIN deg du ON na.u = du.u JOIN deg dv ON na.v = dv.u
+ORDER BY na.aa DESC, na.u ASC, na.v ASC LIMIT {k}"""
+
+
+def _harmonic2_sql() -> str:
+    return f"""
+WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)},
+{_VERTS_SQL.strip()},
+d1 AS (SELECT src_id AS u, dst_id AS v, 1 AS d FROM edges),
+e2 AS (SELECT a.u, e.dst_id AS v, 2 AS d FROM d1 a JOIN edges e ON a.v = e.src_id WHERE a.u <> e.dst_id),
+m2 AS (SELECT u, v, MIN(d) AS d FROM (SELECT * FROM d1 UNION ALL SELECT * FROM e2) t GROUP BY u, v),
+h AS (SELECT u, SUM(1.0 / d) AS harm FROM m2 GROUP BY u)
+SELECT verts.id, COALESCE(h.harm, 0.0) AS harmonic2 FROM verts LEFT JOIN h ON verts.id = h.u"""
+
+
+def _hyperball2_sql(p: int = 6, round_to: int = 6) -> str:
+    """Exact 2-ball per vertex, then the identical engine-portable HLL
+    register + estimator math as graph/hyperball.py (md5 32-bit hash,
+    integer-comparison rho chain, small-range correction)."""
+    m = 1 << p
+    tail_bits = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rho_case = "CASE " + " ".join(
+        f"WHEN tail >= {1 << (tail_bits - k)} THEN {k}"
+        for k in range(1, tail_bits + 1)
+    ) + f" ELSE {tail_bits + 1} END"
+    raw = f"CAST({alpha!r} AS DOUBLE) * {m} * {m} / (s_present + ({m} - v_present))"
+    return f"""
+WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)},
+{_VERTS_SQL.strip()},
+b1 AS MATERIALIZED (SELECT id AS u, id AS v FROM verts UNION SELECT src_id, dst_id FROM edges),
+ball AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+  SELECT u, v FROM b1
+  UNION ALL SELECT b1.u, e.dst_id FROM b1 JOIN edges e ON b1.v = e.src_id) t),
+h AS (SELECT u, ('0x' || substr(md5(v::VARCHAR), 1, 8))::BIGINT AS h32 FROM ball),
+bt AS (SELECT u, h32 >> {tail_bits} AS bucket, h32 & {(1 << tail_bits) - 1} AS tail FROM h),
+r AS (SELECT u, bucket, {rho_case} AS r FROM bt),
+regs AS (SELECT u, bucket, MAX(r) AS rho FROM r GROUP BY u, bucket),
+a AS (SELECT u, SUM(POWER(2.0, -rho)) AS s_present, COUNT(*) AS v_present FROM regs GROUP BY u)
+SELECT u AS id, ROUND(CASE WHEN {raw} <= 2.5 * {m} AND ({m} - v_present) > 0
+  THEN {float(m)!r} * ln({float(m)!r} / ({m} - v_present))
+  ELSE {raw} END, {round_to}) AS ball2_est_r FROM a"""
+
+
+_DOC_CHUNKS_SQL = """
+WITH s AS (
+  SELECT doc_id, text,
+    unnest(generate_series(0, greatest(length(text) - 1, 0), 90)) AS chunk_start
+  FROM documents)
+SELECT doc_id,
+  CAST(chunk_start / 90 AS BIGINT) AS chunk_idx,
+  CAST(chunk_start AS BIGINT) AS chunk_start,
+  substring(text, CAST(chunk_start AS INT) + 1, 120) AS chunk_text,
+  length(substring(text, CAST(chunk_start AS INT) + 1, 120)) AS chunk_len
+FROM s"""
+
+_NGRAM_NOVELTY_SQL = f"""
+WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents),
+tk AS (SELECT id, string_split(norm, ' ') AS toks FROM base),
+shl AS (SELECT id, CASE WHEN len(toks) >= 3
+  THEN list_distinct(list_transform(range(0, len(toks) - 2),
+       i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+  ELSE [array_to_string(toks, ' ')] END AS sh FROM tk),
+ex AS MATERIALIZED (SELECT id, unnest(sh) AS s FROM shl),
+dfr AS (SELECT s, COUNT(DISTINCT id) AS dfc FROM ex GROUP BY s)
+SELECT ex.id AS doc_id, COUNT(*) AS n_shingles,
+  ROUND(SUM(CASE WHEN dfr.dfc = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 8) AS novel_frac_r
+FROM ex JOIN dfr ON ex.s = dfr.s GROUP BY ex.id"""
+
 ORACLE_SQL = {
+    "q_linkpred_topk": _linkpred_sql(100),
+    "q_harmonic2": _harmonic2_sql(),
+    "q_hyperball2": _hyperball2_sql(6),
+    "q_doc_chunks": _DOC_CHUNKS_SQL,
+    "q_ngram_novelty": _NGRAM_NOVELTY_SQL,
     "q_filter_numeric": (
         "SELECT event_id, user_id, ROUND(CAST(value AS DOUBLE), 6) AS value_r "
         "FROM events WHERE value > 50.0 AND event_type = 'click'"
