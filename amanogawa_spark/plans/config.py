@@ -126,6 +126,9 @@ def _with_row_ids(df: DataFrame, id_col: str = "_row_id") -> DataFrame:
 def _to_graph_fn(spec: dict):
     knn = spec.get("knn", {})
     k = int(knn.get("k", 3))
+    # reference parity: knn.mode defaults "approx" (to_graph.cpp:34-36) —
+    # the bucketed LSH path; "exact" opts into the O(n²) verify join
+    knn_mode = knn.get("mode", "approx")
     mode = spec.get("mode", "cosine")
     column = spec.get("column")
 
@@ -150,7 +153,13 @@ def _to_graph_fn(spec: dict):
             vecs = ids.select(
                 "_row_id", F.array(*[F.col(c).cast("double") for c in vec_cols]).alias("v")
             )
-        return knn_graph(vecs, id_col="_row_id", vec_col="v", k=k, mode="exact")
+        return knn_graph(
+            vecs,
+            id_col="_row_id",
+            vec_col="v",
+            k=k,
+            mode="exact" if knn_mode == "exact" else "approx",
+        )
 
     return fn
 

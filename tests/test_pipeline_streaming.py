@@ -168,3 +168,60 @@ def test_streaming_dedup_exact(spark, tmp_path):
 
     all_docs = spark.createDataFrame(rows1 + rows2, schema)
     assert dedup_exact(all_docs).count() == 3
+
+
+def test_streaming_graph_ingest_equals_batch_rebuild(spark, tmp_path):
+    """Two crawl micro-batches through streaming_graph_ingest must leave a
+    store whose resolved graph EXACTLY equals a batch build over all pages
+    — including links whose target page only arrived in the later batch."""
+    import pandas as pd
+
+    from amanogawa_spark.fixtures.pages import generate_pages
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+    from amanogawa_spark.streaming.ingest import (
+        resolve_id_edges,
+        streaming_graph_ingest,
+    )
+
+    corpus = generate_pages(n_pages=120, seed=11)
+    pdf = corpus.pages
+    in_dir = tmp_path / "pages_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+
+    # batch 1: first 70 pages
+    spark.createDataFrame(pdf.iloc[:70]).coalesce(1).write.parquet(
+        str(in_dir / "b1")
+    )
+    q = streaming_graph_ingest(spark, str(in_dir) + "/*", store, checkpoint_dir=ck)
+    q.processAllAvailable()
+
+    # batch 2: the rest (arrives later; earlier dangling links now resolve)
+    spark.createDataFrame(pdf.iloc[70:]).coalesce(1).write.parquet(
+        str(in_dir / "b2")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.src_id, r.dst_id) for r in resolve_id_edges(spark, store).collect()
+    }
+
+    all_pages = spark.createDataFrame(pdf)
+    v = build_vertices(all_pages, id_mode="hash")
+    expect = {
+        (r.src_id, r.dst_id) for r in build_edges(all_pages, v).collect()
+    }
+    assert got == expect and len(got) > 0
+
+    # idempotence: replaying the same files appends nothing
+    n_v = spark.read.parquet(store + "/vertices").count()
+    n_e = spark.read.parquet(store + "/edges_url").count()
+    q2 = streaming_graph_ingest(
+        spark, str(in_dir) + "/*", store, checkpoint_dir=str(tmp_path / "ck2")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(store + "/vertices").count() == n_v
+    assert spark.read.parquet(store + "/edges_url").count() == n_e
