@@ -99,3 +99,82 @@ def hyperball(
     return hyperball_estimates(
         hyperball_registers(vertices, edges, radius, p), p
     )
+
+
+def neighborhood_function(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_radius: int = 32,
+    p: int = 6,
+    rel_tol: float = 1e-3,
+) -> list[tuple[int, float]]:
+    """HyperANF: [(r, N(r))] where N(r) = Σ_v |B(v, r)| estimated.
+
+    One relaxation round + one 1-row aggregate per radius; stops when
+    N(r) stops growing (relative change < ``rel_tol``) — the balls have
+    saturated, i.e. r reached the graph's (apparent) diameter. This is
+    the classic distance-distribution summary at O(V·2^p) state —
+    the exact computation is all-pairs BFS and does not exist at scale.
+    """
+    tail_bits = 32 - p
+    e = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = hyperball_registers(vertices, e, radius=0, p=p).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    curve: list[tuple[int, float]] = []
+    prev_total = float(
+        hyperball_estimates(state, p).agg(F.sum("estimate")).collect()[0][0] or 0.0
+    )
+    curve.append((0, prev_total))
+    for r in range(1, max_radius + 1):
+        contrib = e.join(
+            state.select(F.col("id").alias("dst_id"), "bucket", "rho"), "dst_id"
+        ).select(F.col("src_id").alias("id"), "bucket", "rho")
+        nxt = (
+            state.unionAll(contrib)
+            .groupBy("id", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=False)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        total = float(
+            hyperball_estimates(nxt, p).agg(F.sum("estimate")).collect()[0][0] or 0.0
+        )
+        state.unpersist()
+        state = nxt
+        curve.append((r, total))
+        if prev_total > 0 and abs(total - prev_total) / prev_total < rel_tol:
+            break
+        prev_total = total
+    state.unpersist()
+    e.unpersist()
+    return curve
+
+
+def effective_diameter(
+    vertices: DataFrame,
+    edges: DataFrame,
+    q: float = 0.9,
+    max_radius: int = 32,
+    p: int = 6,
+) -> float:
+    """q-effective diameter (HyperANF): the interpolated radius at which
+    the neighborhood function reaches a ``q`` fraction of its final
+    (saturated) value — the standard "90% of reachable pairs are within
+    d hops" web-graph statistic."""
+    curve = neighborhood_function(vertices, edges, max_radius, p)
+    final = curve[-1][1]
+    if final <= 0:
+        return 0.0
+    target = q * final
+    for (r0, n0), (r1, n1) in zip(curve, curve[1:]):
+        if n1 >= target:
+            if n1 == n0:
+                return float(r1)
+            return r0 + (target - n0) / (n1 - n0)
+    return float(curve[-1][0])

@@ -107,6 +107,77 @@ def ngram_novelty(
     )
 
 
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(doc_id, pos, gram) — every position whose word ``n``-gram occurs
+    more than once in the corpus (any doc, any position, self included).
+
+    The exact-substring-dedup primitive at n-gram granularity
+    (RefinedWeb/Lee et al.-style span removal without a distributed
+    suffix array): a repeated n-gram marks a duplicated span [pos,
+    pos+n) that a curation pass can mask or cut. Positions are 0-based
+    token offsets into the normalized token stream.
+
+    Scale shape: explode positions (corpus token count rows), ONE
+    map-side-combined count per gram, one semi-join back — no pairwise
+    comparison anywhere.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    grams = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("pos"),
+        F.col("toks"),
+    ).select(
+        id_col,
+        "pos",
+        F.array_join(F.expr(f"slice(toks, pos + 1, {n})"), " ").alias("gram"),
+    )
+    occ = grams.groupBy("gram").agg(F.count("*").alias("occ")).filter(
+        F.col("occ") >= 2
+    )
+    return grams.join(occ.select("gram"), "gram", "left_semi").select(
+        id_col, "pos", "gram"
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(doc_id, n_grams, n_dup_grams, dup_frac) — per-doc duplicated-span
+    pressure. Docs with fewer than ``n`` tokens report 0 grams, frac 0.0."""
+    toks = F.split(normalized_text(text_col), " ")
+    totals = df.select(
+        F.col(id_col),
+        F.greatest(F.size(toks) - n + 1, F.lit(0)).cast("long").alias("n_grams"),
+    )
+    dups = (
+        duplicate_ngram_spans(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_grams"))
+    )
+    return totals.join(dups, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,

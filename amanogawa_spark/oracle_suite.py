@@ -1358,6 +1358,17 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Per-doc duplicated 5-gram span pressure (exact substring dedup at
+    n-gram granularity — the RefinedWeb span-removal primitive)."""
+    from amanogawa_spark.operators.dedup import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_span_stats(docs, n=5).select(
+        "doc_id", "n_grams", "n_dup_grams", F.round("dup_frac", 8).alias("dup_frac_r")
+    )
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Corpus-level 3-gram novelty per document (share of its shingles
     appearing in no other document) — the boilerplate/diversity signal."""
@@ -1412,6 +1423,7 @@ QUERIES = {
     "q_hyperball2": q_hyperball2,
     "q_doc_chunks": q_doc_chunks,
     "q_ngram_novelty": q_ngram_novelty,
+    "q_dup_spans": q_dup_spans,
     # -- anchors: re-confirm the §2-critical operators from round 2 --
     "q_pagerank5": q_pagerank5,
     "q_cc_minlabel8": q_cc_minlabel8,
@@ -1987,8 +1999,24 @@ SELECT ex.id AS doc_id, COUNT(*) AS n_shingles,
   ROUND(SUM(CASE WHEN dfr.dfc = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 8) AS novel_frac_r
 FROM ex JOIN dfr ON ex.s = dfr.s GROUP BY ex.id"""
 
+_DUP_SPANS_SQL = f"""
+WITH base AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks FROM documents),
+tot AS (SELECT id, greatest(len(toks) - 4, 0) AS n_grams FROM base),
+grams AS MATERIALIZED (
+  SELECT id, i AS pos, array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS gram
+  FROM base, LATERAL unnest(range(0, greatest(len(toks) - 4, 0))) AS t(i)),
+occ AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+dups AS (SELECT id, COUNT(*) AS n_dup FROM grams
+  WHERE gram IN (SELECT gram FROM occ) GROUP BY id)
+SELECT tot.id AS doc_id, CAST(tot.n_grams AS BIGINT) AS n_grams,
+  CAST(COALESCE(dups.n_dup, 0) AS BIGINT) AS n_dup_grams,
+  ROUND(CASE WHEN tot.n_grams > 0
+        THEN COALESCE(dups.n_dup, 0) * 1.0 / tot.n_grams ELSE 0.0 END, 8) AS dup_frac_r
+FROM tot LEFT JOIN dups ON tot.id = dups.id"""
+
 ORACLE_SQL = {
     "q_linkpred_topk": _linkpred_sql(100),
+    "q_dup_spans": _DUP_SPANS_SQL,
     "q_harmonic2": _harmonic2_sql(),
     "q_hyperball2": _hyperball2_sql(6),
     "q_doc_chunks": _DOC_CHUNKS_SQL,

@@ -137,3 +137,31 @@ def test_ngram_novelty_duplicate_vs_unique(spark):
     assert got[1].novel_frac == 0.0  # every shingle shared with doc 2
     assert got[2].novel_frac == 0.0
     assert got[3].novel_frac == 1.0
+
+
+def test_hyperanf_effective_diameter_cycle(spark):
+    """Directed n-cycle: B(v, r) has exactly r+1 members, so N(r) grows
+    linearly and saturates at r = n-1; the 0.9-effective diameter is
+    ~0.9·(n-1). HLL p=8 keeps per-ball error ~1-2% at these sizes."""
+    from amanogawa_spark.graph.hyperball import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    n = 40
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src_id long, dst_id long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+
+    curve = neighborhood_function(v, e, max_radius=n + 2, p=8)
+    totals = [t for _, t in curve]
+    # monotone non-decreasing and saturating at ~n^2 total ball members
+    assert all(b >= a * 0.999 for a, b in zip(totals, totals[1:]))
+    assert totals[-1] == pytest.approx(n * n, rel=0.05)
+    # saturation detected at radius ~n-1, not max_radius
+    assert curve[-1][0] <= n + 1
+
+    d_eff = effective_diameter(v, e, q=0.9, max_radius=n + 2, p=8)
+    # exact value: N(r)=n(r+1) -> target 0.9n^2 at r = 0.9n - 1 = 35
+    assert abs(d_eff - (0.9 * n - 1)) < 2.5

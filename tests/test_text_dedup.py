@@ -193,3 +193,37 @@ def test_cluster_duplicates_transitive(spark):
     )
     got = {r.id: r.cluster for r in cluster_duplicates(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_duplicate_ngram_spans_and_stats(spark):
+    """Hand-built corpus: a 5-gram shared by docs 1 and 2, an intra-doc
+    repeat in doc 3, and a fully unique doc 4."""
+    from amanogawa_spark.operators.dedup import dup_span_stats, duplicate_ngram_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " zeta eta"),
+            (2, "prefix words here " + shared),
+            (3, "x y z w v " + "x y z w v"),  # repeats its own 5-gram
+            (4, "totally unique content with nothing repeated anywhere ever"),
+            (5, "tiny"),  # < 5 tokens: no grams
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_ngram_spans(docs, n=5).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, set()).add((r.pos, r.gram))
+    # docs 1 and 2 share `shared` at positions 0 and 3 respectively
+    assert (0, shared) in by_doc[1]
+    assert (3, shared) in by_doc[2]
+    # doc 3's self-repeat: positions 0 and 5 hold the same 5-gram
+    assert {(0, "x y z w v"), (5, "x y z w v")} <= by_doc[3]
+    assert 4 not in by_doc
+
+    stats = {r.doc_id: r for r in dup_span_stats(docs, n=5).collect()}
+    assert stats[4].n_dup_grams == 0 and stats[4].dup_frac == 0.0
+    assert stats[5].n_grams == 0 and stats[5].dup_frac == 0.0
+    assert stats[1].n_dup_grams >= 1
+    assert 0 < stats[1].dup_frac <= 1.0
