@@ -107,6 +107,8 @@ def _source_fn(spec: dict, base_dir: str):
         )
     if fmt_type == "parquet":
         return lambda spark: spark.read.parquet(path)
+    if fmt_type == "orc":
+        return lambda spark: spark.read.orc(path)
     raise ValueError(f"unsupported source format: {fmt_type!r}")
 
 
@@ -269,6 +271,8 @@ def _sink_fn(spec: dict, base_dir: str):
         return lambda df: write_json(prep(df), path)
     if fmt_type == "parquet":
         return lambda df: write_parquet(prep(df), path)
+    if fmt_type == "orc":
+        return lambda df: prep(df).write.mode("overwrite").orc(path)
     if fmt_type == "xml":
         from amanogawa_spark.sources.writers import write_xml
 

@@ -358,3 +358,38 @@ type = "parquet"
     assert len(rows) == 8
     assert {r.seq_id for r in rows}  # bin ids assigned
     assert all(0 <= r.seq_offset < 128 for r in rows)
+
+
+def test_orc_source_sink_roundtrip(spark, tmp_path):
+    """ORC as a declared format on both ends (Spark-native columnar path,
+    same dispatch as parquet)."""
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double"
+    )
+    src.write.orc(str(tmp_path / "in.orc"))
+    (tmp_path / "job.toml").write_text(
+        f"""
+[source]
+type = "file"
+path = "in.orc"
+[source.format]
+type = "orc"
+
+[flow]
+type = "filter"
+column = "v"
+op = ">"
+cond = 2.0
+
+[sink]
+type = "file"
+path = "out.orc"
+[sink.format]
+type = "orc"
+"""
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(str(tmp_path / "job.toml"), spark)
+    out = spark.read.orc(str(tmp_path / "out.orc")).collect()
+    assert [(r.id, r.name, r.v) for r in out] == [(2, "b", 2.5)]
