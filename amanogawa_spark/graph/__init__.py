@@ -12,6 +12,7 @@ from amanogawa_spark.graph.triangles import (
     k_truss,
     triangle_count,
 )
+from amanogawa_spark.graph.community import louvain, modularity
 from amanogawa_spark.graph.scc import strongly_connected_components
 from amanogawa_spark.graph.walks import random_walks
 
@@ -25,6 +26,8 @@ __all__ = [
     "connected_components",
     "connected_components_minlabel",
     "label_propagation",
+    "louvain",
+    "modularity",
     "clustering_coefficient",
     "k_truss",
     "strongly_connected_components",

@@ -1380,6 +1380,42 @@ def q_ngram_novelty(spark, sf_dir):
     )
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity of a deterministic partition (id % 40) on the
+    derived graph — per-community contribution rows. The assignment is
+    arithmetic (not algorithmic) so both engines build it exactly;
+    :func:`~amanogawa_spark.graph.community.modularity` is the operator
+    under test."""
+    from amanogawa_spark.graph.community import modularity
+
+    e = derived_edges(spark, sf_dir)
+    v = derived_vertices(spark, sf_dir)
+    a = v.select("id", (F.col("id") % 40).alias("community"))
+    return modularity(e, a).select(
+        "community",
+        "intra2",
+        "deg_sum",
+        F.round("q_contrib", 8).alias("q_contrib"),
+    )
+
+
+def q_louvain1(spark, sf_dir):
+    """One deterministic Louvain local-move sweep from singleton
+    communities (round 0: even-id vertices move on strict modularity
+    gain, ties to smallest community). The kernel of
+    :func:`~amanogawa_spark.graph.community.louvain`, value-checked
+    against an unrolled DuckDB mirror; multi-level convergence is pinned
+    by the pure-Python mirror in tests/test_community.py."""
+    from amanogawa_spark.graph.community import _sym_weighted, louvain_move_round
+
+    e = derived_edges(spark, sf_dir)
+    adj = _sym_weighted(e, None)
+    deg = adj.groupBy(F.col("u").alias("id")).agg(F.sum("w").alias("k"))
+    m2_df = deg.agg(F.sum("k").alias("m2"))
+    assign = deg.select("id", F.col("id").alias("community"))
+    return louvain_move_round(assign, adj, deg, m2_df, 0)
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1424,6 +1460,8 @@ QUERIES = {
     "q_doc_chunks": q_doc_chunks,
     "q_ngram_novelty": q_ngram_novelty,
     "q_dup_spans": q_dup_spans,
+    "q_modularity": q_modularity,
+    "q_louvain1": q_louvain1,
     # -- anchors: re-confirm the §2-critical operators from round 2 --
     "q_pagerank5": q_pagerank5,
     "q_cc_minlabel8": q_cc_minlabel8,
@@ -1439,6 +1477,8 @@ QUERIES = {
     "q_kcore45": q_kcore45,
     "q_dedup_exact_groups": q_dedup_exact_groups,
     "q_ann_topk": q_ann_topk,
+    # (q_ann_ivf / q_embed_neardup_lsh moved past the cap for the two new
+    # community queries — both carry green CORRECTNESS_r02 rows already)
     "q_ann_ivf": q_ann_ivf,
     "q_embed_neardup_lsh": q_embed_neardup_lsh,
     "q_dup_clusters": q_dup_clusters,
@@ -2014,7 +2054,49 @@ SELECT tot.id AS doc_id, CAST(tot.n_grams AS BIGINT) AS n_grams,
         THEN COALESCE(dups.n_dup, 0) * 1.0 / tot.n_grams ELSE 0.0 END, 8) AS dup_frac_r
 FROM tot LEFT JOIN dups ON tot.id = dups.id"""
 
+_MODULARITY_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+adj AS (SELECT src_id AS u, dst_id AS v, CAST(1.0 AS DOUBLE) AS w FROM edges
+        UNION SELECT dst_id, src_id, CAST(1.0 AS DOUBLE) FROM edges),
+deg AS (SELECT u AS id, SUM(w) AS k FROM adj GROUP BY u),
+asg AS (SELECT id, id % 40 AS community FROM deg),
+degc AS (SELECT a.community, SUM(d.k) AS deg_sum
+         FROM deg d JOIN asg a ON d.id = a.id GROUP BY a.community),
+intra AS (SELECT au.community AS community, SUM(s.w) AS intra2
+          FROM adj s JOIN asg au ON s.u = au.id JOIN asg av ON s.v = av.id
+          WHERE au.community = av.community GROUP BY au.community),
+tots AS (SELECT SUM(w) AS m2 FROM adj)
+SELECT dc.community, COALESCE(i.intra2, 0.0) AS intra2, dc.deg_sum,
+  ROUND(COALESCE(i.intra2, 0.0) / t.m2
+        - (dc.deg_sum / t.m2) * (dc.deg_sum / t.m2), 8) AS q_contrib
+FROM degc dc LEFT JOIN intra i ON dc.community = i.community CROSS JOIN tots t"""
+
+# Round-0 Louvain sweep from singletons: every vertex's community is its own
+# id, so tot(c) = k_c, the stay score is exactly 0 (own mass excluded), and
+# w_{u->c} collapses to the edge weight to vertex c. Candidate score is the
+# SAME float expression Spark evaluates (wuc - k*tot/m2 on exact-integer
+# doubles), so > / tie comparisons agree bit-for-bit across engines.
+_LOUVAIN1_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+adj AS (SELECT src_id AS u, dst_id AS v, CAST(1.0 AS DOUBLE) AS w FROM edges
+        UNION SELECT dst_id, src_id, CAST(1.0 AS DOUBLE) FROM edges),
+deg AS (SELECT u AS id, SUM(w) AS k FROM adj GROUP BY u),
+tots AS (SELECT SUM(k) AS m2 FROM deg),
+wuc AS (SELECT s.u AS id, s.v AS c, SUM(s.w) AS wuc FROM adj s GROUP BY s.u, s.v),
+scored AS (SELECT w.id, w.c, w.wuc - d.k * dc.k / t.m2 AS score
+           FROM wuc w JOIN deg d ON w.id = d.id JOIN deg dc ON w.c = dc.id
+           CROSS JOIN tots t),
+sel AS (SELECT id, c AS best_c, score AS best_score FROM (
+          SELECT id, c, score, ROW_NUMBER() OVER
+            (PARTITION BY id ORDER BY score DESC, c ASC) AS rn FROM scored)
+        WHERE rn = 1)
+SELECT d.id, CAST(CASE WHEN d.id % 2 = 0 AND s.best_score > 0.0
+                       THEN s.best_c ELSE d.id END AS BIGINT) AS community
+FROM deg d LEFT JOIN sel s ON d.id = s.id"""
+
 ORACLE_SQL = {
+    "q_modularity": _MODULARITY_SQL,
+    "q_louvain1": _LOUVAIN1_SQL,
     "q_linkpred_topk": _linkpred_sql(100),
     "q_dup_spans": _DUP_SPANS_SQL,
     "q_harmonic2": _harmonic2_sql(),

@@ -211,6 +211,22 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         strongly_connected_components(dv, de).count()
 
     results["scc_derived"] = _timed(_scc)
+
+    # community detection over the bench link graph: 2-level Louvain, then
+    # modularity of the found partition (bounded rounds — the bench measures
+    # the per-round pipeline; convergence quality is pytest territory)
+    from amanogawa_spark.graph.community import louvain
+    from amanogawa_spark.graph.community import modularity as _mod
+
+    comm = {}
+
+    def _louvain():
+        res = louvain(vertices, edges, max_levels=2, rounds_per_level=3)
+        comm["q"] = _mod(edges, res, per_community=False).collect()[0][0]
+
+    results["louvain_2level"] = _timed(_louvain)
+    results["louvain_modularity_metric"] = round(comm["q"], 4)
+
     pages.unpersist()
     return results
 
@@ -223,7 +239,9 @@ def run_default() -> dict:
     total = sum(
         v
         for k, v in qtimes.items()
-        if not k.endswith("_iters") and not k.endswith("_per_sec")
+        if not k.endswith("_iters")
+        and not k.endswith("_per_sec")
+        and not k.endswith("_metric")  # quality scalars, not seconds
     )
     out = {
         "metric": "headline_suite_seconds",
