@@ -1416,6 +1416,21 @@ def q_louvain1(spark, sf_dir):
     return louvain_move_round(assign, adj, deg, m2_df, 0)
 
 
+def q_betweenness4(spark, sf_dir):
+    """Sampled-Brandes betweenness from 4 fixed pivots, truncated at
+    depth 3 (bounded so the unrolled DuckDB mirror stays tractable);
+    dependency sums rounded to 6 to absorb float summation order.
+    Full-depth exactness vs textbook Brandes is pinned in
+    tests/test_betweenness.py."""
+    from amanogawa_spark.graph.centrality import betweenness_sampled
+
+    e = derived_edges(spark, sf_dir)
+    v = derived_vertices(spark, sf_dir)
+    return betweenness_sampled(v, e, sources=[0, 1, 2, 3], max_depth=3).select(
+        "id", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1462,6 +1477,7 @@ QUERIES = {
     "q_dup_spans": q_dup_spans,
     "q_modularity": q_modularity,
     "q_louvain1": q_louvain1,
+    "q_betweenness4": q_betweenness4,
     # -- anchors: re-confirm the §2-critical operators from round 2 --
     "q_pagerank5": q_pagerank5,
     "q_cc_minlabel8": q_cc_minlabel8,
@@ -2094,9 +2110,63 @@ SELECT d.id, CAST(CASE WHEN d.id % 2 = 0 AND s.best_score > 0.0
                        THEN s.best_c ELSE d.id END AS BIGINT) AS community
 FROM deg d LEFT JOIN sel s ON d.id = s.id"""
 
+def _betweenness_sql(sources=(0, 1, 2, 3), depth: int = 3) -> str:
+    """Unrolled sampled-Brandes mirror: forward BFS waves f1..fD with
+    anti-visited NOT EXISTS guards, then the depth-descending dependency
+    accumulation d(D-1)..d1; waves MATERIALIZED (each is referenced by
+    every later wave's guard)."""
+    src_vals = ", ".join(f"({s})" for s in sources)
+    parts = [
+        f"WITH {_EDGES_SQL.strip()}",
+        _VERTS_SQL.strip(),
+        "adj AS (SELECT src_id AS u, dst_id AS v FROM edges "
+        "UNION SELECT dst_id, src_id FROM edges)",
+        f"srcs AS (SELECT * FROM (VALUES {src_vals}) AS t(src))",
+        "f0 AS MATERIALIZED (SELECT src, src AS v, CAST(1.0 AS DOUBLE) AS sigma FROM srcs)",
+    ]
+    for k in range(1, depth + 1):
+        guards = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM f{j} p WHERE p.src = l.src AND p.v = a.v)"
+            for j in range(k)
+        )
+        parts.append(
+            f"f{k} AS MATERIALIZED (SELECT l.src, a.v AS v, SUM(l.sigma) AS sigma "
+            f"FROM f{k - 1} l JOIN adj a ON a.u = l.v WHERE {guards} "
+            f"GROUP BY l.src, a.v)"
+        )
+    # backward: delta at depth `depth` is 0
+    for d in range(depth - 1, 0, -1):
+        if d == depth - 1:
+            delta_expr = "1.0 + 0.0"
+            dj = ""
+        else:
+            delta_expr = "1.0 + COALESCE(dd.delta, 0.0)"
+            dj = f" LEFT JOIN d{d + 1} dd ON dd.src = w.src AND dd.v = w.v"
+        parts.append(
+            f"d{d} AS MATERIALIZED (SELECT l.src, l.v, "
+            f"SUM(l.sigma / w.sigma * ({delta_expr})) AS delta "
+            f"FROM f{d} l JOIN adj a ON a.u = l.v "
+            f"JOIN f{d + 1} w ON w.src = l.src AND w.v = a.v{dj} "
+            f"GROUP BY l.src, l.v)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT v, delta FROM d{d}" for d in range(1, depth)
+    )
+    parts.append(f"alld AS (SELECT v, delta FROM ({unions}))")
+    parts.append("bc AS (SELECT v AS id, SUM(delta) AS b FROM alld GROUP BY v)")
+    return (
+        parts[0]
+        + ",\n"
+        + ",\n".join(parts[1:])
+        + "\nSELECT vt.id, ROUND(COALESCE(bc.b, 0.0), 6) AS betweenness"
+        + "\nFROM verts vt LEFT JOIN bc ON vt.id = bc.id"
+    )
+
+
 ORACLE_SQL = {
     "q_modularity": _MODULARITY_SQL,
     "q_louvain1": _LOUVAIN1_SQL,
+    "q_betweenness4": _betweenness_sql((0, 1, 2, 3), 3),
     "q_linkpred_topk": _linkpred_sql(100),
     "q_dup_spans": _DUP_SPANS_SQL,
     "q_harmonic2": _harmonic2_sql(),
