@@ -178,3 +178,84 @@ def effective_diameter(
                 return float(r1)
             return r0 + (target - n0) / (n1 - n0)
     return float(curve[-1][0])
+
+
+def hyperball_closeness(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_radius: int = 8,
+    p: int = 6,
+    rel_tol: float = 1e-3,
+) -> DataFrame:
+    """(id, reached, sum_dist, closeness) — closeness centrality from the
+    HyperBall distance distribution (Boldi & Vigna's application of ANF
+    sketches to centrality): sum_dist(v) = Σ_r r·(|B(v,r)| − |B(v,r−1)|)
+    and closeness(v) = (|B(v,R)| − |B(v,0)|) / sum_dist(v) (0.0 for
+    vertices reaching nothing). All quantities are the deterministic HLL
+    estimates, so a radius-bounded oracle reproduces them bit-for-bit.
+    Per radius: one edge join + one register max-aggregate + one O(V)
+    accumulate join — O(V·2^p) state at any graph size.
+    """
+    e = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = hyperball_registers(vertices, e, radius=0, p=p).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    est0 = hyperball_estimates(state, p)
+    acc = est0.select(
+        "id",
+        F.col("estimate").alias("b0"),
+        F.col("estimate").alias("prev"),
+        F.lit(0.0).alias("sum_dist"),
+    ).localCheckpoint(eager=True)
+    prev_total = float(acc.agg(F.sum("prev")).collect()[0][0] or 0.0)
+    for r in range(1, max_radius + 1):
+        contrib = e.join(
+            state.select(F.col("id").alias("dst_id"), "bucket", "rho"), "dst_id"
+        ).select(F.col("src_id").alias("id"), "bucket", "rho")
+        nxt = (
+            state.unionAll(contrib)
+            .groupBy("id", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=False)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        est_r = hyperball_estimates(nxt, p).withColumnRenamed("estimate", "cur")
+        old_acc = acc
+        acc = (
+            acc.join(est_r, "id")
+            .select(
+                "id",
+                "b0",
+                F.col("cur").alias("prev"),
+                (
+                    F.col("sum_dist")
+                    + F.lit(float(r)) * (F.col("cur") - F.col("prev"))
+                ).alias("sum_dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        old_acc.unpersist()
+        state.unpersist()
+        state = nxt
+        total = float(acc.agg(F.sum("prev")).collect()[0][0] or 0.0)
+        if prev_total > 0 and abs(total - prev_total) / prev_total < rel_tol:
+            break
+        prev_total = total
+    state.unpersist()
+    e.unpersist()
+    return acc.select(
+        "id",
+        F.col("prev").alias("reached"),
+        "sum_dist",
+        F.when(
+            F.col("sum_dist") > 0,
+            (F.col("prev") - F.col("b0")) / F.col("sum_dist"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )

@@ -1431,6 +1431,23 @@ def q_betweenness4(spark, sf_dir):
     )
 
 
+def q_closeness2(spark, sf_dir):
+    """HyperBall-derived closeness at radius 2: sum-of-distances from the
+    successive ball estimates, closeness = (B2 − B0)/sum_dist. All values
+    are deterministic functions of the exact ball sets, so the oracle
+    (exact balls + identical register math) matches bit-for-bit."""
+    from amanogawa_spark.graph.hyperball import hyperball_closeness
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return hyperball_closeness(v, e, max_radius=2, p=6, rel_tol=-1.0).select(
+        "id",
+        F.round("reached", 6).alias("reached_r"),
+        F.round("sum_dist", 6).alias("sum_dist_r"),
+        F.round("closeness", 6).alias("closeness_r"),
+    )
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1478,6 +1495,7 @@ QUERIES = {
     "q_modularity": q_modularity,
     "q_louvain1": q_louvain1,
     "q_betweenness4": q_betweenness4,
+    "q_closeness2": q_closeness2,
     # -- anchors: re-confirm the §2-critical operators from round 2 --
     "q_pagerank5": q_pagerank5,
     "q_cc_minlabel8": q_cc_minlabel8,
@@ -2163,10 +2181,57 @@ def _betweenness_sql(sources=(0, 1, 2, 3), depth: int = 3) -> str:
     )
 
 
+def _closeness2_sql(p: int = 6, round_to: int = 6) -> str:
+    """Exact 0/1/2-balls per vertex, the identical portable HLL estimator
+    on each (same math as _hyperball2_sql), then the SAME left-associated
+    float accumulation Spark's hyperball_closeness performs."""
+    m = 1 << p
+    tail_bits = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rho_case = "CASE " + " ".join(
+        f"WHEN tail >= {1 << (tail_bits - k)} THEN {k}"
+        for k in range(1, tail_bits + 1)
+    ) + f" ELSE {tail_bits + 1} END"
+
+    def chain(n: str) -> str:
+        raw = (
+            f"CAST({alpha!r} AS DOUBLE) * {m} * {m} / "
+            f"(s_present + ({m} - v_present))"
+        )
+        return (
+            f"h{n} AS (SELECT u, ('0x' || substr(md5(v::VARCHAR), 1, 8))::BIGINT AS h32 FROM {n}),\n"
+            f"bt{n} AS (SELECT u, h32 >> {tail_bits} AS bucket, h32 & {(1 << tail_bits) - 1} AS tail FROM h{n}),\n"
+            f"rr{n} AS (SELECT u, bucket, {rho_case} AS r FROM bt{n}),\n"
+            f"regs{n} AS (SELECT u, bucket, MAX(r) AS rho FROM rr{n} GROUP BY u, bucket),\n"
+            f"a{n} AS (SELECT u, SUM(POWER(2.0, -rho)) AS s_present, COUNT(*) AS v_present FROM regs{n} GROUP BY u),\n"
+            f"e{n} AS (SELECT u, CASE WHEN {raw} <= 2.5 * {m} AND ({m} - v_present) > 0 "
+            f"THEN {float(m)!r} * ln({float(m)!r} / ({m} - v_present)) ELSE {raw} END AS est FROM a{n})"
+        )
+
+    return f"""
+WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)},
+{_VERTS_SQL.strip()},
+ball0 AS (SELECT id AS u, id AS v FROM verts),
+ball1 AS MATERIALIZED (SELECT u, v FROM ball0 UNION SELECT src_id, dst_id FROM edges),
+ball2 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+  SELECT u, v FROM ball1
+  UNION ALL SELECT ball1.u, e.dst_id FROM ball1 JOIN edges e ON ball1.v = e.src_id) t),
+{chain('ball0')},
+{chain('ball1')},
+{chain('ball2')},
+fin AS (SELECT e0.u AS id, e0.est AS b0, e1.est AS b1, e2.est AS b2,
+  0.0 + 1.0 * (e1.est - e0.est) + 2.0 * (e2.est - e1.est) AS sd
+  FROM eball0 e0 JOIN eball1 e1 ON e0.u = e1.u JOIN eball2 e2 ON e0.u = e2.u)
+SELECT id, ROUND(b2, {round_to}) AS reached_r, ROUND(sd, {round_to}) AS sum_dist_r,
+  ROUND(CASE WHEN sd > 0 THEN (b2 - b0) / sd ELSE 0.0 END, {round_to}) AS closeness_r
+FROM fin"""
+
+
 ORACLE_SQL = {
     "q_modularity": _MODULARITY_SQL,
     "q_louvain1": _LOUVAIN1_SQL,
     "q_betweenness4": _betweenness_sql((0, 1, 2, 3), 3),
+    "q_closeness2": _closeness2_sql(6),
     "q_linkpred_topk": _linkpred_sql(100),
     "q_dup_spans": _DUP_SPANS_SQL,
     "q_harmonic2": _harmonic2_sql(),

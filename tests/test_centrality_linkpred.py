@@ -165,3 +165,35 @@ def test_hyperanf_effective_diameter_cycle(spark):
     d_eff = effective_diameter(v, e, q=0.9, max_radius=n + 2, p=8)
     # exact value: N(r)=n(r+1) -> target 0.9n^2 at r = 0.9n - 1 = 35
     assert abs(d_eff - (0.9 * n - 1)) < 2.5
+
+
+def test_hyperball_closeness_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.graph.hyperball import hyperball_closeness
+
+    # star out-edges from 0 plus a chain; vertices 1-4 and 9 are sinks
+    # (out-degree 0)
+    sinks = {1, 2, 3, 4, 9}
+    pairs = [(0, i) for i in range(1, 6)] + [(5, 6), (6, 7), (7, 8), (8, 9)]
+    e = spark.createDataFrame(pairs, "src_id long, dst_id long")
+    v = e.select(F.col("src_id").alias("id")).union(e.select("dst_id")).distinct()
+    r1 = {
+        r.id: (r.reached, r.sum_dist, r.closeness)
+        for r in hyperball_closeness(v, e, max_radius=6, rel_tol=-1.0).collect()
+    }
+    # sinks reach nothing: closeness exactly 0
+    for s in sinks:
+        assert r1[s][1] == 0.0 and r1[s][2] == 0.0
+    # every vertex reaching something has positive sum_dist and closeness in (0, 1]
+    for i, (reached, sd, c) in r1.items():
+        if i not in sinks:
+            assert sd > 0 and 0 < c <= 1.0 + 1e-9, (i, r1[i])
+    # deterministic under repartitioning
+    r2 = {
+        r.id: (r.reached, r.sum_dist, r.closeness)
+        for r in hyperball_closeness(
+            v.repartition(5), e.repartition(3), max_radius=6, rel_tol=-1.0
+        ).collect()
+    }
+    assert r1 == r2
