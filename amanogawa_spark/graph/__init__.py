@@ -13,6 +13,7 @@ from amanogawa_spark.graph.triangles import (
     triangle_count,
 )
 from amanogawa_spark.graph.community import louvain, modularity
+from amanogawa_spark.graph.mis import luby_mis
 from amanogawa_spark.graph.scc import strongly_connected_components
 from amanogawa_spark.graph.walks import random_walks
 
@@ -27,6 +28,7 @@ __all__ = [
     "connected_components_minlabel",
     "label_propagation",
     "louvain",
+    "luby_mis",
     "modularity",
     "clustering_coefficient",
     "k_truss",

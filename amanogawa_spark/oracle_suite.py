@@ -1448,6 +1448,20 @@ def q_closeness2(spark, sf_dir):
     )
 
 
+def q_mis1(spark, sf_dir):
+    """One Luby MIS round on the derived graph: the vertices whose
+    deterministic portable priority (md5(seed:round:id) || lpad(id))
+    strictly beats every neighbour's. The per-round kernel of
+    :func:`~amanogawa_spark.graph.mis.luby_mis`; full-fixpoint
+    independence + maximality are pinned in tests/test_mis.py."""
+    from amanogawa_spark.graph.mis import mis_round_winners
+    from amanogawa_spark.graph.components import _symmetrize
+
+    e = derived_edges(spark, sf_dir)
+    v = derived_vertices(spark, sf_dir)
+    return mis_round_winners(v, _symmetrize(e), seed=0, round_no=0)
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1496,6 +1510,7 @@ QUERIES = {
     "q_louvain1": q_louvain1,
     "q_betweenness4": q_betweenness4,
     "q_closeness2": q_closeness2,
+    "q_mis1": q_mis1,
     # -- anchors: re-confirm the §2-critical operators from round 2 --
     "q_pagerank5": q_pagerank5,
     "q_cc_minlabel8": q_cc_minlabel8,
@@ -2227,7 +2242,31 @@ SELECT id, ROUND(b2, {round_to}) AS reached_r, ROUND(sd, {round_to}) AS sum_dist
 FROM fin"""
 
 
+_MIS1_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+{_VERTS_SQL.strip()},
+sym AS (
+  SELECT src_id AS u, dst_id AS v FROM edges
+  UNION
+  SELECT dst_id AS u, src_id AS v FROM edges
+),
+pri AS (
+  SELECT id,
+    md5('0:0:' || CAST(id AS VARCHAR)) || lpad(CAST(id AS VARCHAR), 12, '0') AS pri
+  FROM verts
+),
+nbr AS (
+  SELECT s.v AS id, MIN(p.pri) AS nbr_min
+  FROM sym s JOIN pri p ON s.u = p.id
+  GROUP BY s.v
+)
+SELECT pri.id, pri.pri
+FROM pri LEFT JOIN nbr ON pri.id = nbr.id
+WHERE nbr.nbr_min IS NULL OR pri.pri < nbr.nbr_min"""
+
+
 ORACLE_SQL = {
+    "q_mis1": _MIS1_SQL,
     "q_modularity": _MODULARITY_SQL,
     "q_louvain1": _LOUVAIN1_SQL,
     "q_betweenness4": _betweenness_sql((0, 1, 2, 3), 3),
