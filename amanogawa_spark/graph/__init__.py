@@ -12,6 +12,7 @@ from amanogawa_spark.graph.triangles import (
     k_truss,
     triangle_count,
 )
+from amanogawa_spark.graph.cocitation import bibliographic_coupling, cocitation
 from amanogawa_spark.graph.community import louvain, modularity
 from amanogawa_spark.graph.mis import luby_mis
 from amanogawa_spark.graph.scc import strongly_connected_components
@@ -22,6 +23,8 @@ __all__ = [
     "build_graph",
     "build_vertices",
     "degrees",
+    "bibliographic_coupling",
+    "cocitation",
     "pagerank",
     "katz_centrality",
     "connected_components",

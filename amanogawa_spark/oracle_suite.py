@@ -1462,6 +1462,28 @@ def q_mis1(spark, sf_dir):
     return mis_round_winners(v, _symmetrize(e), seed=0, round_no=0)
 
 
+def q_cocitation(spark, sf_dir):
+    """Top-200 co-cited page pairs (≥2 distinct citing pages, citing
+    out-degree capped at 50 — the quadratic-blowup guard) on the derived
+    graph. :func:`~amanogawa_spark.graph.cocitation.cocitation`."""
+    from amanogawa_spark.graph.cocitation import cocitation
+
+    return cocitation(
+        derived_edges(spark, sf_dir), min_count=2, max_out_degree=50, k=200
+    )
+
+
+def q_bibcoupling(spark, sf_dir):
+    """Top-200 bibliographically-coupled pairs (≥2 shared targets, target
+    in-degree capped at 50).
+    :func:`~amanogawa_spark.graph.cocitation.bibliographic_coupling`."""
+    from amanogawa_spark.graph.cocitation import bibliographic_coupling
+
+    return bibliographic_coupling(
+        derived_edges(spark, sf_dir), min_count=2, max_in_degree=50, k=200
+    )
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1511,6 +1533,8 @@ QUERIES = {
     "q_betweenness4": q_betweenness4,
     "q_closeness2": q_closeness2,
     "q_mis1": q_mis1,
+    "q_cocitation": q_cocitation,
+    "q_bibcoupling": q_bibcoupling,
     # -- anchors: re-confirm the §2-critical operators from round 2 --
     "q_pagerank5": q_pagerank5,
     "q_cc_minlabel8": q_cc_minlabel8,
@@ -2265,8 +2289,29 @@ FROM pri LEFT JOIN nbr ON pri.id = nbr.id
 WHERE nbr.nbr_min IS NULL OR pri.pri < nbr.nbr_min"""
 
 
+def _paired_through_sql(pivot: str, other: str, cap: int, min_count: int, k: int, cname: str) -> str:
+    return f"""
+WITH {_EDGES_SQL.strip()},
+kept AS (
+  SELECT {pivot} FROM edges GROUP BY {pivot} HAVING COUNT(*) <= {cap}
+),
+e AS (
+  SELECT edges.{pivot} AS p, edges.{other} AS o FROM edges JOIN kept USING ({pivot})
+),
+pairs AS (
+  SELECT a.o AS id_a, b.o AS id_b, COUNT(*) AS {cname}
+  FROM e a JOIN e b ON a.p = b.p AND a.o < b.o
+  GROUP BY a.o, b.o
+  HAVING COUNT(*) >= {min_count}
+)
+SELECT id_a, id_b, {cname} FROM pairs
+ORDER BY {cname} DESC, id_a ASC, id_b ASC LIMIT {k}"""
+
+
 ORACLE_SQL = {
     "q_mis1": _MIS1_SQL,
+    "q_cocitation": _paired_through_sql("src_id", "dst_id", 50, 2, 200, "cocite"),
+    "q_bibcoupling": _paired_through_sql("dst_id", "src_id", 50, 2, 200, "coupling"),
     "q_modularity": _MODULARITY_SQL,
     "q_louvain1": _LOUVAIN1_SQL,
     "q_betweenness4": _betweenness_sql((0, 1, 2, 3), 3),
