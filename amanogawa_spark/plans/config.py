@@ -109,6 +109,14 @@ def _source_fn(spec: dict, base_dir: str):
         return lambda spark: spark.read.parquet(path)
     if fmt_type == "orc":
         return lambda spark: spark.read.orc(path)
+    if fmt_type in ("warc", "warc.gz"):
+        from amanogawa_spark.sources.warc import read_warc, warc_pages
+
+        if fmt.get("pages", True):  # input_hint pages shape by default
+            return lambda spark: warc_pages(spark, path)
+        return lambda spark: read_warc(
+            spark, path, record_types=tuple(fmt.get("record_types", ["response"]))
+        )
     raise ValueError(f"unsupported source format: {fmt_type!r}")
 
 
