@@ -16,6 +16,7 @@ from amanogawa_spark.graph.cocitation import bibliographic_coupling, cocitation
 from amanogawa_spark.graph.community import louvain, modularity
 from amanogawa_spark.graph.mis import luby_mis
 from amanogawa_spark.graph.scc import strongly_connected_components
+from amanogawa_spark.graph.sssp import bfs_levels, shortest_paths
 from amanogawa_spark.graph.walks import random_walks
 
 __all__ = [
@@ -36,6 +37,8 @@ __all__ = [
     "clustering_coefficient",
     "k_truss",
     "strongly_connected_components",
+    "shortest_paths",
+    "bfs_levels",
     "random_walks",
     "triangle_count",
 ]

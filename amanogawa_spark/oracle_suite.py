@@ -1318,6 +1318,49 @@ def q_linkpred_topk(spark, sf_dir):
     )
 
 
+def q_sssp3(spark, sf_dir):
+    """Bounded-round multi-source Bellman-Ford (3 relaxation rounds ==
+    exact min over paths of ≤ 3 edges) from seeds {0,1,2,3} on the derived
+    digraph with deterministic integer-valued weights
+    ``1 + (src*31 + dst) % 5`` — every dist is a small-integer double, so
+    the min/sum arithmetic is engine-exact with no rounding."""
+    from amanogawa_spark.graph.sssp import shortest_paths
+
+    e = derived_edges(spark, sf_dir).withColumn(
+        "w",
+        (F.lit(1) + (F.col("src_id") * 31 + F.col("dst_id")) % 5).cast("double"),
+    )
+    return shortest_paths(e, sources=[0, 1, 2, 3], weight="w", max_rounds=3)
+
+
+def _sssp_sql(rounds: int = 3, nsrc: int = 4) -> str:
+    """Unrolled synchronous Bellman-Ford: round k's table = min over
+    paths of ≤ k edges — provably equal to the Spark loop's
+    frontier-relaxation state after k rounds (each candidate corresponds
+    to a path; each ≤k-edge path is relaxed by round k)."""
+    vals = ", ".join(f"({i})" for i in range(nsrc))
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        "wed AS MATERIALIZED (SELECT src_id, dst_id, "
+        "CAST(1 + (src_id*31 + dst_id) % 5 AS DOUBLE) AS w FROM edges)",
+        "r0 AS MATERIALIZED (SELECT CAST(source AS BIGINT) AS source, "
+        f"CAST(source AS BIGINT) AS id, 0.0 AS dist FROM (VALUES {vals}) s(source))",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT source, id, MIN(dist) AS dist FROM ("
+            f"SELECT source, id, dist FROM r{k - 1} UNION ALL "
+            f"SELECT p.source, e.dst_id AS id, p.dist + e.w AS dist "
+            f"FROM r{k - 1} p JOIN wed e ON p.id = e.src_id) GROUP BY source, id)"
+        )
+    return (
+        parts[0]
+        + ",\n"
+        + ",\n".join(parts[1:])
+        + f"\nSELECT source, id, dist FROM r{rounds}"
+    )
+
+
 def q_harmonic2(spark, sf_dir):
     """Exact truncated harmonic centrality, radius 2, on the derived
     digraph. d ∈ {1, 2} keeps every 1/d term an exact binary rational, so
@@ -1535,6 +1578,7 @@ QUERIES = {
     "q_mis1": q_mis1,
     "q_cocitation": q_cocitation,
     "q_bibcoupling": q_bibcoupling,
+    "q_sssp3": q_sssp3,
     # -- anchors: re-confirm the §2-critical operators from round 2 --
     "q_pagerank5": q_pagerank5,
     "q_cc_minlabel8": q_cc_minlabel8,
@@ -2312,6 +2356,7 @@ ORACLE_SQL = {
     "q_mis1": _MIS1_SQL,
     "q_cocitation": _paired_through_sql("src_id", "dst_id", 50, 2, 200, "cocite"),
     "q_bibcoupling": _paired_through_sql("dst_id", "src_id", 50, 2, 200, "coupling"),
+    "q_sssp3": _sssp_sql(3, 4),
     "q_modularity": _MODULARITY_SQL,
     "q_louvain1": _LOUVAIN1_SQL,
     "q_betweenness4": _betweenness_sql((0, 1, 2, 3), 3),
