@@ -57,6 +57,18 @@ def stratified_sample(
     )
 
 
+def _coin32(key_cols: list[str], hash: str, seed: int) -> Column:
+    """Deterministic 32-bit per-row coin in [0, 2^32)."""
+    if hash == "md5":
+        strs = [F.col(c).cast("string") for c in key_cols]
+        return F.conv(
+            F.substring(F.md5(F.encode(F.concat_ws("~", *strs), "UTF-8")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+    return F.xxhash64(*key_cols, F.lit(seed)).bitwiseAND(F.lit((1 << 32) - 1))
+
+
 def hash_sample(
     df: DataFrame,
     p: float,
@@ -66,13 +78,177 @@ def hash_sample(
 ) -> DataFrame:
     """Bernoulli(p) sample with a deterministic per-row coin — a pure
     filter (no shuffle, pushdown-friendly), reproducible anywhere."""
-    if hash == "md5":
-        strs = [F.col(c).cast("string") for c in key_cols]
-        h32 = F.conv(
-            F.substring(F.md5(F.encode(F.concat_ws("~", *strs), "UTF-8")), 1, 8),
-            16,
-            10,
-        ).cast("long")
-    else:
-        h32 = F.xxhash64(*key_cols, F.lit(seed)).bitwiseAND(F.lit((1 << 32) - 1))
-    return df.filter(h32 < int(p * (1 << 32)))
+    return df.filter(_coin32(key_cols, hash, seed) < int(p * (1 << 32)))
+
+
+def _apportion(weights: dict[str, float], total: int) -> dict[str, int]:
+    """Largest-remainder apportionment of ``total`` by ``weights`` —
+    deterministic (remainder desc, group name asc tiebreak), sums to
+    ``total`` exactly when weights sum to 1."""
+    wsum = sum(weights.values())
+    quotas = {g: total * w / wsum for g, w in weights.items()}
+    counts = {g: int(q) for g, q in quotas.items()}
+    leftover = total - sum(counts.values())
+    by_rem = sorted(quotas, key=lambda g: (-(quotas[g] - counts[g]), g))
+    for g in by_rem[:leftover]:
+        counts[g] += 1
+    return counts
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    total: int | None = None,
+    key_cols: list[str] | None = None,
+    hash: str = "xxhash64",
+    seed: int = 7,
+) -> DataFrame:
+    """Domain/language mixture control — THE data-mixing primitive for
+    training-corpus assembly (rebalance a crawl to target proportions).
+
+    Two modes, both deterministic functions of the data:
+
+    - ``total=None``: ``weights`` are per-group Bernoulli keep RATES
+      ("keep 30% of en, 5% of each hub domain") — a zero-shuffle filter,
+      the per-group threshold is a literal map lookup. Groups absent
+      from ``weights`` are dropped.
+    - ``total=N``: ``weights`` are target PROPORTIONS; per-group counts
+      come from largest-remainder apportionment of N (driver-side over
+      the small weights dict), then exactly min(n_g, |g|) rows per group
+      by hash order (one hash shuffle + bounded-k window — same plan as
+      :func:`stratified_sample`).
+
+    At 100 TB the rates mode is the default (no shuffle, AQE-free);
+    the exact-count mode is for fixed-size eval/calibration sets.
+    """
+    key_cols = key_cols or [group_col]
+    if total is None:
+        thresh = F.create_map(
+            *[
+                lit
+                for g, p in sorted(weights.items())
+                for lit in (F.lit(g), F.lit(int(p * (1 << 32))))
+            ]
+        )[F.col(group_col)]
+        return df.filter(_coin32(key_cols, hash, seed) < thresh)
+    counts = _apportion(weights, total)
+    cap = F.create_map(
+        *[lit for g, n in sorted(counts.items()) for lit in (F.lit(g), F.lit(n))]
+    )[F.col(group_col)]
+    h = _row_hash(key_cols, hash, seed)
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def dsir_logratios(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    hash: str = "xxhash64",
+    tokenizer: str = "whitespace",
+) -> DataFrame:
+    """(id, n_tokens, logratio) — DSIR-style importance weights.
+
+    Data Selection via Importance Resampling (Xie et al. 2023, public):
+    score each corpus document by the mean log-likelihood ratio of a
+    TARGET unigram model vs the CORPUS unigram model over hashed token
+    buckets (Laplace-smoothed: p(b) = (cnt_b + 1) / (T + B)). Documents
+    that look like the target distribution score high; pair with
+    :func:`importance_resample` to draw the training subset.
+
+    Scale shape: two map-side-combined aggregates build the two LMs —
+    each at most ``num_buckets`` rows, so the per-doc scoring join
+    BROADCASTS the ratio table (no shuffle of the corpus beyond its own
+    (id, bucket) aggregate). The target set is typically tiny (an eval
+    distribution sample); the corpus never materializes pairs.
+    """
+    from amanogawa_spark.operators.bow import term_counts
+
+    def bucket(term: Column) -> Column:
+        if hash == "md5":
+            return F.conv(
+                F.substring(F.md5(F.encode(term, "UTF-8")), 1, 8), 16, 10
+            ).cast("long") % num_buckets
+        return F.pmod(F.xxhash64(term), F.lit(num_buckets))
+
+    doc_b = (
+        term_counts(corpus, id_col, text_col, tokenizer)
+        .select("id", bucket(F.col("term")).alias("b"), "cnt")
+        .groupBy("id", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    lm_c = doc_b.groupBy("b").agg(F.sum("cnt").alias("cc"))
+    lm_t = (
+        term_counts(target, id_col, text_col, tokenizer)
+        .select(bucket(F.col("term")).alias("b"), "cnt")
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("ct"))
+    )
+    tot_c = lm_c.agg(F.sum("cc").alias("tc"))
+    tot_t = lm_t.agg(F.sum("ct").alias("tt"))
+    ratios = (
+        lm_c.join(lm_t, "b", "full_outer")
+        .crossJoin(F.broadcast(tot_c))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0.0)) + 1.0)
+                    / (F.col("tt") + F.lit(float(num_buckets)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cc"), F.lit(0.0)) + 1.0)
+                    / (F.col("tc") + F.lit(float(num_buckets)))
+                )
+            ).alias("logr"),
+        )
+    )
+    return (
+        doc_b.join(F.broadcast(ratios), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            (F.sum(F.col("cnt") * F.col("logr")) / F.sum("cnt")).alias("logratio"),
+        )
+    )
+
+
+def importance_resample(
+    scored: DataFrame,
+    k: int,
+    weight_col: str = "logratio",
+    key_cols: list[str] | None = None,
+    temperature: float = 1.0,
+    hash: str = "xxhash64",
+    seed: int = 7,
+) -> DataFrame:
+    """Gumbel top-k: a deterministic sample of ``k`` rows WITHOUT
+    replacement with P(row) ∝ exp(weight/temperature).
+
+    key = w/T + Gumbel(0,1) with the Gumbel noise derived from the
+    per-row hash coin (u = (h+0.5)/2^32, g = −log(−log u)) — no RNG
+    state, so the drawn subset is identical across partitionings and
+    reruns. Global top-k is a bounded TakeOrderedAndProject (k rows per
+    partition, then k at the driver) — no full sort, no shuffle of the
+    losers. The key is rounded to 8 decimals (with a key-column
+    tiebreak) so the selection is stable across engines for the oracle.
+    """
+    key_cols = key_cols or ["id"]
+    u = (_coin32(key_cols, hash, seed) + F.lit(0.5)) / F.lit(float(1 << 32))
+    gumbel = -F.log(-F.log(u))
+    key = F.round(F.col(weight_col) / temperature + gumbel, 8)
+    return (
+        scored.withColumn("_gkey", key)
+        .orderBy(F.col("_gkey").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(k)
+    )

@@ -1361,6 +1361,83 @@ def _sssp_sql(rounds: int = 3, nsrc: int = 4) -> str:
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Rates-mode mixture sampling (the data-mixing primitive): keep 50%
+    of en / 25% of de / 10% of zh documents by deterministic md5 coin —
+    a zero-shuffle filter; the exact kept set value-checks."""
+    from amanogawa_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.25, "zh": 0.1},
+        key_cols=["doc_id"],
+        hash="md5",
+    ).select("doc_id", "lang")
+
+
+def q_dsir_logratio(spark, sf_dir):
+    """DSIR importance weights: target = en docs with doc_id % 5 = 0,
+    corpus = all documents; 512 md5-hashed buckets, Laplace smoothing.
+    Mean bucket log-likelihood-ratio per doc, rounded to 8."""
+    from amanogawa_spark.operators.sampling import dsir_logratios
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+    return dsir_logratios(docs, target, num_buckets=512, hash="md5").select(
+        "id", "n_tokens", F.round("logratio", 8).alias("logratio_r")
+    )
+
+
+def q_gumbel_topk(spark, sf_dir):
+    """Gumbel top-40 importance resample with deterministic md5 noise over
+    integer-valued weights (doc_id % 7)/2 — the exact drawn subset
+    value-checks on both engines."""
+    from amanogawa_spark.operators.sampling import importance_resample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 7).cast("double") / 2.0
+    ).toDF("doc_id", "w")
+    return importance_resample(
+        docs, k=40, weight_col="w", key_cols=["doc_id"], hash="md5"
+    ).select("doc_id", "w")
+
+
+_DSIR_SQL = f"""
+WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents),
+tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base),
+tc AS (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok
+  WHERE length(term) > 0 GROUP BY id, term),
+db AS (SELECT id, ('0x' || substr(md5(term), 1, 8))::BIGINT % 512 AS b,
+  SUM(cnt) AS cnt FROM tc GROUP BY id, b),
+lmc AS (SELECT b, SUM(cnt) AS cc FROM db GROUP BY b),
+tbase AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents
+  WHERE lang = 'en' AND doc_id % 5 = 0),
+ttok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM tbase),
+ttc AS (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM ttok
+  WHERE length(term) > 0 GROUP BY id, term),
+lmt AS (SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT % 512 AS b,
+  SUM(cnt) AS ct FROM ttc GROUP BY b),
+tot AS (SELECT (SELECT SUM(cc) FROM lmc) AS tcc, (SELECT SUM(ct) FROM lmt) AS ttt),
+ratios AS (SELECT b,
+  ln((COALESCE(ct, 0) + 1.0) / (ttt + 512.0))
+  - ln((COALESCE(cc, 0) + 1.0) / (tcc + 512.0)) AS logr
+  FROM lmc FULL OUTER JOIN lmt USING (b) CROSS JOIN tot)
+SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+  ROUND(SUM(cnt * logr) / SUM(cnt), 8) AS logratio_r
+FROM db JOIN ratios USING (b) GROUP BY id"""
+
+_GUMBEL_SQL = """
+SELECT doc_id, w FROM (
+  SELECT doc_id, CAST(doc_id % 7 AS DOUBLE) / 2 AS w,
+    ROUND(CAST(doc_id % 7 AS DOUBLE) / 2
+      - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0)), 8) AS gkey
+  FROM documents)
+ORDER BY gkey DESC, doc_id ASC LIMIT 40"""
+
+
 def q_harmonic2(spark, sf_dir):
     """Exact truncated harmonic centrality, radius 2, on the derived
     digraph. d ∈ {1, 2} keeps every 1/d term an exact binary rational, so
@@ -1579,6 +1656,9 @@ QUERIES = {
     "q_cocitation": q_cocitation,
     "q_bibcoupling": q_bibcoupling,
     "q_sssp3": q_sssp3,
+    "q_mixture_sample": q_mixture_sample,
+    "q_dsir_logratio": q_dsir_logratio,
+    "q_gumbel_topk": q_gumbel_topk,
     # -- anchors: re-confirm the §2-critical operators from round 2 --
     "q_pagerank5": q_pagerank5,
     "q_cc_minlabel8": q_cc_minlabel8,
@@ -2357,6 +2437,15 @@ ORACLE_SQL = {
     "q_cocitation": _paired_through_sql("src_id", "dst_id", 50, 2, 200, "cocite"),
     "q_bibcoupling": _paired_through_sql("dst_id", "src_id", 50, 2, 200, "coupling"),
     "q_sssp3": _sssp_sql(3, 4),
+    "q_mixture_sample": (
+        "SELECT doc_id, lang FROM documents WHERE lang IN ('en', 'de', 'zh') "
+        "AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < CASE lang "
+        f"WHEN 'en' THEN {int(0.5 * (1 << 32))} "
+        f"WHEN 'de' THEN {int(0.25 * (1 << 32))} "
+        f"WHEN 'zh' THEN {int(0.1 * (1 << 32))} END"
+    ),
+    "q_dsir_logratio": _DSIR_SQL,
+    "q_gumbel_topk": _GUMBEL_SQL,
     "q_modularity": _MODULARITY_SQL,
     "q_louvain1": _LOUVAIN1_SQL,
     "q_betweenness4": _betweenness_sql((0, 1, 2, 3), 3),

@@ -1,0 +1,107 @@
+"""Mixture sampling + DSIR importance resampling properties."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from amanogawa_spark.operators.sampling import (
+    _apportion,
+    dsir_logratios,
+    importance_resample,
+    mixture_sample,
+)
+
+
+def test_apportion_exact_total_and_deterministic():
+    w = {"en": 0.5, "de": 0.3, "zh": 0.2}
+    c = _apportion(w, 101)
+    assert sum(c.values()) == 101
+    assert c == _apportion(w, 101)
+    # proportions within 1 of quota
+    for g, p in w.items():
+        assert abs(c[g] - 101 * p) < 1.0
+
+
+def test_mixture_exact_counts_and_invariance(spark):
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_sample(
+        df, "lang", {"en": 0.6, "de": 0.3, "zh": 0.1}, total=50, key_cols=["doc_id"]
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 30, "de": 15, "zh": 5}
+    ids = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(13),
+            "lang",
+            {"en": 0.6, "de": 0.3, "zh": 0.1},
+            total=50,
+            key_cols=["doc_id"],
+        ).collect()
+    )
+    assert ids == ids2
+
+
+def test_mixture_rates_drops_unlisted_groups(spark):
+    rows = [(i, ["en", "fr"][i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_sample(df, "lang", {"en": 1.0}, key_cols=["doc_id"]).collect()
+    assert all(r["lang"] == "en" for r in out)
+    assert len(out) == 100  # rate 1.0 keeps every en row
+
+
+def test_dsir_separates_target_like_docs(spark):
+    """Docs drawn from the target vocabulary must outscore off-target docs."""
+    target_text = "alpha beta gamma delta epsilon"
+    noise_text = "zork quux blarg frobnicate mumble"
+    corpus = [(i, target_text) for i in range(20)] + [
+        (100 + i, noise_text) for i in range(20)
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    tdf = spark.createDataFrame([(0, target_text)], "doc_id long, text string")
+    scored = {r["id"]: r["logratio"] for r in dsir_logratios(cdf, tdf).collect()}
+    assert min(scored[i] for i in range(20)) > max(
+        scored[100 + i] for i in range(20)
+    )
+
+
+def test_gumbel_topk_deterministic_and_weight_biased(spark):
+    rows = [(i, 5.0 if i < 50 else 0.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(
+        r["doc_id"]
+        for r in importance_resample(df, 100, "w", ["doc_id"]).collect()
+    )
+    again = sorted(
+        r["doc_id"]
+        for r in importance_resample(
+            df.repartition(11), 100, "w", ["doc_id"]
+        ).collect()
+    )
+    assert got == again
+    # weight 5 vs 0 → exp(5) ≈ 148x more likely; nearly all 50 heavy rows drawn
+    heavy = sum(1 for i in got if i < 50)
+    assert heavy >= 45
+
+
+def test_gumbel_key_matches_python_mirror(spark):
+    import hashlib
+
+    rows = [(i, float(i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        r["doc_id"]
+        for r in importance_resample(df, 25, "w", ["doc_id"], hash="md5").collect()
+    ]
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2**32
+        return round(w - math.log(-math.log(u)), 8)
+
+    expect = [i for i, _ in sorted(rows, key=lambda r: (-key(*r), r[0]))[:25]]
+    assert got == expect
