@@ -1428,6 +1428,68 @@ SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
   ROUND(SUM(cnt * logr) / SUM(cnt), 8) AS logratio_r
 FROM db JOIN ratios USING (b) GROUP BY id"""
 
+def _pq_books(m: int = 8, k: int = 16, d_sub: int = 8) -> list:
+    """Deterministic dyadic codebooks (denominator 8) — every distance
+    computed against them is exact binary arithmetic, so the oracle's
+    summation order can't matter."""
+    return [
+        [
+            [((s * 31 + c * 17 + j * 7) % 19 - 9) / 8.0 for j in range(d_sub)]
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def q_pq_adc(spark, sf_dir):
+    """Product-quantization ADC top-5: encode 200 embeddings against the
+    deterministic dyadic codebooks (m=8 subspaces × 16 codes), then score
+    4 dyadic query vectors via the driver-side lookup table. Query-side
+    LUT entries and ADC sums are exact dyadic rationals (no float
+    rounding at all); corpus-side argmin relies on the same
+    sequential-fold parity as q_ann_topk."""
+    from amanogawa_spark.operators.pq import pq_adc_topk, pq_encode
+
+    books = _pq_books()
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    enc = pq_encode(emb, books)
+    queries = [
+        (qi, [((qi * 13 + j * 5) % 17 - 8) / 4.0 for j in range(64)])
+        for qi in range(4)
+    ]
+    return pq_adc_topk(enc, queries, books, k=5).select(
+        "query_id", "id", F.round("adist", 6).alias("adist_r"), "rn"
+    )
+
+
+_PQ_ADC_SQL = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
+grid AS (SELECT s, c,
+  list_transform(range(8), j -> CAST((s*31 + c*17 + j*7) % 19 - 9 AS DOUBLE) / 8.0) AS cb
+  FROM range(8) t(s), range(16) u(c)),
+subs AS (SELECT id, s, (v)[s*8+1 : s*8+8] AS sv FROM v, range(8) t(s)),
+dists AS (SELECT id, s, c,
+  list_inner_product(list_transform(range(8), j -> sv[j+1] - cb[j+1]),
+                     list_transform(range(8), j -> sv[j+1] - cb[j+1])) AS d
+  FROM subs JOIN grid USING (s)),
+best AS (SELECT id, s, c AS code FROM (
+  SELECT id, s, c, ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY d ASC, c ASC) AS rn
+  FROM dists) WHERE rn = 1),
+qd AS (SELECT qi AS query_id, s, c,
+  list_inner_product(
+    list_transform(range(8), j -> CAST((qi*13 + (s*8+j)*5) % 17 - 8 AS DOUBLE)/4.0
+                                  - CAST((s*31 + c*17 + j*7) % 19 - 9 AS DOUBLE)/8.0),
+    list_transform(range(8), j -> CAST((qi*13 + (s*8+j)*5) % 17 - 8 AS DOUBLE)/4.0
+                                  - CAST((s*31 + c*17 + j*7) % 19 - 9 AS DOUBLE)/8.0)) AS qdist
+  FROM range(4) a(qi), range(8) t(s), range(16) u(c)),
+adc AS (SELECT q.query_id, b.id, SUM(q.qdist) AS adist
+  FROM best b JOIN qd q ON b.s = q.s AND b.code = q.c GROUP BY q.query_id, b.id)
+SELECT query_id, id, ROUND(adist, 6) AS adist_r, rn FROM (
+  SELECT query_id, id, adist,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist ASC, id ASC) AS rn
+  FROM adc) WHERE rn <= 5"""
+
+
 _GUMBEL_SQL = """
 SELECT doc_id, w FROM (
   SELECT doc_id, CAST(doc_id % 7 AS DOUBLE) / 2 AS w,
@@ -1659,6 +1721,7 @@ QUERIES = {
     "q_mixture_sample": q_mixture_sample,
     "q_dsir_logratio": q_dsir_logratio,
     "q_gumbel_topk": q_gumbel_topk,
+    "q_pq_adc": q_pq_adc,
     # -- anchors: re-confirm the §2-critical operators from round 2 --
     "q_pagerank5": q_pagerank5,
     "q_cc_minlabel8": q_cc_minlabel8,
@@ -2446,6 +2509,7 @@ ORACLE_SQL = {
     ),
     "q_dsir_logratio": _DSIR_SQL,
     "q_gumbel_topk": _GUMBEL_SQL,
+    "q_pq_adc": _PQ_ADC_SQL,
     "q_modularity": _MODULARITY_SQL,
     "q_louvain1": _LOUVAIN1_SQL,
     "q_betweenness4": _betweenness_sql((0, 1, 2, 3), 3),

@@ -227,6 +227,28 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     results["louvain_2level"] = _timed(_louvain)
     results["louvain_modularity_metric"] = round(comm["q"], 4)
 
+    # --- round-3 operator probes -------------------------------------------
+    # multi-source BFS over the bench link graph (frontier relaxation to
+    # fixpoint — settles in ~diameter rounds)
+    from amanogawa_spark.graph.sssp import bfs_levels
+
+    seed_ids = [r["id"] for r in vertices.orderBy("id").limit(8).collect()]
+    results["sssp_bfs8"] = _timed(lambda: bfs_levels(edges, seed_ids).count())
+
+    # DSIR importance scoring over the distributed scale corpus (~100k docs
+    # at sf0.1): two LM aggregates + one broadcast-ratio scoring join —
+    # the corpus shuffles only its own (id, bucket) aggregate
+    from amanogawa_spark.operators.sampling import dsir_logratios
+
+    def _dsir_scale():
+        docs = distributed_pages(spark, n_scale).select(
+            F.monotonically_increasing_id().alias("doc_id"), "text"
+        )
+        target = docs.filter(F.col("doc_id") % 97 == 0)
+        dsir_logratios(docs, target, num_buckets=4096).count()
+
+    results["dsir_scale"] = _timed(_dsir_scale)
+
     pages.unpersist()
     return results
 
