@@ -24,6 +24,11 @@ from pyspark.sql import types as T
 
 # anchor hrefs: double- or single-quoted
 _HREF_RE = re.compile(rb'<a\s+[^>]*?href=["\']([^"\']+)["\']', re.IGNORECASE)
+# full anchor element: href + inner markup up to the closing </a>
+_ANCHOR_RE = re.compile(
+    rb'<a\s+[^>]*?href=["\']([^"\']+)["\'][^>]*>(.*?)</a\s*>',
+    re.IGNORECASE | re.DOTALL,
+)
 # the fixture's known body block; fall back to tag-stripping
 _BODY_RE = re.compile(rb'<p id="body">(.*?)</p>', re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
@@ -55,3 +60,42 @@ def extract_links(html: pd.Series) -> pd.Series:
 def extract_text(html: pd.Series) -> pd.Series:
     """binary html → extracted body text, byte-identical to the fixture oracle."""
     return html.map(_text_of)
+
+
+def _anchors_of(html_bytes: bytes | None) -> list[dict]:
+    """All ``<a href=...>inner</a>`` elements as (href, anchor-text) pairs.
+
+    The anchor text is the element's inner markup with nested tags stripped,
+    HTML entities unescaped, and whitespace collapsed — what a search engine
+    indexes as the link's label. Order-preserving; anchors without an href
+    attribute are skipped (they carry no edge).
+    """
+    if html_bytes is None:
+        return []
+    out = []
+    for href, inner in _ANCHOR_RE.findall(html_bytes):
+        label = _TAG_RE.sub(" ", inner.decode("utf-8", "replace"))
+        label = " ".join(_htmlmod.unescape(label).split())
+        out.append({"href": href.decode("utf-8", "replace"), "anchor": label})
+    return out
+
+
+ANCHOR_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("href", T.StringType()),
+            T.StructField("anchor", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(ANCHOR_SCHEMA)
+def extract_anchors(html: pd.Series) -> pd.Series:
+    """binary html → array<struct<href,anchor>>: each link with its label.
+
+    Pure per-row like :func:`extract_links` (byte-stable across partitionings
+    and executors); Arrow-batched, map-only — at 100 TB this rides the scan
+    stage with no shuffle.
+    """
+    return html.map(_anchors_of)

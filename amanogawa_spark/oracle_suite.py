@@ -1666,6 +1666,27 @@ def q_bibcoupling(spark, sf_dir):
     )
 
 
+def q_anchor_terms(spark, sf_dir):
+    """Anchor-text aggregation (graph/anchors.py): top-3 anchor terms per
+    target over the derived labeled edge table — each lineitem is a link
+    src=orderkey%M → dst=partkey%M whose anchor text is the part's p_name
+    (multiplicity kept: every link is a vote)."""
+    from amanogawa_spark.graph.anchors import anchor_top_terms
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    labeled = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            (F.col("l_orderkey") % M).alias("src_id"),
+            (F.col("l_partkey") % M).alias("dst_id"),
+            F.col("p_name").alias("anchor"),
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+    )
+    return anchor_top_terms(labeled, k=3)
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1775,6 +1796,9 @@ QUERIES = {
     "q_domain_edges": q_domain_edges,
     "q_pagerank_weighted3": q_pagerank_weighted3,
     "q_clustering_coeff": q_clustering_coeff,
+    # -- new this session (positions >50: driver rows land in round 4's cap;
+    #    value-checked every round by tests/test_all_oracles.py regardless) --
+    "q_anchor_terms": q_anchor_terms,
 }
 
 
@@ -2952,5 +2976,16 @@ FROM n3""",
         "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM sims) "
         "SELECT query_id, neighbor_id, ROUND(CAST(cosine AS DOUBLE), 6) AS cosine_r, rn "
         "FROM ranked WHERE rn <= 3"
+    ),
+    "q_anchor_terms": (
+        f"WITH labeled AS (SELECT l_orderkey % {M} AS src_id, l_partkey % {M} AS dst_id, "
+        "p_name AS anchor FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE l_orderkey % {M} <> l_partkey % {M}), "
+        "terms AS (SELECT dst_id, term, COUNT(*) AS cnt FROM ("
+        "SELECT dst_id, unnest(string_split(lower(trim(regexp_replace(anchor, '\\s+', ' ', 'g'))), ' ')) AS term "
+        "FROM labeled) WHERE length(term) > 0 GROUP BY dst_id, term), "
+        "ranked AS (SELECT dst_id, term, cnt, ROW_NUMBER() OVER "
+        "(PARTITION BY dst_id ORDER BY cnt DESC, term ASC) AS rank FROM terms) "
+        "SELECT dst_id, term, cnt, rank FROM ranked WHERE rank <= 3"
     ),
 }
