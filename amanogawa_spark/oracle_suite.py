@@ -1687,6 +1687,32 @@ def q_anchor_terms(spark, sf_dir):
     return anchor_top_terms(labeled, k=3)
 
 
+_BM25_QUERY_TERMS = [
+    (1, "spark"), (1, "join"), (2, "window"), (2, "hash"), (3, "merge"),
+]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (operators/retrieval.py): top-10 docs per query over a
+    bounded doc slice, Lucene-floored RSJ idf, scores rounded pre-rank."""
+    from amanogawa_spark.operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    queries = spark.createDataFrame(_BM25_QUERY_TERMS, ["query_id", "term"])
+    return bm25_scores(docs, queries, k=10)
+
+
+def q_posting_lists(spark, sf_dir):
+    """Inverted index rows over a bounded doc slice: full doc:tf postings
+    joined into an engine-portable sorted string (the fixture vocabulary is
+    ~31 terms, so every posting list is long — a strong value check; the
+    max_postings stopword guard is pinned in tests/test_retrieval.py)."""
+    from amanogawa_spark.operators.retrieval import posting_lists
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return posting_lists(docs)
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1799,6 +1825,8 @@ QUERIES = {
     # -- new this session (positions >50: driver rows land in round 4's cap;
     #    value-checked every round by tests/test_all_oracles.py regardless) --
     "q_anchor_terms": q_anchor_terms,
+    "q_bm25_topk": q_bm25_topk,
+    "q_posting_lists": q_posting_lists,
 }
 
 
@@ -2987,5 +3015,34 @@ FROM n3""",
         "ranked AS (SELECT dst_id, term, cnt, ROW_NUMBER() OVER "
         "(PARTITION BY dst_id ORDER BY cnt DESC, term ASC) AS rank FROM terms) "
         "SELECT dst_id, term, cnt, rank FROM ranked WHERE rank <= 3"
+    ),
+    "q_bm25_topk": (
+        f"WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents WHERE doc_id < 200), "
+        "tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base), "
+        "tc AS (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok "
+        "WHERE length(term) > 0 GROUP BY id, term), "
+        "dl AS (SELECT id, SUM(cnt) AS doc_len FROM tc GROUP BY id), "
+        "dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_count FROM tc GROUP BY term), "
+        "st AS (SELECT CAST(COUNT(DISTINCT id) AS DOUBLE) AS n_docs, "
+        "SUM(cnt) / COUNT(DISTINCT id) AS avgdl FROM tc), "
+        "q AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'join'), (2, 'window'), "
+        "(2, 'hash'), (3, 'merge')) AS t(query_id, term)), "
+        "sc AS (SELECT query_id, tc.id AS doc_id, ROUND(SUM("
+        "ln(1.0 + (n_docs - df_count + 0.5) / (df_count + 0.5)) * "
+        "(cnt * 2.2) / (cnt + 1.2 * (0.25 + 0.75 * doc_len / avgdl))"
+        "), 6) AS score_r FROM q JOIN dfq USING (term) CROSS JOIN st "
+        "JOIN tc USING (term) JOIN dl ON tc.id = dl.id GROUP BY query_id, tc.id), "
+        "ranked AS (SELECT query_id, doc_id, score_r, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY score_r DESC, doc_id ASC) AS rank FROM sc) "
+        "SELECT query_id, doc_id, score_r, rank FROM ranked WHERE rank <= 10"
+    ),
+    "q_posting_lists": (
+        f"WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents WHERE doc_id < 60), "
+        "tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base), "
+        "tc AS (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok "
+        "WHERE length(term) > 0 GROUP BY id, term) "
+        "SELECT term, CAST(COUNT(*) AS BIGINT) AS df_count, "
+        "string_agg(id || ':' || CAST(cnt AS BIGINT), ',' ORDER BY id ASC) AS postings "
+        "FROM tc GROUP BY term"
     ),
 }
