@@ -1,0 +1,130 @@
+"""SemDeDup: semantic deduplication via embedding clusters.
+
+The SemDeDup recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication"): cluster document embeddings
+with k-means, then inside each cluster drop all but one member of every
+ε-ball of cosine similarity — pairwise comparison happens only WITHIN a
+cluster, never across the corpus, which is what makes semantic dedup
+tractable at web scale (the within-cluster join is O(Σ|cluster|²), not
+O(n²)).
+
+Deterministic keep rule used here: a vector is dropped iff some
+*smaller-id* vector in the same cluster has cosine ≥ threshold — the
+greedy keep-first-representative sweep, order-stable on every engine and
+exactly SQL-expressible for the oracle. (The paper keeps the member with
+lowest centroid-similarity per group; that choice changes WHICH
+representative survives, not how many — swap the ordering column for it.)
+
+Scale design (100 TB):
+
+- centroid assignment broadcasts the (tiny) centroid table — the corpus
+  never shuffles for assignment;
+- the pair stage shuffles once on cid, and ``max_cluster_size`` bounds any
+  hot cluster's self-join at B² (same guard as ``cosine_topk_lsh`` /
+  ``minhash_candidates`` — a giant near-dup cluster is exactly where a
+  skew blowup hides, measured at 80M pairs/130 s unguarded in
+  BENCH/BASELINE.md §3c);
+- the drop set is a distinct projection of the dup pairs; survivors come
+  from one left-anti join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from amanogawa_spark.operators.similarity import _dot, _norm
+
+
+def assign_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    stride: int = 25,
+) -> DataFrame:
+    """(id, v, cid): nearest-centroid (cosine) assignment.
+
+    ``centroids``: (cid, cv array<double>) — feed
+    :func:`~amanogawa_spark.operators.kmeans.kmeans_centroids` output for
+    trained quality. Default: every ``stride``-th id (deterministic,
+    SQL-mirrorable). Ties break toward the smaller cid on every engine.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = (
+        centroids.select(F.col("cid").cast("long").alias("cid"), "cv")
+        if centroids is not None
+        else v.filter(F.col("id") % stride == 0).select(
+            F.col("id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    scored = v.join(F.broadcast(cents)).select(
+        "id",
+        "v",
+        "cid",
+        (_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))).alias(
+            "csim"
+        ),
+    )
+    wc = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        scored.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") == 1)
+        .select("id", "v", "cid")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    centroids: DataFrame | None = None,
+    stride: int = 25,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """(id, cid, keep): greedy within-cluster semantic dedup.
+
+    ``keep = false`` iff a smaller-id member of the same cluster sits at
+    cosine ≥ ``threshold``. Clusters larger than ``max_cluster_size`` are
+    passed through un-deduped (keep = true) rather than joined — the guard
+    trades recall inside a pathological cluster for a bounded plan; split
+    such clusters with finer centroids instead.
+    """
+    assigned = assign_clusters(
+        df, id_col=id_col, vec_col=vec_col, centroids=centroids, stride=stride
+    )
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("cid").agg(F.count("*").alias("_sz"))
+        assigned = assigned.join(sizes, "cid")
+        joinable = assigned.filter(F.col("_sz") <= max_cluster_size).drop("_sz")
+        passthrough = assigned.filter(F.col("_sz") > max_cluster_size).drop("_sz")
+    else:
+        joinable = assigned
+        passthrough = None
+
+    a = joinable.select("cid", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = joinable.select("cid", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dup_ids = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+            >= threshold
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    out = (
+        joinable.join(dup_ids.withColumn("_dup", F.lit(1)), "id", "left")
+        .select("id", "cid", F.col("_dup").isNull().alias("keep"))
+    )
+    if passthrough is not None:
+        out = out.unionByName(
+            passthrough.select("id", "cid", F.lit(True).alias("keep"))
+        )
+    return out

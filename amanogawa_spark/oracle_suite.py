@@ -1713,6 +1713,16 @@ def q_posting_lists(spark, sf_dir):
     return posting_lists(docs)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py): nearest-centroid clusters
+    (deterministic id%25 centroids) + greedy within-cluster cosine dedup at
+    0.35 — per-vector keep decision value-checked."""
+    from amanogawa_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return semdedup(emb, threshold=0.35, stride=25)
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1827,6 +1837,7 @@ QUERIES = {
     "q_anchor_terms": q_anchor_terms,
     "q_bm25_topk": q_bm25_topk,
     "q_posting_lists": q_posting_lists,
+    "q_semdedup": q_semdedup,
 }
 
 
@@ -3044,5 +3055,19 @@ FROM n3""",
         "SELECT term, CAST(COUNT(*) AS BIGINT) AS df_count, "
         "string_agg(id || ':' || CAST(cnt AS BIGINT), ',' ORDER BY id ASC) AS postings "
         "FROM tc GROUP BY term"
+    ),
+    "q_semdedup": (
+        "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), "
+        "c AS (SELECT id AS cid, v AS cv FROM v WHERE id % 25 = 0), "
+        "scored AS (SELECT v.id, c.cid, "
+        "list_inner_product(v.v, c.cv) / (sqrt(list_inner_product(v.v, v.v)) * sqrt(list_inner_product(c.cv, c.cv))) AS csim "
+        "FROM v CROSS JOIN c), "
+        "ranked AS (SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid ASC) AS crn FROM scored), "
+        "assigned AS (SELECT id, cid FROM ranked WHERE crn = 1), "
+        "dups AS (SELECT DISTINCT b.id FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id "
+        "JOIN v va ON a.id = va.id JOIN v vb ON b.id = vb.id "
+        "WHERE list_inner_product(va.v, vb.v) / (sqrt(list_inner_product(va.v, va.v)) * sqrt(list_inner_product(vb.v, vb.v))) >= 0.35) "
+        "SELECT assigned.id, cid, (dups.id IS NULL) AS keep "
+        "FROM assigned LEFT JOIN dups ON assigned.id = dups.id"
     ),
 }
