@@ -165,6 +165,36 @@ def pq_decode_expr(codes: Column, codebooks: list) -> Column:
     return F.flatten(F.array(*parts))
 
 
+def _seq_sq_dist(a: list[float], b: list[float]) -> float:
+    """Sequential-fold ||a−b||² — IEEE-identical to the SQL oracle's fold."""
+    d = 0.0
+    for x, y in zip(a, b):
+        t = x - y
+        d += t * t
+    return d
+
+
+def _lut_literal(queries: list[tuple[int, list[float]]], codebooks: list) -> Column:
+    """lut[q][sub][code] = ||q_sub − c||² as ONE literal 3D array (driver-side
+    sequential float arithmetic, shipped once per plan)."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    lut = []
+    for _, qv in queries:
+        per_sub = []
+        for s in range(m):
+            per_sub.append(
+                [_seq_sq_dist(qv[s * d_sub : (s + 1) * d_sub], c) for c in codebooks[s]]
+            )
+        lut.append(per_sub)
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in row]) for row in per_sub])
+            for per_sub in lut
+        ]
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -181,26 +211,7 @@ def pq_adc_topk(
     per-partition bounded sort.
     """
     m = len(codebooks)
-    d_sub = len(codebooks[0][0])
-    lut = []
-    for _, qv in queries:
-        per_sub = []
-        for s in range(m):
-            row = []
-            for c in codebooks[s]:
-                d = 0.0
-                for j in range(d_sub):
-                    t = qv[s * d_sub + j] - c[j]
-                    d += t * t
-                row.append(d)
-            per_sub.append(row)
-        lut.append(per_sub)
-    lut_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in row]) for row in per_sub])
-            for per_sub in lut
-        ]
-    )
+    lut_lit = _lut_literal(queries, codebooks)
     spark = encoded.sparkSession
     qdf = spark.createDataFrame(
         [(int(qid), i) for i, (qid, _) in enumerate(queries)],
@@ -216,6 +227,81 @@ def pq_adc_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("id").asc()
     )
+    return (
+        joined.withColumn("adist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "id", "adist", "rn")
+    )
+
+
+def ivf_pq_topk(
+    encoded_src: DataFrame,
+    codebooks: list,
+    queries: list[tuple[int, list[float]]],
+    coarse: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC: coarse inverted lists route queries, PQ-ADC scores candidates.
+
+    The full FAISS-style pairing: each corpus vector lands in the inverted
+    list of its nearest coarse centroid (squared-L2, ties → lower cid) and
+    is stored only as its PQ code; a query probes its ``nprobe`` nearest
+    lists and ADC-scores just those members — per-query work drops from
+    O(n) to O(n·nprobe/C) versus :func:`pq_adc_topk`, with no vector ever
+    decoded. This variant quantizes RAW vectors (IVFADC-flat); residual
+    quantization changes what the codebooks are trained on, not the plan.
+
+    ``coarse`` is the driver-side centroid table [(cid, vec)] — tiny by
+    design (it is shipped as literals for the assignment expressions and
+    used to build the probe routing). 100 TB shape: corpus-side
+    assignment+encode is ONE zero-shuffle map (literal argmins, no join);
+    the probe table (|queries|·nprobe rows) broadcasts into the list join,
+    so the only movement of corpus data is the final bounded top-k window
+    over probed-list members.
+    """
+    coarse = sorted(coarse, key=lambda t: t[0])
+    cids = [int(cid) for cid, _ in coarse]
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+
+    vec_d = F.col(vec_col).cast("array<double>")
+    cdists = F.array(*[_sq_dist_lit(vec_d, cv) for _, cv in coarse])
+    cid_lit = F.array(*[F.lit(c) for c in cids])
+    # argmin over the coarse table: array_position finds the FIRST minimum,
+    # and coarse is cid-sorted, so ties break toward the lower cid
+    cid_col = F.element_at(cid_lit, F.array_position(cdists, F.array_min(cdists)).cast("int"))
+    codes = F.array(
+        *[_assign_code(_sub(vec_d, s, d_sub), codebooks[s]) for s in range(m)]
+    )
+    enc = encoded_src.select(
+        F.col(id_col).alias("id"), codes.alias("codes"), cid_col.alias("cid")
+    )
+
+    # driver-side probe routing: same sequential fold as the LUT
+    probe_rows = []
+    for qidx, (qid, qv) in enumerate(queries):
+        ranked = sorted(
+            ((_seq_sq_dist(qv, cv), cid) for cid, cv in coarse),
+            key=lambda t: (t[0], t[1]),
+        )
+        for d, cid in ranked[:nprobe]:
+            probe_rows.append((int(qid), qidx, int(cid)))
+    spark = encoded_src.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, qidx int, cid int")
+
+    lut_lit = _lut_literal(queries, codebooks)
+    joined = enc.join(F.broadcast(probes), "cid")
+    dist = F.lit(0.0)
+    for s in range(m):
+        dist = dist + F.element_at(
+            F.element_at(F.element_at(lut_lit, F.col("qidx") + 1), s + 1),
+            F.element_at("codes", s + 1) + 1,
+        )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("id").asc())
     return (
         joined.withColumn("adist", dist)
         .withColumn("rn", F.row_number().over(w))

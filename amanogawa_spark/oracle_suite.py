@@ -1490,6 +1490,53 @@ SELECT query_id, id, ROUND(adist, 6) AS adist_r, rn FROM (
   FROM adc) WHERE rn <= 5"""
 
 
+_IVFPQ_ADC_SQL = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
+cc AS (SELECT id AS cid, v AS cv FROM v WHERE id % 40 = 0),
+cd AS (SELECT v.id, cc.cid,
+  list_inner_product(list_transform(range(64), j -> v.v[j+1] - cc.cv[j+1]),
+                     list_transform(range(64), j -> v.v[j+1] - cc.cv[j+1])) AS d
+  FROM v CROSS JOIN cc),
+cassign AS (SELECT id, cid FROM (
+  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d ASC, cid ASC) AS rn
+  FROM cd) WHERE rn = 1),
+qc AS (SELECT qi AS query_id, cid,
+  list_inner_product(
+    list_transform(range(64), j -> CAST((qi*13 + j*5) % 17 - 8 AS DOUBLE)/4.0 - cv[j+1]),
+    list_transform(range(64), j -> CAST((qi*13 + j*5) % 17 - 8 AS DOUBLE)/4.0 - cv[j+1])) AS d
+  FROM range(4) a(qi) CROSS JOIN cc),
+qprobe AS (SELECT query_id, cid FROM (
+  SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, cid ASC) AS rn
+  FROM qc) WHERE rn <= 2),
+grid AS (SELECT s, c,
+  list_transform(range(8), j -> CAST((s*31 + c*17 + j*7) % 19 - 9 AS DOUBLE) / 8.0) AS cb
+  FROM range(8) t(s), range(16) u(c)),
+subs AS (SELECT id, s, (v)[s*8+1 : s*8+8] AS sv FROM v, range(8) t(s)),
+dists AS (SELECT id, s, c,
+  list_inner_product(list_transform(range(8), j -> sv[j+1] - cb[j+1]),
+                     list_transform(range(8), j -> sv[j+1] - cb[j+1])) AS d
+  FROM subs JOIN grid USING (s)),
+best AS (SELECT id, s, c AS code FROM (
+  SELECT id, s, c, ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY d ASC, c ASC) AS rn
+  FROM dists) WHERE rn = 1),
+qd AS (SELECT qi AS query_id, s, c,
+  list_inner_product(
+    list_transform(range(8), j -> CAST((qi*13 + (s*8+j)*5) % 17 - 8 AS DOUBLE)/4.0
+                                  - CAST((s*31 + c*17 + j*7) % 19 - 9 AS DOUBLE)/8.0),
+    list_transform(range(8), j -> CAST((qi*13 + (s*8+j)*5) % 17 - 8 AS DOUBLE)/4.0
+                                  - CAST((s*31 + c*17 + j*7) % 19 - 9 AS DOUBLE)/8.0)) AS qdist
+  FROM range(4) a(qi), range(8) t(s), range(16) u(c)),
+adc AS (SELECT q.query_id, b.id, SUM(q.qdist) AS adist
+  FROM best b JOIN cassign ca ON b.id = ca.id
+  JOIN qprobe p ON ca.cid = p.cid
+  JOIN qd q ON b.s = q.s AND b.code = q.c AND q.query_id = p.query_id
+  GROUP BY q.query_id, b.id)
+SELECT query_id, id, ROUND(adist, 6) AS adist_r, rn FROM (
+  SELECT query_id, id, adist,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist ASC, id ASC) AS rn
+  FROM adc) WHERE rn <= 5"""
+
+
 _GUMBEL_SQL = """
 SELECT doc_id, w FROM (
   SELECT doc_id, CAST(doc_id % 7 AS DOUBLE) / 2 AS w,
@@ -1723,6 +1770,29 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, threshold=0.35, stride=25)
 
 
+def q_ivfpq_adc(spark, sf_dir):
+    """IVFADC (operators/pq.py ivf_pq_topk): coarse inverted lists (the 5
+    stride-40 corpus vectors as centroids, squared-L2 routing) + PQ-ADC
+    scoring of probed lists only (nprobe=2). Dyadic codebooks/queries keep
+    every ADC sum exact; coarse routing uses the same sequential-fold
+    parity as q_pq_adc's argmins."""
+    from amanogawa_spark.operators.pq import ivf_pq_topk
+
+    books = _pq_books()
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    coarse = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") % 40 == 0).collect()
+    ]
+    queries = [
+        (qi, [((qi * 13 + j * 5) % 17 - 8) / 4.0 for j in range(64)])
+        for qi in range(4)
+    ]
+    return ivf_pq_topk(emb, books, queries, coarse, nprobe=2, k=5).select(
+        "query_id", "id", F.round("adist", 6).alias("adist_r"), "rn"
+    )
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1838,6 +1908,7 @@ QUERIES = {
     "q_bm25_topk": q_bm25_topk,
     "q_posting_lists": q_posting_lists,
     "q_semdedup": q_semdedup,
+    "q_ivfpq_adc": q_ivfpq_adc,
 }
 
 
@@ -3070,4 +3141,5 @@ FROM n3""",
         "SELECT assigned.id, cid, (dups.id IS NULL) AS keep "
         "FROM assigned LEFT JOIN dups ON assigned.id = dups.id"
     ),
+    "q_ivfpq_adc": _IVFPQ_ADC_SQL,
 }
