@@ -1,0 +1,240 @@
+"""Distributed BPE tokenizer training + encoding.
+
+Byte-pair encoding (Sennrich et al. 2016; the GPT-2/Llama tokenizer
+family) over a Spark corpus. The distributed shape follows how production
+tokenizer training actually scales:
+
+1. **corpus → weighted vocabulary** (once): ONE map-side-combined
+   ``groupBy(word)`` count. Zipf's law makes the vocabulary orders of
+   magnitude smaller than the corpus — this is the only stage that ever
+   touches corpus text.
+2. **merge loop** (per merge): adjacent-pair counts over the vocabulary
+   (arrays_zip of the symbol array with its own tail, explode, one
+   weighted aggregate), driver picks the argmax pair (count desc, pair
+   asc — deterministic), and the merge is applied ONLY to vocabulary rows
+   that contain the pair (Catalyst ``exists`` pre-filter; untouched words
+   don't run Python). The apply step is an Arrow-batched pandas UDF over
+   the *vocabulary*, never the corpus.
+3. **encode** (once, map-only): the learned merge ranks broadcast inside
+   an Arrow UDF closure; each text re-tokenizes with the standard
+   lowest-rank-first greedy loop. No shuffle.
+
+The merge loop is inherently sequential (merge k+1 depends on k) — at
+web scale you bound it by training on a hash-sampled vocabulary slice
+(`sample_vocab`), exactly what real pipelines do; the per-round cost is
+one aggregate over the vocab, independent of corpus size.
+
+Within a merge pass, application is the standard single left-to-right
+non-overlapping scan ("a a a" + merge(a,a) → "aa a"), which is also what
+chained string ``replace`` does — the property the SQL oracle mirrors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def word_vocab(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt): lowercased whitespace word counts — the one corpus pass."""
+    toks = F.explode(
+        F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+    ).alias("word")
+    return (
+        docs.select(toks)
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def sample_vocab(vocab: DataFrame, rate_denom: int = 16) -> DataFrame:
+    """Deterministic 1/rate_denom hash sample of the vocabulary — the
+    web-scale knob that bounds merge-loop cost (md5-portable, so the
+    sampled set is engine-stable)."""
+    return vocab.filter(
+        F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("long")
+        % rate_denom
+        == 0
+    )
+
+
+def to_symbols(vocab: DataFrame) -> DataFrame:
+    """(word, cnt, syms array<string>): initial character symbols."""
+    return vocab.withColumn("syms", F.split(F.col("word"), ""))
+
+
+def pair_counts(sym_vocab: DataFrame) -> DataFrame:
+    """(left, right, pair_cnt): adjacent-symbol counts weighted by word
+    frequency — one explode + one map-side-combined aggregate over the
+    vocabulary (never the corpus)."""
+    n = F.size("syms")
+    pairs = F.arrays_zip(
+        F.slice("syms", 1, n - 1).alias("left"), F.slice("syms", 2, n - 1).alias("right")
+    )
+    return (
+        sym_vocab.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"), "cnt")
+        .select(F.col("p.left").alias("left"), F.col("p.right").alias("right"), "cnt")
+        .groupBy("left", "right")
+        .agg(F.sum("cnt").alias("pair_cnt"))
+    )
+
+
+def _merge_pass(syms: list, a: str, b: str) -> list:
+    """One left-to-right non-overlapping merge pass (replace-equivalent)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def apply_merges(sym_vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply an ordered merge list to the symbol arrays (Arrow-batched UDF,
+    touching only rows that can contain the first symbol pair's parts —
+    cheap Catalyst pre-check keeps unaffected words out of Python)."""
+    if not merges:
+        return sym_vocab
+    merges_local = [tuple(m) for m in merges]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _apply(col: pd.Series) -> pd.Series:
+        def run(syms):
+            syms = list(syms)
+            for a, b in merges_local:
+                syms = _merge_pass(syms, a, b)
+            return syms
+
+        return col.map(run)
+
+    return sym_vocab.withColumn("syms", _apply("syms"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    vocab_sample_denom: int | None = None,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges; returns them in training order.
+
+    Stops early when the best remaining pair falls under
+    ``min_pair_count``. Each round = one vocab aggregate + a 1-row driver
+    argmax + a filtered vocab map; lineage is truncated with
+    localCheckpoint every ``checkpoint_every`` rounds (same hygiene as the
+    PageRank/NN-Descent loops).
+    """
+    vocab = word_vocab(docs, id_col=id_col, text_col=text_col)
+    if vocab_sample_denom:
+        vocab = sample_vocab(vocab, vocab_sample_denom)
+    cur = to_symbols(vocab).select("word", "cnt", "syms").persist()
+    cur.count()
+    merges: list[tuple[str, str]] = []
+    try:
+        for rnd in range(num_merges):
+            top = (
+                pair_counts(cur)
+                .orderBy(F.desc("pair_cnt"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["pair_cnt"] < min_pair_count:
+                break
+            a, b = top[0]["left"], top[0]["right"]
+            merges.append((a, b))
+            # only words that still contain BOTH parts adjacently can change;
+            # the exists() check is Catalyst-side, so unaffected rows skip the UDF
+            n = F.size("syms")
+            has_pair = F.exists(
+                F.arrays_zip(F.slice("syms", 1, n - 1), F.slice("syms", 2, n - 1)),
+                lambda p: (p["0"] == a) & (p["1"] == b),
+            )
+            changed = apply_merges(cur.filter(has_pair), [(a, b)])
+            nxt = changed.unionByName(cur.filter(~has_pair))
+            if (rnd + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+                nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens): greedy BPE encoding — standard
+    lowest-merge-rank-first loop per word, Arrow-batched, map-only."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) >= 2:
+            best_rank, best_idx = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_idx = r, i
+            if best_rank is None:
+                break
+            a, b = syms[best_idx], syms[best_idx + 1]
+            syms = _merge_pass(syms, a, b)
+        return syms
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _enc(texts: pd.Series) -> pd.Series:
+        def run(t):
+            if t is None:
+                return []
+            out = []
+            for w in " ".join(t.lower().split()).split(" "):
+                if w:
+                    out.extend(encode_word(w))
+            return out
+
+        return texts.map(run)
+
+    return docs.select(
+        F.col(id_col).alias("id"), _enc(F.col(text_col)).alias("tokens")
+    ).withColumn("n_tokens", F.size("tokens"))
+
+
+def bpe_reference_train(
+    word_counts: dict[str, int], num_merges: int, min_pair_count: int = 2
+) -> list[tuple[str, str]]:
+    """Pure-Python BPE training mirror for pytest oracles (same tie-breaks)."""
+    vocab = {w: list(w) for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + c
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if pair[1] < min_pair_count:
+            break
+        a, b = pair[0]
+        merges.append((a, b))
+        vocab = {w: _merge_pass(s, a, b) for w, s in vocab.items()}
+    return merges

@@ -1793,6 +1793,31 @@ def q_ivfpq_adc(spark, sf_dir):
     )
 
 
+_BPE_MERGES3 = [("s", "p"), ("sp", "a"), ("a", "r")]
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """BPE training kernel 1 (operators/bpe.py pair_counts): adjacent
+    character-pair counts weighted by word frequency over the corpus
+    vocabulary — the aggregate every merge round runs."""
+    from amanogawa_spark.operators.bpe import pair_counts, to_symbols, word_vocab
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return pair_counts(to_symbols(word_vocab(docs)))
+
+
+def q_bpe_apply3(spark, sf_dir):
+    """BPE training kernel 2 (operators/bpe.py apply_merges): three fixed
+    merges applied to the symbolized vocabulary; the left-to-right
+    non-overlapping merge pass is replace-equivalent, which is exactly how
+    the DuckDB oracle mirrors it."""
+    from amanogawa_spark.operators.bpe import apply_merges, to_symbols, word_vocab
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    out = apply_merges(to_symbols(word_vocab(docs)), _BPE_MERGES3)
+    return out.select("word", "cnt", F.array_join("syms", " ").alias("enc"))
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1909,6 +1934,8 @@ QUERIES = {
     "q_posting_lists": q_posting_lists,
     "q_semdedup": q_semdedup,
     "q_ivfpq_adc": q_ivfpq_adc,
+    "q_bpe_pairs": q_bpe_pairs,
+    "q_bpe_apply3": q_bpe_apply3,
 }
 
 
@@ -3142,4 +3169,22 @@ FROM n3""",
         "FROM assigned LEFT JOIN dups ON assigned.id = dups.id"
     ),
     "q_ivfpq_adc": _IVFPQ_ADC_SQL,
+    "q_bpe_pairs": (
+        f"WITH base AS (SELECT {_NORM} AS norm FROM documents WHERE doc_id < 150), "
+        "tok AS (SELECT unnest(string_split(norm, ' ')) AS word FROM base), "
+        "wc AS (SELECT word, COUNT(*) AS cnt FROM tok WHERE length(word) > 0 GROUP BY word) "
+        "SELECT substr(word, CAST(i + 1 AS INT), 1) AS left, "
+        "substr(word, CAST(i + 2 AS INT), 1) AS right, CAST(SUM(cnt) AS BIGINT) AS pair_cnt "
+        "FROM wc CROSS JOIN range(64) t(i) WHERE i <= length(word) - 2 GROUP BY 1, 2"
+    ),
+    "q_bpe_apply3": (
+        f"WITH base AS (SELECT {_NORM} AS norm FROM documents WHERE doc_id < 150), "
+        "tok AS (SELECT unnest(string_split(norm, ' ')) AS word FROM base), "
+        "wc AS (SELECT word, COUNT(*) AS cnt FROM tok WHERE length(word) > 0 GROUP BY word), "
+        "spaced AS (SELECT word, cnt, ' ' || array_to_string("
+        "list_transform(range(length(word)), i -> substr(word, CAST(i + 1 AS INT), 1)), ' ') || ' ' AS s "
+        "FROM wc) "
+        "SELECT word, cnt, trim(replace(replace(replace(s, "
+        "' s p ', ' sp '), ' sp a ', ' spa '), ' a r ', ' ar ')) AS enc FROM spaced"
+    ),
 }
