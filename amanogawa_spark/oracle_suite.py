@@ -1818,6 +1818,63 @@ def q_bpe_apply3(spark, sf_dir):
     return out.select("word", "cnt", F.array_join("syms", " ").alias("enc"))
 
 
+def q_landmark_est(spark, sf_dir):
+    """Directed landmark distance estimates (graph/landmarks.py): reverse +
+    forward 2-round BFS sketches from landmarks {0,1,2,3}, then
+    d̂(u→v) = min_l d(u→l) + d(l→v) for all ordered pairs with u,v < 40.
+    Bounded rounds on BOTH engines, so the sketch states are identical by
+    the ≤k-edge-paths argument (same as q_sssp3)."""
+    from amanogawa_spark.graph.landmarks import estimate_distances, landmark_distances
+
+    e = derived_edges(spark, sf_dir)
+    lm = [0, 1, 2, 3]
+    d_rev = landmark_distances(e, lm, max_rounds=2, reverse=True)
+    d_fwd = landmark_distances(e, lm, max_rounds=2)
+    v = derived_vertices(spark, sf_dir).filter(F.col("id") < 40)
+    pairs = (
+        v.select(F.col("id").alias("u"))
+        .join(v.select(F.col("id").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+    )
+    return estimate_distances(d_rev, pairs, dists_to=d_fwd)
+
+
+def _landmark_sql(rounds: int = 2, nsrc: int = 4, maxid: int = 40) -> str:
+    vals = ", ".join(f"({i})" for i in range(nsrc))
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
+        "f0 AS (SELECT CAST(source AS BIGINT) AS landmark, CAST(source AS BIGINT) AS id, "
+        f"CAST(0 AS BIGINT) AS dist FROM (VALUES {vals}) s(source))",
+        "b0 AS (SELECT landmark, id, dist FROM f0)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"f{k} AS MATERIALIZED (SELECT landmark, id, MIN(dist) AS dist FROM ("
+            f"SELECT landmark, id, dist FROM f{k - 1} UNION ALL "
+            f"SELECT p.landmark, e.dst_id AS id, p.dist + 1 AS dist "
+            f"FROM f{k - 1} p JOIN edges e ON p.id = e.src_id) GROUP BY landmark, id)"
+        )
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT landmark, id, MIN(dist) AS dist FROM ("
+            f"SELECT landmark, id, dist FROM b{k - 1} UNION ALL "
+            f"SELECT p.landmark, e.src_id AS id, p.dist + 1 AS dist "
+            f"FROM b{k - 1} p JOIN edges e ON p.id = e.dst_id) GROUP BY landmark, id)"
+        )
+    return (
+        parts[0]
+        + ",\n"
+        + ",\n".join(parts[1:])
+        + f""",
+pr AS (SELECT a.id AS u, b.id AS v FROM verts a JOIN verts b
+  ON a.id < {maxid} AND b.id < {maxid} AND a.id <> b.id)
+SELECT u, v, MIN(du.dist + dv.dist) AS dist_est
+FROM pr JOIN b{rounds} du ON pr.u = du.id
+JOIN f{rounds} dv ON pr.v = dv.id AND du.landmark = dv.landmark
+GROUP BY u, v"""
+    )
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1936,6 +1993,7 @@ QUERIES = {
     "q_ivfpq_adc": q_ivfpq_adc,
     "q_bpe_pairs": q_bpe_pairs,
     "q_bpe_apply3": q_bpe_apply3,
+    "q_landmark_est": q_landmark_est,
 }
 
 
@@ -3187,4 +3245,5 @@ FROM n3""",
         "SELECT word, cnt, trim(replace(replace(replace(s, "
         "' s p ', ' sp '), ' sp a ', ' spa '), ' a r ', ' ar ')) AS enc FROM spaced"
     ),
+    "q_landmark_est": _landmark_sql(2, 4, 40),
 }
