@@ -1875,6 +1875,62 @@ GROUP BY u, v"""
     )
 
 
+def q_coloring2(spark, sf_dir):
+    """Two unrolled Jones–Plassmann coloring rounds (graph/coloring.py
+    jp_round): round-1 winners (priority local minima) take color 0; round-2
+    winners take the mex of their colored neighbourhood (⊆ {0} after one
+    round, so mex ∈ {0, 1}). Fixed md5 priorities make both rounds
+    SQL-expressible; the full fixpoint is pinned by the propriety/Δ+1
+    pytest."""
+    from amanogawa_spark.graph.coloring import jp_round
+    from amanogawa_spark.graph.components import _symmetrize
+
+    e = derived_edges(spark, sf_dir)
+    v = derived_vertices(spark, sf_dir)
+    adj = _symmetrize(e)
+    w1 = jp_round(v, adj, None)
+    active2 = v.join(w1.select("id"), "id", "left_anti")
+    w2 = jp_round(active2, adj, w1)
+    return w1.select("id", "color", F.lit(1).alias("jp_round")).unionByName(
+        w2.select("id", "color", F.lit(2).alias("jp_round"))
+    )
+
+
+_COLORING2_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+{_VERTS_SQL.strip()},
+sym AS (
+  SELECT src_id AS u, dst_id AS v FROM edges
+  UNION
+  SELECT dst_id AS u, src_id AS v FROM edges
+),
+pri AS (
+  SELECT id,
+    md5('0:' || CAST(id AS VARCHAR)) || lpad(CAST(id AS VARCHAR), 12, '0') AS pri
+  FROM verts
+),
+nbr1 AS (
+  SELECT s.v AS id, MIN(p.pri) AS m FROM sym s JOIN pri p ON s.u = p.id GROUP BY s.v
+),
+w1 AS (
+  SELECT pri.id FROM pri LEFT JOIN nbr1 ON pri.id = nbr1.id
+  WHERE m IS NULL OR pri.pri < m
+),
+pri2 AS (SELECT pri.id, pri.pri FROM pri ANTI JOIN w1 ON pri.id = w1.id),
+nbr2 AS (
+  SELECT s.v AS id, MIN(p.pri) AS m FROM sym s JOIN pri2 p ON s.u = p.id GROUP BY s.v
+),
+w2 AS (
+  SELECT pri2.id FROM pri2 LEFT JOIN nbr2 ON pri2.id = nbr2.id
+  WHERE m IS NULL OR pri2.pri < m
+),
+touched AS (SELECT DISTINCT s.v AS id FROM sym s JOIN w1 ON s.u = w1.id)
+SELECT id, 0 AS color, 1 AS jp_round FROM w1
+UNION ALL
+SELECT w2.id, CASE WHEN touched.id IS NULL THEN 0 ELSE 1 END AS color, 2 AS jp_round
+FROM w2 LEFT JOIN touched ON w2.id = touched.id"""
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -1994,6 +2050,7 @@ QUERIES = {
     "q_bpe_pairs": q_bpe_pairs,
     "q_bpe_apply3": q_bpe_apply3,
     "q_landmark_est": q_landmark_est,
+    "q_coloring2": q_coloring2,
 }
 
 
@@ -3246,4 +3303,5 @@ FROM n3""",
         "' s p ', ' sp '), ' sp a ', ' spa '), ' a r ', ' ar ')) AS enc FROM spaced"
     ),
     "q_landmark_est": _landmark_sql(2, 4, 40),
+    "q_coloring2": _COLORING2_SQL,
 }
