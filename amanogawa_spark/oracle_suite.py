@@ -1931,6 +1931,66 @@ SELECT w2.id, CASE WHEN touched.id IS NULL THEN 0 ELSE 1 END AS color, 2 AS jp_r
 FROM w2 LEFT JOIN touched ON w2.id = touched.id"""
 
 
+def q_salsa2(spark, sf_dir):
+    """SALSA stochastic hubs/authorities (graph/salsa.py), 2 fixed
+    iterations, L1-renormalized per iteration — the TKC-resistant
+    alternative to HITS."""
+    from amanogawa_spark.graph.salsa import salsa_fixed_iterations
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    s = salsa_fixed_iterations(v, e, iterations=2)
+    return s.select(
+        "id",
+        F.round("hub", 8).alias("hub_r"),
+        F.round("authority", 8).alias("auth_r"),
+    )
+
+
+def _salsa_sql(iters: int = 2) -> str:
+    parts = [f"WITH {_EDGES_SQL.strip()}", _VERTS_SQL.strip()]
+    parts.append("nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)")
+    parts.append(
+        "we AS (SELECT e.src_id, e.dst_id, 1.0/od.c AS w_out, 1.0/idg.c AS w_in FROM edges e "
+        "JOIN (SELECT src_id, CAST(COUNT(*) AS DOUBLE) AS c FROM edges GROUP BY src_id) od ON e.src_id = od.src_id "
+        "JOIN (SELECT dst_id, CAST(COUNT(*) AS DOUBLE) AS c FROM edges GROUP BY dst_id) idg ON e.dst_id = idg.dst_id)"
+    )
+    parts.append(
+        "s0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS hub, 1.0/(SELECT n FROM nn) AS auth FROM verts)"
+    )
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"t{k} AS (SELECT e.src_id, SUM(s.auth * e.w_in) AS t FROM we e "
+            f"JOIN s{p} s ON e.dst_id = s.id GROUP BY e.src_id)"
+        )
+        parts.append(
+            f"ar{k} AS (SELECT v.id, COALESCE(x.s, 0.0) AS a_raw FROM verts v LEFT JOIN "
+            f"(SELECT e.dst_id AS id, SUM(t.t * e.w_out) AS s FROM we e JOIN t{k} t ON e.src_id = t.src_id "
+            f"GROUP BY e.dst_id) x ON v.id = x.id)"
+        )
+        parts.append(
+            f"u{k} AS (SELECT e.dst_id, SUM(s.hub * e.w_out) AS u FROM we e "
+            f"JOIN s{p} s ON e.src_id = s.id GROUP BY e.dst_id)"
+        )
+        parts.append(
+            f"hr{k} AS (SELECT v.id, COALESCE(x.s, 0.0) AS h_raw FROM verts v LEFT JOIN "
+            f"(SELECT e.src_id AS id, SUM(u.u * e.w_in) AS s FROM we e JOIN u{k} u ON e.dst_id = u.dst_id "
+            f"GROUP BY e.src_id) x ON v.id = x.id)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT a.id, h.h_raw/(SELECT SUM(h_raw) FROM hr{k}) AS hub, "
+            f"a.a_raw/(SELECT SUM(a_raw) FROM ar{k}) AS auth "
+            f"FROM ar{k} a JOIN hr{k} h ON a.id = h.id)"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return (
+        body
+        + f"\nSELECT id, ROUND(CAST(hub AS DOUBLE), 8) AS hub_r, "
+        f"ROUND(CAST(auth AS DOUBLE), 8) AS auth_r FROM s{iters}"
+    )
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -2051,6 +2111,7 @@ QUERIES = {
     "q_bpe_apply3": q_bpe_apply3,
     "q_landmark_est": q_landmark_est,
     "q_coloring2": q_coloring2,
+    "q_salsa2": q_salsa2,
 }
 
 
@@ -3304,4 +3365,5 @@ FROM n3""",
     ),
     "q_landmark_est": _landmark_sql(2, 4, 40),
     "q_coloring2": _COLORING2_SQL,
+    "q_salsa2": _salsa_sql(2),
 }
