@@ -1991,6 +1991,56 @@ def _salsa_sql(iters: int = 2) -> str:
     )
 
 
+def _derived_edges_v2(spark, sf_dir):
+    """Second deterministic crawl snapshot: same derivation, minus the
+    l_linenumber=1 rows (recrawl 'lost' those links) plus the edges the
+    orders table contributes (o_orderkey%M -> o_custkey%M — 'new' links)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") != 1)
+    a = li.select(
+        (F.col("l_orderkey") % M).alias("src_id"),
+        (F.col("l_partkey") % M).alias("dst_id"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        (F.col("o_orderkey") % M).alias("src_id"),
+        (F.col("o_custkey") % M).alias("dst_id"),
+    )
+    return a.unionByName(b).filter(F.col("src_id") != F.col("dst_id")).distinct()
+
+
+_EDGES_V2_SQL = f"""
+edges2 AS (
+  SELECT DISTINCT src_id, dst_id FROM (
+    SELECT l_orderkey % {M} AS src_id, l_partkey % {M} AS dst_id
+    FROM lineitem WHERE l_linenumber <> 1
+    UNION ALL
+    SELECT o_orderkey % {M} AS src_id, o_custkey % {M} AS dst_id FROM orders
+  ) WHERE src_id <> dst_id
+)"""
+
+
+def q_edge_diff(spark, sf_dir):
+    """Recrawl edge diff (graph/diff.py): added/removed edges between the
+    two deterministic snapshots — one marker-union aggregate, no join."""
+    from amanogawa_spark.graph.diff import edge_diff
+
+    return edge_diff(derived_edges(spark, sf_dir), _derived_edges_v2(spark, sf_dir))
+
+
+def q_degree_deltas(spark, sf_dir):
+    """Per-vertex degree deltas of the recrawl diff (|diff|-sized work)."""
+    from amanogawa_spark.graph.diff import degree_deltas
+
+    return degree_deltas(derived_edges(spark, sf_dir), _derived_edges_v2(spark, sf_dir))
+
+
+def q_diff_summary(spark, sf_dir):
+    """One-row recrawl churn summary (the metrics-journal scalar)."""
+    from amanogawa_spark.graph.diff import diff_summary
+
+    return diff_summary(derived_edges(spark, sf_dir), _derived_edges_v2(spark, sf_dir))
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -2112,6 +2162,9 @@ QUERIES = {
     "q_landmark_est": q_landmark_est,
     "q_coloring2": q_coloring2,
     "q_salsa2": q_salsa2,
+    "q_edge_diff": q_edge_diff,
+    "q_degree_deltas": q_degree_deltas,
+    "q_diff_summary": q_diff_summary,
 }
 
 
@@ -3366,4 +3419,35 @@ FROM n3""",
     "q_landmark_est": _landmark_sql(2, 4, 40),
     "q_coloring2": _COLORING2_SQL,
     "q_salsa2": _salsa_sql(2),
+    "q_edge_diff": (
+        f"WITH {_EDGES_SQL.strip()}, {_EDGES_V2_SQL.strip()}, "
+        "d AS (SELECT src_id, dst_id, SUM(m) AS s FROM ("
+        "SELECT src_id, dst_id, -1 AS m FROM edges UNION ALL "
+        "SELECT src_id, dst_id, 1 AS m FROM edges2) GROUP BY src_id, dst_id) "
+        "SELECT src_id, dst_id, CASE WHEN s > 0 THEN 'added' ELSE 'removed' END AS change "
+        "FROM d WHERE s <> 0"
+    ),
+    "q_degree_deltas": (
+        f"WITH {_EDGES_SQL.strip()}, {_EDGES_V2_SQL.strip()}, "
+        "d AS (SELECT src_id, dst_id, SUM(m) AS s FROM ("
+        "SELECT src_id, dst_id, -1 AS m FROM edges UNION ALL "
+        "SELECT src_id, dst_id, 1 AS m FROM edges2) GROUP BY src_id, dst_id), "
+        "w AS (SELECT src_id, dst_id, CASE WHEN s > 0 THEN 1 ELSE -1 END AS w FROM d WHERE s <> 0), "
+        "od AS (SELECT src_id AS id, CAST(SUM(w) AS INT) AS out_delta FROM w GROUP BY src_id), "
+        "idg AS (SELECT dst_id AS id, CAST(SUM(w) AS INT) AS in_delta FROM w GROUP BY dst_id) "
+        "SELECT COALESCE(od.id, idg.id) AS id, COALESCE(out_delta, 0) AS out_delta, "
+        "COALESCE(in_delta, 0) AS in_delta FROM od FULL OUTER JOIN idg ON od.id = idg.id "
+        "WHERE COALESCE(out_delta, 0) <> 0 OR COALESCE(in_delta, 0) <> 0"
+    ),
+    "q_diff_summary": (
+        f"WITH {_EDGES_SQL.strip()}, {_EDGES_V2_SQL.strip()}, "
+        "pe AS (SELECT src_id, dst_id, SUM(m) AS s, COUNT(*) AS c FROM ("
+        "SELECT src_id, dst_id, -1 AS m FROM edges UNION ALL "
+        "SELECT src_id, dst_id, 1 AS m FROM edges2) GROUP BY src_id, dst_id), "
+        "agg AS (SELECT CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added, "
+        "CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, "
+        "CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged FROM pe) "
+        "SELECT n_added, n_removed, n_unchanged, "
+        "ROUND(CAST(n_added + n_removed AS DOUBLE) / GREATEST(1, n_added + n_unchanged), 8) AS churn_r FROM agg"
+    ),
 }
