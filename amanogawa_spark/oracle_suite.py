@@ -2041,6 +2041,36 @@ def q_diff_summary(spark, sf_dir):
     return diff_summary(derived_edges(spark, sf_dir), _derived_edges_v2(spark, sf_dir))
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Interpolated bigram LM quality scores (operators/bow.py) over a
+    bounded doc slice — per-doc bigram count and mean log-prob both
+    value-checked (λ = 0.75 dyadic)."""
+    from amanogawa_spark.operators.bow import bigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return bigram_logprob_scores(docs).select(
+        "id", "n_bigrams", F.round("avg_logprob", 8).alias("avg_logprob_r")
+    )
+
+
+_BIGRAM_LM_SQL = f"""
+WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents WHERE doc_id < 150),
+toks AS (SELECT id, i AS pos, w FROM (
+  SELECT id, i, trim(string_split(norm, ' ')[CAST(i + 1 AS INT)]) AS w
+  FROM base CROSS JOIN range(4096) t(i)
+  WHERE i < len(string_split(norm, ' '))) WHERE length(w) > 0),
+ren AS (SELECT id, w, ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) AS r FROM toks),
+bg AS (SELECT a.id, a.w AS w1, b.w AS w2 FROM ren a JOIN ren b ON a.id = b.id AND b.r = a.r + 1),
+uni AS (SELECT w AS term, CAST(COUNT(*) AS DOUBLE) AS tf FROM ren GROUP BY w),
+tot AS (SELECT SUM(tf) AS tt, CAST(COUNT(*) AS DOUBLE) AS vv FROM uni),
+bi AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb FROM bg GROUP BY w1, w2)
+SELECT bg.id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(AVG(ln(0.75 * cb / u1.tf + 0.25 * (u2.tf + 1.0) / (tt + vv))), 8) AS avg_logprob_r
+FROM bg JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+JOIN uni u1 ON bg.w1 = u1.term JOIN uni u2 ON bg.w2 = u2.term
+CROSS JOIN tot GROUP BY bg.id"""
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -2165,6 +2195,7 @@ QUERIES = {
     "q_edge_diff": q_edge_diff,
     "q_degree_deltas": q_degree_deltas,
     "q_diff_summary": q_diff_summary,
+    "q_bigram_lm": q_bigram_lm,
 }
 
 
@@ -3450,4 +3481,5 @@ FROM n3""",
         "SELECT n_added, n_removed, n_unchanged, "
         "ROUND(CAST(n_added + n_removed AS DOUBLE) / GREATEST(1, n_added + n_unchanged), 8) AS churn_r FROM agg"
     ),
+    "q_bigram_lm": _BIGRAM_LM_SQL,
 }
