@@ -3415,16 +3415,15 @@ FROM n3""",
         "FROM tc GROUP BY term"
     ),
     "q_semdedup": (
-        "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), "
+        "WITH v0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS raw FROM embeddings WHERE vec_id < 300), "
+        "v AS (SELECT id, list_transform(raw, x -> x / sqrt(list_inner_product(raw, raw))) AS v FROM v0), "
         "c AS (SELECT id AS cid, v AS cv FROM v WHERE id % 25 = 0), "
-        "scored AS (SELECT v.id, c.cid, "
-        "list_inner_product(v.v, c.cv) / (sqrt(list_inner_product(v.v, v.v)) * sqrt(list_inner_product(c.cv, c.cv))) AS csim "
-        "FROM v CROSS JOIN c), "
+        "scored AS (SELECT v.id, c.cid, list_inner_product(v.v, c.cv) AS csim FROM v CROSS JOIN c), "
         "ranked AS (SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid ASC) AS crn FROM scored), "
         "assigned AS (SELECT id, cid FROM ranked WHERE crn = 1), "
         "dups AS (SELECT DISTINCT b.id FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id "
         "JOIN v va ON a.id = va.id JOIN v vb ON b.id = vb.id "
-        "WHERE list_inner_product(va.v, vb.v) / (sqrt(list_inner_product(va.v, va.v)) * sqrt(list_inner_product(vb.v, vb.v))) >= 0.35) "
+        "WHERE list_inner_product(va.v, vb.v) >= 0.35) "
         "SELECT assigned.id, cid, (dups.id IS NULL) AS keep "
         "FROM assigned LEFT JOIN dups ON assigned.id = dups.id"
     ),

@@ -249,6 +249,46 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     results["dsir_scale"] = _timed(_dsir_scale)
 
+    # --- round-3 session probes: retrieval + semantic dedup at scale -------
+    # BM25 over the distributed corpus (~100k docs at sf0.1): corpus stats
+    # are map-side-combined aggregates; only the broadcast query set routes
+    # postings into scoring
+    from amanogawa_spark.operators.retrieval import bm25_scores
+
+    n_mid = max(10_000, n_scale // 2)
+
+    def _bm25_scale():
+        docs = distributed_pages(spark, n_mid).select(
+            F.monotonically_increasing_id().alias("doc_id"), "text"
+        )
+        qdf = spark.createDataFrame(
+            [(1, "crawl"), (1, "graph"), (2, "spark"), (2, "page"), (3, "link")],
+            ["query_id", "term"],
+        )
+        bm25_scores(docs, qdf, k=10).count()
+
+    results["bm25_scale"] = _timed(_bm25_scale)
+
+    # SemDeDup over distributed embeddings: broadcast centroid assignment +
+    # within-cluster pairs only. Sizing note (measured): assignment is
+    # O(n·C·d) and the pair stage O(Σ|cluster|²) — 100k vectors over a
+    # 256-centroid grid put ~40M pairs through the cosine filter (506 s);
+    # ~150 members/centroid keeps the probe at a few million pairs. The
+    # max_cluster_size guard stays as the backstop for skewed assignments.
+    from amanogawa_spark.operators.semdedup import semdedup
+
+    n_sem = max(10_000, n_scale // 5)
+
+    def _semdedup_scale():
+        emb = distributed_embeddings(
+            spark, n_sem, dim=64, n_clusters=max(50, n_sem // 50)
+        )
+        semdedup(
+            emb, threshold=0.9, stride=150, max_cluster_size=600
+        ).filter(~F.col("keep")).count()
+
+    results["semdedup_scale"] = _timed(_semdedup_scale)
+
     pages.unpersist()
     return results
 
