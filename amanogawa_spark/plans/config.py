@@ -252,6 +252,28 @@ def _flow_fn(spec: dict):
             hash=spec.get("hash", "xxhash64"),
             seed=int(spec.get("seed", 7)),
         )
+    if t == "bpe_encode":
+        from amanogawa_spark.operators.bpe import bpe_encode
+
+        merges = [tuple(m) for m in spec.get("merges", [])]
+        return lambda df: bpe_encode(
+            df, merges,
+            id_col=spec.get("id_column", "doc_id"),
+            text_col=spec.get("column", "text"),
+        )
+    if t == "semdedup":
+        from amanogawa_spark.operators.semdedup import semdedup
+
+        return lambda df: semdedup(
+            df,
+            id_col=spec.get("id_column", "vec_id"),
+            vec_col=spec.get("column", "embedding"),
+            threshold=float(spec.get("threshold", 0.9)),
+            stride=int(spec.get("stride", 25)),
+            max_cluster_size=(
+                int(spec["max_cluster_size"]) if "max_cluster_size" in spec else None
+            ),
+        )
     raise ValueError(f"unsupported flow type: {t!r}")
 
 

@@ -55,6 +55,13 @@ def normalize_type(name: str) -> T.DataType:
     try:
         return _TYPE_MAP[name.lower()]
     except KeyError:
+        pass
+    # nested types (array<double>, map<string,long>, …) parse as Spark DDL —
+    # an engine extension; the reference's type table is scalar-only
+    # (util.h:45-48)
+    try:
+        return T.DataType.fromDDL(name)
+    except Exception:
         raise ValueError(f"unsupported type: {name!r}") from None
 
 

@@ -393,3 +393,73 @@ type = "orc"
     run_config(str(tmp_path / "job.toml"), spark)
     out = spark.read.orc(str(tmp_path / "out.orc")).collect()
     assert [(r.id, r.name, r.v) for r in out] == [(2, "b", 2.5)]
+
+
+def test_flow_extensions_bpe_semdedup(spark, tmp_path):
+    """bpe_encode (fixed merge list) and semdedup flow types run from TOML."""
+    docs = "\n".join(
+        f'{{"doc_id": {i}, "text": "spark sparse spat"}}' for i in range(4)
+    )
+    (tmp_path / "docs.jsonl").write_text(docs + "\n")
+    vecs = "\n".join(
+        f'{{"vec_id": {i}, "embedding": [1.0, {float(i % 2)}]}}' for i in range(6)
+    )
+    (tmp_path / "vecs.jsonl").write_text(vecs + "\n")
+    (tmp_path / "job.toml").write_text(
+        """
+[source.docs]
+type = "file"
+path = "docs.jsonl"
+[source.docs.format]
+type = "json"
+columns = [
+  { name = "doc_id", type = "long" },
+  { name = "text", type = "string" },
+]
+
+[source.vecs]
+type = "file"
+path = "vecs.jsonl"
+[source.vecs.format]
+type = "json"
+columns = [
+  { name = "vec_id", type = "long" },
+  { name = "embedding", type = "array<double>" },
+]
+
+[flow.encoded]
+type = "bpe_encode"
+merges = [["s", "p"], ["sp", "a"]]
+from = "docs"
+
+[flow.deduped]
+type = "semdedup"
+threshold = 0.999
+stride = 3
+from = "vecs"
+
+[sink.enc_out]
+type = "file"
+path = "enc_out"
+from = "encoded"
+[sink.enc_out.format]
+type = "parquet"
+
+[sink.dedup_out]
+type = "file"
+path = "dedup_out"
+from = "deduped"
+[sink.dedup_out.format]
+type = "parquet"
+"""
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(str(tmp_path / "job.toml"), spark)
+    enc = spark.read.parquet(str(tmp_path / "enc_out"))
+    rows = {r["id"]: list(r["tokens"]) for r in enc.collect()}
+    assert rows[0] == ["spa", "r", "k", "spa", "r", "s", "e", "spa", "t"]
+    dd = spark.read.parquet(str(tmp_path / "dedup_out"))
+    got = {r["id"]: r["keep"] for r in dd.collect()}
+    # ids 0/2/4 share [1,0], ids 1/3/5 share [1,1]: keep the smallest of each
+    assert got == {0: True, 2: False, 4: False, 1: True, 3: False, 5: False}
