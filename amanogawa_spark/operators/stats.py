@@ -1,0 +1,78 @@
+"""Exact distributed column statistics: order-statistic quantiles, histograms.
+
+Spark ships ``percentile_approx`` (a sketch whose result depends on
+accuracy parameters and merge order — unverifiable against another
+engine); data-profiling for a curation pipeline wants EXACT quantiles
+(token-length caps, outlier fences) that two engines can agree on
+bit-for-bit. The scalable formulation reuses the two-pass
+range-partitioned ranker (``graph/build.py dense_rank_ids``): no
+single-partition global window, rank = range-partition offset +
+within-range row_number — the k-th order statistic's VALUE is unique
+even when ties make row ranks ambiguous.
+
+Cross-engine exactness contract: pass dyadic quantiles (0.25, 0.5, …)
+so ``floor(q·(n−1))`` is computed on an exact product in both engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from amanogawa_spark.graph.build import dense_rank_ids
+
+
+def exact_quantiles(
+    df: DataFrame, col: str, qs: list[float], num_partitions: int | None = None
+) -> DataFrame:
+    """(q, value): exact lower order statistics — value at rank
+    ``floor(q·(n−1))`` of the sorted column (numpy 'lower' interpolation).
+
+    One range-partitioned rank pass + one O(1) count + a broadcast join
+    of the |qs|-row rank table. NULLs are excluded before ranking.
+    """
+    vals = df.select(F.col(col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    ranked = dense_rank_ids(vals, "x", num_partitions=num_partitions, out_col="rk")
+    n = ranked.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame([], "q double, value double")
+    targets = [(float(q), int(math.floor(q * (n - 1)))) for q in qs]
+    tdf = df.sparkSession.createDataFrame(targets, "q double, rk long")
+    return (
+        F.broadcast(tdf)
+        .join(ranked, "rk")
+        .select("q", F.col("x").alias("value"))
+    )
+
+
+def numeric_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """(bin, lo_edge, hi_edge, cnt): fixed-width histogram over [lo, hi).
+
+    Values outside the range clamp into the edge bins (profiling
+    convention: the tails are visible, not dropped). One map-side-combined
+    aggregate — a full profile of a 100 TB column costs one shuffle of
+    ``bins`` rows. Use power-of-two widths for bit-exact cross-engine
+    bin assignment.
+    """
+    width = (hi - lo) / bins
+    x = F.col(col).cast("double")
+    bin_raw = F.floor((x - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_c = F.greatest(F.lit(0), F.least(F.lit(bins - 1), bin_raw))
+    return (
+        df.filter(x.isNotNull())
+        .select(bin_c.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi_edge"),
+            "cnt",
+        )
+    )

@@ -2071,6 +2071,30 @@ JOIN uni u1 ON bg.w1 = u1.term JOIN uni u2 ON bg.w2 = u2.term
 CROSS JOIN tot GROUP BY bg.id"""
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """Exact order-statistic quantiles of events.value (operators/stats.py):
+    dyadic q's keep floor(q·(n−1)) engine-exact; the rank pass is the
+    range-partitioned ranker, no single-partition window."""
+    from amanogawa_spark.operators.stats import exact_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return exact_quantiles(ev, "value", [0.0, 0.25, 0.5, 0.75, 1.0]).select(
+        "q", F.round("value", 6).alias("value_r")
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of events.value over [0, 128) × 16 bins
+    (width 8 — a power of two, so bin assignment is bit-exact on both
+    engines; out-of-range values clamp into the edge bins)."""
+    from amanogawa_spark.operators.stats import numeric_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return numeric_histogram(ev, "value", 0.0, 128.0, 16).select(
+        "bin", F.round("lo_edge", 6).alias("lo_r"), F.round("hi_edge", 6).alias("hi_r"), "cnt"
+    )
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -2196,6 +2220,8 @@ QUERIES = {
     "q_degree_deltas": q_degree_deltas,
     "q_diff_summary": q_diff_summary,
     "q_bigram_lm": q_bigram_lm,
+    "q_exact_quantiles": q_exact_quantiles,
+    "q_value_histogram": q_value_histogram,
 }
 
 
@@ -3481,4 +3507,18 @@ FROM n3""",
         "ROUND(CAST(n_added + n_removed AS DOUBLE) / GREATEST(1, n_added + n_unchanged), 8) AS churn_r FROM agg"
     ),
     "q_bigram_lm": _BIGRAM_LM_SQL,
+    "q_exact_quantiles": (
+        "WITH base AS (SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL), "
+        "nn AS (SELECT COUNT(*) AS n FROM base), "
+        "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS rk FROM base), "
+        "qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.0), (0.25), (0.5), (0.75), (1.0)) t(q)) "
+        "SELECT q, ROUND(x, 6) AS value_r FROM qs CROSS JOIN nn "
+        "JOIN r ON r.rk = CAST(FLOOR(q * (n - 1)) AS BIGINT)"
+    ),
+    "q_value_histogram": (
+        "WITH b AS (SELECT GREATEST(0, LEAST(15, CAST(FLOOR(CAST(value AS DOUBLE) / 8.0) AS BIGINT))) AS bin "
+        "FROM events WHERE value IS NOT NULL) "
+        "SELECT bin, ROUND(CAST(bin * 8.0 AS DOUBLE), 6) AS lo_r, ROUND(CAST((bin + 1) * 8.0 AS DOUBLE), 6) AS hi_r, "
+        "COUNT(*) AS cnt FROM b GROUP BY bin"
+    ),
 }

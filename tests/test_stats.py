@@ -1,0 +1,47 @@
+"""Exact quantiles + histograms (operators/stats.py)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from amanogawa_spark.operators.stats import exact_quantiles, numeric_histogram
+
+
+def test_exact_quantiles_match_sorted_ranks(spark):
+    rng = random.Random(7)
+    vals = [round(rng.uniform(0, 100), 3) for _ in range(997)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    got = {r["q"]: r["value"] for r in exact_quantiles(df, "x", qs).collect()}
+    s = sorted(vals)
+    for q in qs:
+        assert got[q] == s[int(math.floor(q * (len(s) - 1)))], q
+
+
+def test_exact_quantiles_with_ties_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [5.0, 5.0, 5.0, 1.0, None, 9.0]], "x double"
+    )
+    got = {r["q"]: r["value"] for r in exact_quantiles(df, "x", [0.0, 0.5, 1.0]).collect()}
+    assert got == {0.0: 1.0, 0.5: 5.0, 1.0: 9.0}
+
+
+def test_quantiles_repartition_invariant(spark):
+    vals = [(float(i % 37),) for i in range(500)]
+    a = exact_quantiles(spark.createDataFrame(vals, "x double"), "x", [0.25, 0.75])
+    b = exact_quantiles(
+        spark.createDataFrame(vals, "x double").repartition(13), "x", [0.25, 0.75]
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_histogram_counts_and_clamping(spark):
+    vals = [0.0, 7.9, 8.0, 15.0, 63.9, -5.0, 200.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r["bin"]: r for r in numeric_histogram(df, "x", 0.0, 64.0, 8).collect()}
+    assert rows[0]["cnt"] == 3  # 0.0, 7.9, and clamped -5.0
+    assert rows[1]["cnt"] == 2  # 8.0, 15.0
+    assert rows[7]["cnt"] == 2  # 63.9 and clamped 200.0
+    assert rows[0]["lo_edge"] == 0.0 and rows[0]["hi_edge"] == 8.0
+    assert sum(r["cnt"] for r in rows.values()) == len(vals)
