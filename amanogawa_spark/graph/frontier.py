@@ -1,0 +1,84 @@
+"""Crawl frontier prioritization: what to fetch next, politely.
+
+Closes the crawl loop the engine's other halves assume (WARC ingestion
+brings pages in, the link graph ranks them): the frontier is every linked
+URL the crawl has not fetched, prioritized by the PageRank mass flowing
+into it from crawled pages (each crawled source donates rank/outdeg along
+its links — exactly the dangling contribution the next PageRank iteration
+would credit), and emitted top-k per host so no single host's fetch queue
+floods a polite crawler.
+
+Scale: frontier detection is one left-anti join against the crawled key
+set; priority is one map-side-combined sum over the link table; the
+politeness cut is a per-host window over the aggregated frontier rows
+(bounded by distinct frontier URLs per host, not by in-link volume —
+same hub-absorption argument as anchors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def frontier_priorities(
+    links: DataFrame, crawled: DataFrame, ranks: DataFrame | None = None
+) -> DataFrame:
+    """(dst, mass): rank mass flowing to each un-crawled link target.
+
+    ``links``: (src, dst) — any key type; ``crawled``: (key) fetched set;
+    ``ranks``: (key, rank) for crawled sources (uniform 1.0 when None).
+    mass(dst) = Σ_{src→dst, src crawled} rank(src) / outdeg(src).
+    """
+    src_keyed = links.select(F.col("src").alias("key"), "dst")
+    crawled_keys = crawled.select(F.col(crawled.columns[0]).alias("key")).distinct()
+    from_crawled = src_keyed.join(crawled_keys, "key", "left_semi")
+    outdeg = from_crawled.groupBy("key").agg(F.count("*").alias("od"))
+    if ranks is None:
+        r = outdeg.select("key", F.lit(1.0).alias("rank"), "od")
+    else:
+        r = outdeg.join(
+            ranks.select(F.col(ranks.columns[0]).alias("key"), F.col(ranks.columns[1]).alias("rank")),
+            "key",
+        )
+    contrib = from_crawled.join(r, "key").select(
+        "dst", (F.col("rank") / F.col("od")).alias("w")
+    )
+    frontier = contrib.join(
+        crawled_keys.select(F.col("key").alias("dst")), "dst", "left_anti"
+    )
+    return frontier.groupBy("dst").agg(F.sum("w").alias("mass"))
+
+
+def polite_topk(
+    priorities: DataFrame, host: Column, k: int = 10, round_to: int = 8
+) -> DataFrame:
+    """(host, dst, mass_r, rank): top-k frontier targets per host by
+    (rounded mass desc, dst asc) — rounded before ranking so the order is
+    engine-stable."""
+    w = Window.partitionBy("host").orderBy(F.desc("mass_r"), F.asc("dst"))
+    return (
+        priorities.select(
+            host.alias("host"), "dst", F.round("mass", round_to).alias("mass_r")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def crawl_frontier(
+    pages: DataFrame, ranks_by_url: DataFrame | None = None, per_host: int = 10
+) -> DataFrame:
+    """URL-level wrapper: extract links from the crawled pages' HTML, find
+    un-crawled targets, prioritize by donated rank mass, cut top
+    ``per_host`` per registered host. Returns (host, dst, mass_r, rank)."""
+    from amanogawa_spark.functions.url import host_of
+    from amanogawa_spark.graph.build import extract_edges_urls
+
+    links = extract_edges_urls(pages).select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    crawled = pages.select("url")
+    pr = frontier_priorities(links, crawled, ranks_by_url)
+    return polite_topk(pr, host_of(F.col("dst")), k=per_host)

@@ -2095,6 +2095,20 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier prioritization (graph/frontier.py): vertices with
+    id < 1200 are 'crawled' with uniform rank; frontier mass = donated
+    1/outdeg along links; top-3 per synthetic host (dst % 50)."""
+    from amanogawa_spark.graph.frontier import frontier_priorities, polite_topk
+
+    e = derived_edges(spark, sf_dir).select(
+        F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+    )
+    crawled = derived_vertices(spark, sf_dir).filter(F.col("id") < 1200)
+    pr = frontier_priorities(e, crawled)
+    return polite_topk(pr, F.col("dst") % 50, k=3)
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -2222,6 +2236,7 @@ QUERIES = {
     "q_bigram_lm": q_bigram_lm,
     "q_exact_quantiles": q_exact_quantiles,
     "q_value_histogram": q_value_histogram,
+    "q_crawl_frontier": q_crawl_frontier,
 }
 
 
@@ -3520,5 +3535,16 @@ FROM n3""",
         "FROM events WHERE value IS NOT NULL) "
         "SELECT bin, ROUND(CAST(bin * 8.0 AS DOUBLE), 6) AS lo_r, ROUND(CAST((bin + 1) * 8.0 AS DOUBLE), 6) AS hi_r, "
         "COUNT(*) AS cnt FROM b GROUP BY bin"
+    ),
+    "q_crawl_frontier": (
+        f"WITH {_EDGES_SQL.strip()}, {_VERTS_SQL.strip()}, "
+        "crawled AS (SELECT id FROM verts WHERE id < 1200), "
+        "fc AS (SELECT src_id AS key, dst_id AS dst FROM edges JOIN crawled ON src_id = crawled.id), "
+        "od AS (SELECT key, CAST(COUNT(*) AS DOUBLE) AS od FROM fc GROUP BY key), "
+        "contrib AS (SELECT dst, 1.0 / od AS w FROM fc JOIN od USING (key)), "
+        "fr AS (SELECT dst, SUM(w) AS mass FROM contrib ANTI JOIN crawled ON contrib.dst = crawled.id GROUP BY dst), "
+        "ranked AS (SELECT dst % 50 AS host, dst, ROUND(mass, 8) AS mass_r, "
+        "ROW_NUMBER() OVER (PARTITION BY dst % 50 ORDER BY ROUND(mass, 8) DESC, dst ASC) AS rank FROM fr) "
+        "SELECT host, dst, mass_r, rank FROM ranked WHERE rank <= 3"
     ),
 }
