@@ -421,6 +421,43 @@ def jaccard_verify(
     )
 
 
+def containment_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Directed n-gram containment on candidate pairs:
+    (id_a, id_b, cont_ab, cont_ba) with C(A→B) = |A∩B| / |A|.
+
+    The quote/subset-duplication signal Jaccard dilutes: a short document
+    wholly embedded in a long one has C(short→long) ≈ 1 while Jaccard ≈
+    |short|/|long| ≈ 0 — exactly the case (boilerplate wrappers, quoted
+    articles, partial mirrors) RefinedWeb-style pipelines also check.
+    A pair is kept when EITHER direction clears ``threshold``. Same plan
+    shape as :func:`jaccard_verify` (two shingle-array joins onto the
+    candidate pairs — |candidates|-sized, never all-pairs)."""
+    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))).select(
+        "id", shingles("t", shingle_n).alias("sh")
+    )
+    pa = candidates.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+    pab = pa.join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    denom_a = F.when(F.size("sh_a") > 0, F.size("sh_a")).otherwise(F.lit(1))
+    denom_b = F.when(F.size("sh_b") > 0, F.size("sh_b")).otherwise(F.lit(1))
+    return (
+        pab.select(
+            "id_a",
+            "id_b",
+            (inter / denom_a).alias("cont_ab"),
+            (inter / denom_b).alias("cont_ba"),
+        )
+        .filter((F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold))
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

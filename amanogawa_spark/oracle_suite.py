@@ -2109,6 +2109,44 @@ def q_crawl_frontier(spark, sf_dir):
     return polite_topk(pr, F.col("dst") % 50, k=3)
 
 
+def q_containment(spark, sf_dir):
+    """Directed n-gram containment pairs (operators/dedup.py
+    containment_verify) on all pairs of a doc_id<100 slice — the
+    quote/subset-duplication signal Jaccard dilutes."""
+    from amanogawa_spark.operators.dedup import containment_verify
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    pairs = (
+        ids.select(F.col("id").alias("id_a"))
+        .crossJoin(ids.select(F.col("id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return containment_verify(pairs, docs, shingle_n=2, threshold=0.2).select(
+        "id_a",
+        "id_b",
+        F.round("cont_ab", 6).alias("cont_ab_r"),
+        F.round("cont_ba", 6).alias("cont_ba_r"),
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents WHERE doc_id < 100),
+tk AS (SELECT id, string_split(norm, ' ') AS toks FROM base),
+shl AS (SELECT id, CASE WHEN len(toks) >= 2
+  THEN list_distinct(list_transform(range(0, len(toks) - 1),
+       i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')))
+  ELSE [array_to_string(toks, ' ')] END AS sh FROM tk),
+p AS (SELECT a.id AS id_a, b.id AS id_b,
+  len(list_intersect(a.sh, b.sh)) AS inter,
+  greatest(len(a.sh), 1) AS da, greatest(len(b.sh), 1) AS db
+  FROM shl a JOIN shl b ON a.id < b.id)
+SELECT id_a, id_b,
+  ROUND(inter * 1.0 / da, 6) AS cont_ab_r,
+  ROUND(inter * 1.0 / db, 6) AS cont_ba_r
+FROM p WHERE inter * 1.0 / da >= 0.2 OR inter * 1.0 / db >= 0.2"""
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -2218,8 +2256,10 @@ QUERIES = {
     "q_domain_edges": q_domain_edges,
     "q_pagerank_weighted3": q_pagerank_weighted3,
     "q_clustering_coeff": q_clustering_coeff,
-    # -- new this session (positions >50: driver rows land in round 4's cap;
-    #    value-checked every round by tests/test_all_oracles.py regardless) --
+    # -- new in round 3 (positions >50: NO driver row yet — round 4 must
+    #    reorder these into the first-50 cap, together with any round-2
+    #    entries whose CORRECTNESS_r03 row is missing; all are value-checked
+    #    every round by tests/test_all_oracles.py regardless) --
     "q_anchor_terms": q_anchor_terms,
     "q_bm25_topk": q_bm25_topk,
     "q_posting_lists": q_posting_lists,
@@ -2237,6 +2277,7 @@ QUERIES = {
     "q_exact_quantiles": q_exact_quantiles,
     "q_value_histogram": q_value_histogram,
     "q_crawl_frontier": q_crawl_frontier,
+    "q_containment": q_containment,
 }
 
 
@@ -3547,4 +3588,5 @@ FROM n3""",
         "ROW_NUMBER() OVER (PARTITION BY dst % 50 ORDER BY ROUND(mass, 8) DESC, dst ASC) AS rank FROM fr) "
         "SELECT host, dst, mass_r, rank FROM ranked WHERE rank <= 3"
     ),
+    "q_containment": _CONTAINMENT_SQL,
 }

@@ -227,3 +227,33 @@ def test_duplicate_ngram_spans_and_stats(spark):
     assert stats[5].n_grams == 0 and stats[5].dup_frac == 0.0
     assert stats[1].n_dup_grams >= 1
     assert 0 < stats[1].dup_frac <= 1.0
+
+
+def test_containment_verify_quote_detection(spark):
+    """A short doc embedded in a long one: containment ~1 one way, Jaccard low."""
+    from amanogawa_spark.operators.dedup import containment_verify, jaccard_verify
+
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame([(0, short), (1, long_)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    got = containment_verify(pairs, docs, shingle_n=2, threshold=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["cont_ab"] == 1.0          # every shingle of the short doc is in the long
+    assert r["cont_ba"] < 0.1           # but not vice versa
+    # Jaccard at the same threshold misses this pair entirely
+    assert jaccard_verify(pairs, docs, shingle_n=2, threshold=0.5).count() == 0
+
+
+def test_containment_symmetric_identical_docs(spark):
+    from amanogawa_spark.operators.dedup import containment_verify
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d"), (2, "zz qq")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], ["id_a", "id_b"])
+    rows = {(r["id_a"], r["id_b"]): r for r in
+            containment_verify(pairs, docs, shingle_n=2, threshold=0.9).collect()}
+    assert set(rows) == {(0, 1)}
+    assert rows[(0, 1)]["cont_ab"] == 1.0 and rows[(0, 1)]["cont_ba"] == 1.0
