@@ -111,3 +111,128 @@ def random_walks(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def _walk_uniform(step: int, hash: str, seed: int):
+    """Deterministic per-candidate uniform in (0,1): u = (h32 + 0.5)/2^32."""
+    if hash == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            "~",
+                            F.col("start_id").cast("string"),
+                            F.col("walk_no").cast("string"),
+                            F.lit(str(step)),
+                            F.col("dst_id").cast("string"),
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(
+            "start_id", "walk_no", F.lit(step), "dst_id", F.lit(seed)
+        ).bitwiseAND(F.lit((1 << 32) - 1))
+    return (h + F.lit(0.5)) / F.lit(float(1 << 32))
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_vertex: int = 1,
+    hash: str = "xxhash64",
+    seed: int = 7,
+) -> DataFrame:
+    """(start_id, walk_no, step, vertex_id) — second-order biased walks
+    (node2vec, Grover & Leskovec 2016), still fully deterministic.
+
+    Transition weight from (prev → cur) to dst: 1/p if dst == prev
+    (return), 1 if dst is adjacent to prev (BFS-ish), 1/q otherwise
+    (DFS-ish). The weighted choice is an exponential race — dst minimizes
+    ``−ln(u)/α`` with u a pure hash of (start, walk_no, step, dst) — the
+    same A-ES construction as ``importance_resample``, so the draw IS
+    distributed ∝ α yet reproducible across engines, reruns, and
+    partitionings (key rounded to 8 + dst tiebreak, as elsewhere).
+
+    Per step beyond the first: TWO edge-keyed joins (frontier ⋈ out-edges
+    on cur; candidates ⋈ edges on (prev, dst) for the adjacency flag) and
+    a bounded per-walk window — a hub walker pays O(out-degree) rows per
+    step, which is inherent to node2vec's normalization. Step 1 is
+    uniform (no prev yet). Use dyadic p/q for bit-exact oracle mirrors.
+    """
+    e = edges.select("src_id", "dst_id").distinct()
+    starts = (
+        e.select(F.col("src_id").alias("start_id"))
+        .distinct()
+        .select(
+            "start_id",
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias(
+                "walk_no"
+            ),
+        )
+    )
+    parts = [
+        starts.select(
+            "start_id", "walk_no", F.lit(0).alias("step"),
+            F.col("start_id").alias("vertex_id"),
+        )
+    ]
+    # frontier carries the walk's 2nd-order state: (prev_id, vertex_id)
+    frontier = starts.select(
+        "start_id", "walk_no",
+        F.lit(None).cast("long").alias("prev_id"),
+        F.col("start_id").alias("vertex_id"),
+    )
+    adj = e.select(
+        F.col("src_id").alias("prev_id"), F.col("dst_id").alias("dst_id"),
+        F.lit(1).alias("_adj"),
+    )
+    w = Window.partitionBy("start_id", "walk_no").orderBy(
+        F.col("_key").asc(), F.col("dst_id").asc()
+    )
+    for k in range(1, walk_length + 1):
+        cand = frontier.join(e, frontier["vertex_id"] == e["src_id"]).select(
+            "start_id", "walk_no", "prev_id",
+            frontier["vertex_id"].alias("cur_id"), "dst_id",
+        )
+        if k == 1:
+            alpha = F.lit(1.0)
+        else:
+            cand = cand.join(adj, ["prev_id", "dst_id"], "left")
+            alpha = (
+                F.when(F.col("dst_id") == F.col("prev_id"), F.lit(1.0 / p))
+                .when(F.col("_adj").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q))
+            )
+        key = F.round(-F.log(_walk_uniform(k, hash, seed)) / alpha, 8)
+        nxt = (
+            cand.withColumn("_key", key)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "start_id", "walk_no",
+                F.col("cur_id").alias("prev_id"),
+                F.col("dst_id").alias("vertex_id"),
+            )
+        )
+        if k % 8 == 0 and k < walk_length:
+            nxt = nxt.localCheckpoint(eager=True)
+        parts.append(
+            nxt.select(
+                "start_id", "walk_no", F.lit(k).alias("step"), "vertex_id"
+            )
+        )
+        frontier = nxt
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionAll(pt)
+    return out

@@ -2147,6 +2147,46 @@ SELECT id_a, id_b,
 FROM p WHERE inter * 1.0 / da >= 0.2 OR inter * 1.0 / db >= 0.2"""
 
 
+def q_node2vec2(spark, sf_dir):
+    """Two node2vec-biased walk steps (graph/walks.py node2vec_walks) with
+    dyadic p=2, q=0.5 and md5 draws — every transition (uniform step 1,
+    exponential-race biased step 2 with return/BFS/DFS weights) mirrors
+    exactly in SQL."""
+    from amanogawa_spark.graph.walks import node2vec_walks
+
+    e = derived_edges(spark, sf_dir)
+    return node2vec_walks(e, walk_length=2, p=2.0, q=0.5, hash="md5")
+
+
+_NODE2VEC2_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+starts AS (SELECT DISTINCT src_id AS start_id FROM edges),
+u1 AS (SELECT start_id, e.dst_id,
+  ROUND(-ln(((('0x' || substr(md5(start_id || '~0~1~' || e.dst_id), 1, 8))::BIGINT + 0.5)
+        / 4294967296.0)) / 1.0, 8) AS k
+  FROM starts JOIN edges e ON start_id = e.src_id),
+s1 AS (SELECT start_id, dst_id AS cur_id FROM (
+  SELECT start_id, dst_id, ROW_NUMBER() OVER (PARTITION BY start_id ORDER BY k ASC, dst_id ASC) AS rn
+  FROM u1) WHERE rn = 1),
+u2 AS (SELECT s1.start_id, s1.cur_id, e.dst_id,
+  CASE WHEN e.dst_id = s1.start_id THEN 0.5
+       WHEN pe.src_id IS NOT NULL THEN 1.0
+       ELSE 2.0 END AS alpha,
+  ((('0x' || substr(md5(s1.start_id || '~0~2~' || e.dst_id), 1, 8))::BIGINT + 0.5)
+        / 4294967296.0) AS u
+  FROM s1 JOIN edges e ON s1.cur_id = e.src_id
+  LEFT JOIN edges pe ON pe.src_id = s1.start_id AND pe.dst_id = e.dst_id),
+s2 AS (SELECT start_id, dst_id FROM (
+  SELECT start_id, dst_id, ROW_NUMBER() OVER (
+    PARTITION BY start_id ORDER BY ROUND(-ln(u) / alpha, 8) ASC, dst_id ASC) AS rn
+  FROM u2) WHERE rn = 1)
+SELECT start_id, CAST(0 AS INT) AS walk_no, 0 AS step, start_id AS vertex_id FROM starts
+UNION ALL
+SELECT start_id, CAST(0 AS INT), 1, cur_id FROM s1
+UNION ALL
+SELECT start_id, CAST(0 AS INT), 2, dst_id FROM s2"""
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -2278,6 +2318,7 @@ QUERIES = {
     "q_value_histogram": q_value_histogram,
     "q_crawl_frontier": q_crawl_frontier,
     "q_containment": q_containment,
+    "q_node2vec2": q_node2vec2,
 }
 
 
@@ -3589,4 +3630,5 @@ FROM n3""",
         "SELECT host, dst, mass_r, rank FROM ranked WHERE rank <= 3"
     ),
     "q_containment": _CONTAINMENT_SQL,
+    "q_node2vec2": _NODE2VEC2_SQL,
 }
