@@ -17,7 +17,17 @@ from amanogawa_spark.graph.community import louvain, modularity
 from amanogawa_spark.graph.mis import luby_mis
 from amanogawa_spark.graph.scc import strongly_connected_components
 from amanogawa_spark.graph.sssp import bfs_levels, shortest_paths
-from amanogawa_spark.graph.walks import random_walks
+from amanogawa_spark.graph.walks import node2vec_walks, random_walks
+from amanogawa_spark.graph.anchors import anchor_edges, anchor_top_terms
+from amanogawa_spark.graph.coloring import jp_coloring
+from amanogawa_spark.graph.diff import degree_deltas, diff_summary, edge_diff
+from amanogawa_spark.graph.frontier import crawl_frontier, frontier_priorities
+from amanogawa_spark.graph.landmarks import (
+    estimate_distances,
+    landmark_distances,
+    select_landmarks,
+)
+from amanogawa_spark.graph.salsa import salsa
 
 __all__ = [
     "build_edges",
@@ -40,5 +50,18 @@ __all__ = [
     "shortest_paths",
     "bfs_levels",
     "random_walks",
+    "node2vec_walks",
+    "anchor_edges",
+    "anchor_top_terms",
+    "jp_coloring",
+    "edge_diff",
+    "degree_deltas",
+    "diff_summary",
+    "crawl_frontier",
+    "frontier_priorities",
+    "landmark_distances",
+    "estimate_distances",
+    "select_landmarks",
+    "salsa",
     "triangle_count",
 ]

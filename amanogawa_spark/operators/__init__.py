@@ -12,6 +12,11 @@ from amanogawa_spark.operators.sketch import (
     hll_distinct,
     hll_registers,
 )
+from amanogawa_spark.operators.bpe import bpe_encode, bpe_train
+from amanogawa_spark.operators.retrieval import bm25_scores, posting_lists
+from amanogawa_spark.operators.semdedup import semdedup
+from amanogawa_spark.operators.pq import ivf_pq_topk, pq_adc_topk, pq_encode, pq_train
+from amanogawa_spark.operators.stats import exact_quantiles, numeric_histogram
 
 __all__ = [
     "branch_columns",
@@ -27,4 +32,15 @@ __all__ = [
     "cms_registers",
     "hll_distinct",
     "hll_registers",
+    "bpe_train",
+    "bpe_encode",
+    "bm25_scores",
+    "posting_lists",
+    "semdedup",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivf_pq_topk",
+    "exact_quantiles",
+    "numeric_histogram",
 ]
