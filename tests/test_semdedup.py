@@ -78,3 +78,27 @@ def test_assign_clusters_tie_breaks_to_smaller_cid(spark):
     )
     got = assign_clusters(_emb_df(spark, rows), centroids=cents).collect()
     assert got[0]["cid"] == 0
+
+
+def test_arrow_method_agrees_with_expr(spark):
+    # well-separated clusters: both methods must produce identical decisions
+    rows = [
+        (i, [1.0 + (i % 4) * 0.001, 0.0]) for i in range(20)
+    ] + [(100 + i, [0.0, 1.0 + i * 0.001]) for i in range(10)]
+    df = _emb_df(spark, rows)
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, cv array<double>"
+    )
+    a = semdedup(df, threshold=0.999, centroids=cents, method="expr")
+    b = semdedup(df, threshold=0.999, centroids=cents, method="arrow")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_arrow_method_guard_passthrough(spark):
+    rows = [(i, [1.0, float(i) * 1e-4]) for i in range(10)]
+    cents = spark.createDataFrame([(0, [1.0, 0.0])], "cid int, cv array<double>")
+    out = semdedup(
+        _emb_df(spark, rows), threshold=0.5, centroids=cents,
+        max_cluster_size=5, method="arrow",
+    )
+    assert all(r["keep"] for r in out.collect())
