@@ -252,3 +252,41 @@ def importance_resample(
         .orderBy(F.col("_gkey").desc(), *[F.col(c).asc() for c in key_cols])
         .limit(k)
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    temperature: float = 2.0,
+    target_frac: float | None = None,
+) -> dict[str, float]:
+    """Per-group keep rates implementing temperature-scaled mixing
+    (the multilingual-LM recipe, e.g. mBERT/XLM-R/mT5: sample groups
+    ∝ count^(1/T) so low-resource groups are up-weighted relative to
+    their raw share; T=1 keeps natural proportions, T→∞ → uniform).
+
+    Returns a rates dict to feed straight into
+    ``mixture_sample(df, group_col, rates)``. The group histogram is one
+    map-side-combined count (the only data pass); the rate arithmetic is
+    driver-side over the small group dict. ``target_frac`` scales the
+    rates so the expected kept fraction of the WHOLE corpus is that
+    value (rates are capped at 1.0 — a group too small to fill its
+    temperature share keeps everything; no upsampling/duplication here).
+    """
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    powered = {g: (n / total) ** (1.0 / temperature) for g, n in counts.items()}
+    psum = sum(powered.values())
+    shares = {g: p / psum for g, p in powered.items()}  # target mixture
+    frac = target_frac if target_frac is not None else min(
+        counts[g] / (shares[g] * total) for g in counts
+    )
+    # rate_g = (wanted rows in group g) / (available rows in group g)
+    return {
+        g: min(1.0, shares[g] * total * frac / counts[g]) for g in sorted(counts)
+    }

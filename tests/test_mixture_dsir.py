@@ -105,3 +105,38 @@ def test_gumbel_key_matches_python_mirror(spark):
 
     expect = [i for i, _ in sorted(rows, key=lambda r: (-key(*r), r[0]))[:25]]
     assert got == expect
+
+
+def test_temperature_rates_properties(spark):
+    import pytest
+
+    # skewed corpus: en 800, de 150, zh 50
+    rows = [("en",)] * 800 + [("de",)] * 150 + [("zh",)] * 50
+    df = spark.createDataFrame(rows, ["lang"])
+    from amanogawa_spark.operators.sampling import temperature_rates
+
+    # T=1: natural proportions -> every rate equal (no rebalancing)
+    r1 = temperature_rates(df, "lang", temperature=1.0)
+    assert len({round(v, 9) for v in r1.values()}) == 1
+
+    # T=2: low-resource groups keep a larger FRACTION of themselves
+    r2 = temperature_rates(df, "lang", temperature=2.0)
+    assert r2["zh"] > r2["de"] > r2["en"]
+    assert max(r2.values()) <= 1.0
+    # default scaling: the binding group keeps everything
+    assert max(r2.values()) == pytest.approx(1.0)
+
+    # expected kept mixture matches count^(1/T) shares
+    counts = {"en": 800, "de": 150, "zh": 50}
+    kept = {g: counts[g] * r2[g] for g in counts}
+    tot = sum(kept.values())
+    powered = {g: (c / 1000) ** 0.5 for g, c in counts.items()}
+    psum = sum(powered.values())
+    for g in counts:
+        assert kept[g] / tot == pytest.approx(powered[g] / psum, rel=1e-9)
+
+    # target_frac scales the whole-corpus expectation
+    r3 = temperature_rates(df, "lang", temperature=2.0, target_frac=0.1)
+    assert sum(counts[g] * r3[g] for g in counts) / 1000 == pytest.approx(
+        0.1, rel=1e-6
+    )
