@@ -1,0 +1,60 @@
+"""tools/run_analytics_job.py: the spark-submit analytics surface."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run(argv, capsys):
+    spec = importlib.util.spec_from_file_location(
+        "run_analytics_job", REPO / "tools" / "run_analytics_job.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = ["run_analytics_job.py"] + argv
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads([l for l in out if l.startswith("{")][-1])
+
+
+def test_analytics_cli_algos(spark, tmp_path, capsys):
+    from amanogawa_spark.fixtures.pages import generate_pages
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+
+    pages = spark.createDataFrame(generate_pages(n_pages=150, seed=7).pages)
+    v = build_vertices(pages)
+    e = build_edges(pages, v)
+    v.write.mode("overwrite").parquet(str(tmp_path / "g" / "vertices"))
+    e.write.mode("overwrite").parquet(str(tmp_path / "g" / "edges"))
+    g = str(tmp_path / "g")
+
+    n_verts = v.count()
+    meta = _run(["--graph", g, "--algo", "cc", "--out", f"{g}/cc"], capsys)
+    assert meta["rows"] == n_verts
+    cc = spark.read.parquet(f"{g}/cc")
+    assert cc.select("component").distinct().count() >= 2  # planted components
+
+    meta = _run(["--graph", g, "--algo", "coloring", "--out", f"{g}/col"], capsys)
+    assert meta["rows"] == n_verts
+
+    meta = _run(
+        ["--graph", g, "--algo", "salsa", "--out", f"{g}/salsa", "--max-iter", "3"],
+        capsys,
+    )
+    assert meta["rows"] == n_verts and meta["iterations"] == 3
+
+    meta = _run(
+        ["--graph", g, "--algo", "node2vec", "--out", f"{g}/n2v", "--k", "2",
+         "--p", "2.0", "--q", "0.5"],
+        capsys,
+    )
+    assert meta["rows"] > n_verts  # steps 0..2 per walking vertex

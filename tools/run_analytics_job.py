@@ -1,0 +1,115 @@
+"""Cluster entry point: any graph analytic over a built (vertices, edges) graph.
+
+Companion to run_pagerank_job.py (which owns extraction + the PageRank
+superjob): this one reads the already-built graph tables it wrote and runs
+any of the engine's analytics — the `spark-submit --py-files` surface for
+the full algorithm suite:
+
+    spark-submit --py-files dist/amanogawa_spark.zip \\
+        tools/run_analytics_job.py --graph /out --algo scc --out /out/scc
+
+``--algo`` one of: cc, scc, lpa, hits, salsa, kcore, coreness, triangles,
+clustering, louvain, coloring, mis, walks, node2vec, degrees, linkpred.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--graph", required=True, help="root with vertices/ and edges/ parquet")
+    ap.add_argument("--out", required=True, help="output parquet path")
+    ap.add_argument("--algo", required=True)
+    ap.add_argument("--max-iter", type=int, default=50)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--k", type=int, default=3, help="k for kcore/linkpred/walks length")
+    ap.add_argument("--p", type=float, default=1.0, help="node2vec return parameter")
+    ap.add_argument("--q", type=float, default=1.0, help="node2vec in-out parameter")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(f"amanogawa_{args.algo}").getOrCreate()
+    vertices = spark.read.parquet(f"{args.graph}/vertices")
+    edges = spark.read.parquet(f"{args.graph}/edges")
+
+    meta: dict = {"algo": args.algo}
+    if args.algo == "cc":
+        from amanogawa_spark.graph.components import connected_components
+
+        out = connected_components(vertices, edges, max_rounds=args.max_iter)
+    elif args.algo == "scc":
+        from amanogawa_spark.graph.scc import strongly_connected_components
+
+        out = strongly_connected_components(vertices, edges, max_outer=args.max_iter)
+    elif args.algo == "lpa":
+        from amanogawa_spark.graph.lpa import label_propagation
+
+        out = label_propagation(vertices, edges, max_rounds=args.max_iter)
+    elif args.algo == "hits":
+        from amanogawa_spark.graph.hits import hits
+
+        res = hits(vertices, edges, tol=args.tol, max_iter=args.max_iter)
+        out, meta["iterations"] = res.scores, res.iterations
+    elif args.algo == "salsa":
+        from amanogawa_spark.graph.salsa import salsa
+
+        res = salsa(vertices, edges, tol=args.tol, max_iter=args.max_iter)
+        out, meta["iterations"] = res.scores, res.iterations
+    elif args.algo == "kcore":
+        from amanogawa_spark.graph.kcore import k_core
+
+        out = k_core(vertices, edges, k=args.k)
+    elif args.algo == "coreness":
+        from amanogawa_spark.graph.kcore import coreness
+
+        out = coreness(vertices, edges)
+    elif args.algo == "triangles":
+        from amanogawa_spark.graph.triangles import triangle_total
+
+        out = triangle_total(edges)
+    elif args.algo == "clustering":
+        from amanogawa_spark.graph.triangles import clustering_coefficient
+
+        out = clustering_coefficient(edges)
+    elif args.algo == "louvain":
+        from amanogawa_spark.graph.community import louvain
+
+        out = louvain(vertices, edges)
+    elif args.algo == "coloring":
+        from amanogawa_spark.graph.coloring import jp_coloring
+
+        out = jp_coloring(vertices, edges, max_rounds=args.max_iter)
+    elif args.algo == "mis":
+        from amanogawa_spark.graph.mis import luby_mis
+
+        out = luby_mis(vertices, edges, max_rounds=args.max_iter)
+    elif args.algo == "walks":
+        from amanogawa_spark.graph.walks import random_walks
+
+        out = random_walks(edges, walk_length=args.k)
+    elif args.algo == "node2vec":
+        from amanogawa_spark.graph.walks import node2vec_walks
+
+        out = node2vec_walks(edges, walk_length=args.k, p=args.p, q=args.q)
+    elif args.algo == "degrees":
+        from amanogawa_spark.graph.build import degrees
+
+        out = degrees(edges)
+    elif args.algo == "linkpred":
+        from amanogawa_spark.graph.linkpred import link_prediction_scores
+
+        out = link_prediction_scores(edges, k=args.k)
+    else:
+        raise SystemExit(f"unknown --algo {args.algo!r}")
+
+    out.write.mode("overwrite").parquet(args.out)
+    meta["rows"] = spark.read.parquet(args.out).count()
+    print(json.dumps(meta))
+
+
+if __name__ == "__main__":
+    main()
