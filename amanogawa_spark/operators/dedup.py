@@ -178,6 +178,55 @@ def dup_span_stats(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(doc_id, clean_text, n_tokens, n_removed) — cut every corpus-repeated
+    word ``n``-gram span out of the normalized text (the removal half of
+    :func:`duplicate_ngram_spans`; RefinedWeb/Lee-et-al-style exact
+    substring dedup applied in place).
+
+    A token is removed iff it lies inside ANY duplicated span [pos,
+    pos+n). Surviving tokens re-join in order with single spaces — offsets
+    are over the normalized token stream, matching the detector.
+
+    Scale shape: the detector's aggregate + semi-join, then ONE groupBy
+    collecting each doc's covered-index array (bounded by the doc's own
+    token count), and a pure-Catalyst filter/rebuild per row. Documents
+    with no duplicated spans pass through the join as NULL and rebuild
+    unchanged.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    spans = duplicate_ngram_spans(df, id_col, text_col, n)
+    covered = (
+        spans.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("idx"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("idx")).alias("cov"))
+    )
+    joined = base.join(covered, id_col, "left").withColumn(
+        "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    )
+    tw = F.arrays_zip(
+        F.col("toks").alias("tok"),
+        F.sequence(F.lit(0), F.size("toks") - 1).alias("idx"),
+    )
+    kept = F.filter(tw, lambda t: ~F.array_contains(F.col("cov"), t["idx"]))
+    return joined.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda t: t["tok"]), " ").alias("clean_text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -2187,6 +2187,36 @@ UNION ALL
 SELECT start_id, CAST(0 AS INT), 2, dst_id FROM s2"""
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """In-place exact-substring dedup (operators/dedup.py
+    remove_duplicated_spans): corpus-repeated 5-gram spans cut from the
+    normalized text; cleaned text + removal counts value-checked."""
+    from amanogawa_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return remove_duplicated_spans(docs, n=5)
+
+
+_REMOVE_DUP_SPANS_SQL = f"""
+WITH base AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks
+  FROM documents WHERE doc_id < 150),
+grams AS (SELECT id, i AS pos, array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS gram
+  FROM base, LATERAL unnest(range(0, greatest(len(toks) - 4, 0))) AS t(i)),
+occ AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+dup AS (SELECT grams.id, grams.pos FROM grams SEMI JOIN occ ON grams.gram = occ.gram),
+cov AS (SELECT DISTINCT id, pos + j AS idx FROM dup, LATERAL unnest(range(0, 5)) AS u(j)),
+toki AS (SELECT id, i AS idx, toks[CAST(i + 1 AS INT)] AS tok
+  FROM base, LATERAL unnest(range(0, len(toks))) AS t(i)),
+kept AS (SELECT toki.id, toki.idx, toki.tok FROM toki
+  ANTI JOIN cov ON toki.id = cov.id AND toki.idx = cov.idx),
+reb AS (SELECT id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+  CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY id)
+SELECT base.id AS doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+  CAST(len(base.toks) AS BIGINT) AS n_tokens,
+  CAST(len(base.toks) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+FROM base LEFT JOIN reb ON base.id = reb.id"""
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -2319,6 +2349,7 @@ QUERIES = {
     "q_crawl_frontier": q_crawl_frontier,
     "q_containment": q_containment,
     "q_node2vec2": q_node2vec2,
+    "q_remove_dup_spans": q_remove_dup_spans,
 }
 
 
@@ -3631,4 +3662,5 @@ FROM n3""",
     ),
     "q_containment": _CONTAINMENT_SQL,
     "q_node2vec2": _NODE2VEC2_SQL,
+    "q_remove_dup_spans": _REMOVE_DUP_SPANS_SQL,
 }

@@ -197,6 +197,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         lambda: random_walks(edges, walk_length=4, walks_per_vertex=2).count()
     )
 
+    # second-order biased walks: adds the prev-adjacency join per step
+    from amanogawa_spark.graph.walks import node2vec_walks
+
+    results["node2vec_l4"] = _timed(
+        lambda: node2vec_walks(edges, walk_length=4, p=2.0, q=0.5).count()
+    )
+
     # directed condensation of the derived digraph (SCC peel to fixpoint)
     from amanogawa_spark.graph.scc import strongly_connected_components
     from amanogawa_spark.oracle_suite import derived_edges

@@ -257,3 +257,32 @@ def test_containment_symmetric_identical_docs(spark):
             containment_verify(pairs, docs, shingle_n=2, threshold=0.9).collect()}
     assert set(rows) == {(0, 1)}
     assert rows[(0, 1)]["cont_ab"] == 1.0 and rows[(0, 1)]["cont_ba"] == 1.0
+
+
+def test_remove_duplicated_spans_cuts_and_counts(spark):
+    from amanogawa_spark.operators.dedup import remove_duplicated_spans
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps into the river bed"),
+        (2, "totally unique words here only once ever written"),
+        (3, "tiny"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: tuple(r)[1:] for r in remove_duplicated_spans(df, n=5).collect()}
+    # docs 0/1 share the 5-gram "the quick brown fox jumps": cut from both
+    assert got[0] == ("over the lazy dog", 9, 5)
+    assert got[1] == ("into the river bed", 9, 5)
+    assert got[2] == ("totally unique words here only once ever written", 8, 0)
+    assert got[3] == ("tiny", 1, 0)
+
+
+def test_remove_duplicated_spans_full_removal_and_overlap(spark):
+    from amanogawa_spark.operators.dedup import remove_duplicated_spans
+
+    # identical docs: every position is a duplicated 3-gram -> all removed;
+    # overlapping spans must merge, not double-count
+    docs = [(0, "a b c d"), (1, "a b c d")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: tuple(r)[1:] for r in remove_duplicated_spans(df, n=3).collect()}
+    assert got[0] == ("", 4, 4) and got[1] == ("", 4, 4)
