@@ -2217,6 +2217,37 @@ SELECT base.id AS doc_id, COALESCE(reb.clean_text, '') AS clean_text,
 FROM base LEFT JOIN reb ON base.id = reb.id"""
 
 
+_CLF_WEIGHTS = [
+    ("spark", 2.0), ("graph", 1.5), ("query", 1.0),
+    ("slow", -1.5), ("dup", -2.0), ("the", 0.25),
+]
+
+
+def q_classifier_scores(spark, sf_dir):
+    """fastText-style linear quality-classifier apply (operators/
+    classifier.py): broadcast weight table, mean-of-term-weights logit,
+    sigmoid scores rounded — the model-based quality gate."""
+    from amanogawa_spark.operators.classifier import linear_classifier_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    w = spark.createDataFrame(_CLF_WEIGHTS, ["term", "weight"])
+    return linear_classifier_scores(docs, w, bias=-0.5)
+
+
+_CLF_SQL = f"""
+WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents WHERE doc_id < 200),
+tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base),
+tc AS (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok
+  WHERE length(term) > 0 GROUP BY id, term),
+w AS (SELECT * FROM (VALUES ('spark', 2.0), ('graph', 1.5), ('query', 1.0),
+  ('slow', -1.5), ('dup', -2.0), ('the', 0.25)) AS t(term, weight)),
+sc AS (SELECT id, cnt, cnt * COALESCE(weight, 0.0) AS contrib
+  FROM tc LEFT JOIN w USING (term))
+SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+  ROUND(1.0 / (1.0 + exp(-(-0.5 + SUM(contrib) / SUM(cnt)))), 8) AS score_r
+FROM sc GROUP BY id"""
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -2350,6 +2381,7 @@ QUERIES = {
     "q_containment": q_containment,
     "q_node2vec2": q_node2vec2,
     "q_remove_dup_spans": q_remove_dup_spans,
+    "q_classifier_scores": q_classifier_scores,
 }
 
 
@@ -3663,4 +3695,5 @@ FROM n3""",
     "q_containment": _CONTAINMENT_SQL,
     "q_node2vec2": _NODE2VEC2_SQL,
     "q_remove_dup_spans": _REMOVE_DUP_SPANS_SQL,
+    "q_classifier_scores": _CLF_SQL,
 }
