@@ -178,6 +178,38 @@ def dup_span_stats(
     )
 
 
+def select_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(id, cluster, keep) — quality-aware survivor choice per near-dup
+    cluster: keep the HIGHEST-scoring member (ties → smallest id) instead
+    of the default smallest-id survivor.
+
+    ``clusters``: :func:`cluster_duplicates` output (id, cluster);
+    ``scores``: (id, score) from any quality signal (classifier score, LM
+    log-prob, token count…). Members missing a score rank last (NULLs
+    sort after values under DESC). One join + one bounded window per
+    cluster — cluster sizes are near-dup group sizes, tiny by nature.
+    """
+    from pyspark.sql.window import Window
+
+    joined = clusters.join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")),
+        "id",
+        "left",
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc_nulls_last("_s"), F.asc("id")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .select("id", "cluster", (F.col("_rn") == 1).alias("keep"))
+    )
+
+
 def remove_duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2248,6 +2248,20 @@ SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
 FROM sc GROUP BY id"""
 
 
+def q_dup_representatives(spark, sf_dir):
+    """Quality-aware survivor selection per near-dup cluster (operators/
+    dedup.py select_representatives): keep the longest doc (n_chars as the
+    quality signal), ties to the smallest id."""
+    from amanogawa_spark.operators.dedup import cluster_duplicates, select_representatives
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.2)
+    clusters = cluster_duplicates(pairs)
+    scores = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("n_chars").cast("double").alias("score")
+    )
+    return select_representatives(clusters, scores)
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -2382,6 +2396,7 @@ QUERIES = {
     "q_node2vec2": q_node2vec2,
     "q_remove_dup_spans": q_remove_dup_spans,
     "q_classifier_scores": q_classifier_scores,
+    "q_dup_representatives": q_dup_representatives,
 }
 
 
@@ -3696,4 +3711,21 @@ FROM n3""",
     "q_node2vec2": _NODE2VEC2_SQL,
     "q_remove_dup_spans": _REMOVE_DUP_SPANS_SQL,
     "q_classifier_scores": _CLF_SQL,
+    "q_dup_representatives": (
+        "WITH RECURSIVE sh AS (SELECT doc_id AS id, "
+        f"list_distinct(string_split({_NORM}, ' ')) AS s FROM documents WHERE doc_id < 120), "
+        "p AS (SELECT a.id AS id_a, b.id AS id_b FROM sh a JOIN sh b ON a.id < b.id "
+        "WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) * 1.0 / "
+        "CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0 "
+        "THEN len(list_distinct(list_concat(a.s, b.s))) ELSE 1 END AS DOUBLE), 6) >= 0.2), "
+        "verts AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p)), "
+        "sym AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p), "
+        "reach(id, lab) AS (SELECT id, id FROM verts "
+        "UNION SELECT s.u AS id, r.lab FROM sym s JOIN reach r ON s.v = r.id), "
+        "cl AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id), "
+        "sc AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS s FROM documents), "
+        "rk AS (SELECT cl.id, cluster, ROW_NUMBER() OVER (PARTITION BY cluster "
+        "ORDER BY sc.s DESC NULLS LAST, cl.id ASC) AS rn FROM cl LEFT JOIN sc ON cl.id = sc.id) "
+        "SELECT id, cluster, (rn = 1) AS keep FROM rk"
+    ),
 }

@@ -286,3 +286,16 @@ def test_remove_duplicated_spans_full_removal_and_overlap(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     got = {r["doc_id"]: tuple(r)[1:] for r in remove_duplicated_spans(df, n=3).collect()}
     assert got[0] == ("", 4, 4) and got[1] == ("", 4, 4)
+
+
+def test_select_representatives_keeps_best_scored(spark):
+    from amanogawa_spark.operators.dedup import select_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["id", "cluster"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (8, 0.5)], ["id", "score"]
+    )  # id 7 unscored -> ranks last in its cluster
+    got = {r["id"]: r["keep"] for r in select_representatives(clusters, scores).collect()}
+    assert got == {1: False, 2: True, 3: False, 7: False, 8: True}
