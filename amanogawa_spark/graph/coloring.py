@@ -26,6 +26,12 @@ generalizes — round-1 winners of JP are exactly Luby's first MIS round):
   sorted distinct neighbour colors — no UDF;
 - eager localCheckpoint per round truncates the self-referential lineage
   (same ~4×-plan-growth hazard the MIS docstring documents).
+
+Caveat (measured in graph/partition.py): chains of eager localCheckpoints
+degrade past ~9 rounds on this Spark build (4× slower per round). These
+loops finish in O(log n) rounds — well under that — but if a pathological
+input needs deeper rounds, switch truncation to the parquet round-trip
+pattern spinner_partition uses.
 """
 
 from __future__ import annotations

@@ -28,6 +28,12 @@ Spark-first design, same shape as the other fixpoints in this package
   accumulated member list is additionally collapsed every
   ``checkpoint_every`` rounds.
 - the only driver-side action per round is the O(1) active-count scalar.
+
+Caveat (measured in graph/partition.py): chains of eager localCheckpoints
+degrade past ~9 rounds on this Spark build (4× slower per round). These
+loops finish in O(log n) rounds — well under that — but if a pathological
+input needs deeper rounds, switch truncation to the parquet round-trip
+pattern spinner_partition uses.
 """
 
 from __future__ import annotations

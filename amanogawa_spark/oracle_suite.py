@@ -2262,6 +2262,60 @@ def q_dup_representatives(spark, sf_dir):
     return select_representatives(clusters, scores)
 
 
+def q_spinner1(spark, sf_dir):
+    """One Spinner balanced-partitioning round (graph/partition.py
+    spinner_round, k=8): md5-portable init, load-discounted neighbour
+    scores, parity-gated strict-improvement moves — every post-round
+    partition assignment value-checked."""
+    from amanogawa_spark.graph.components import _symmetrize
+    from amanogawa_spark.graph.partition import _init_pid, spinner_round
+
+    v = derived_vertices(spark, sf_dir)
+    labels = v.select("id", _init_pid(8).alias("pid"))
+    adj = _symmetrize(derived_edges(spark, sf_dir))
+    n = v.count()
+    capacity = float(-(-n // 8)) * 1.05
+    return spinner_round(labels, adj, 8, 1, capacity)
+
+
+_SPINNER1_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+{_VERTS_SQL.strip()},
+l0 AS (SELECT id, CAST((('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % 8) AS INT) AS pid FROM verts),
+nn AS (SELECT CEIL(CAST(COUNT(*) AS DOUBLE) / 8) * 1.05 AS cap FROM verts),
+sym AS (
+  SELECT src_id AS u, dst_id AS v FROM edges
+  UNION
+  SELECT dst_id AS u, src_id AS v FROM edges
+),
+nbr AS (SELECT s.v AS id, l.pid, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM sym s JOIN l0 l ON s.u = l.id GROUP BY s.v, l.pid),
+loads AS (SELECT pid, CAST(COUNT(*) AS DOUBLE) AS load FROM l0 GROUP BY pid),
+scored AS (SELECT id, nbr.pid, cnt * (1.0 - load / (SELECT cap FROM nn)) AS score
+  FROM nbr JOIN loads ON nbr.pid = loads.pid),
+best AS (SELECT id, pid AS best_pid, score AS best_score FROM (
+  SELECT id, pid, score, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, pid ASC) AS rn
+  FROM scored) WHERE rn = 1),
+curs AS (SELECT l0.id, l0.pid, COALESCE(s.score, 0.0) AS cur_score
+  FROM l0 LEFT JOIN scored s ON l0.id = s.id AND l0.pid = s.pid),
+planned AS (SELECT curs.id, curs.pid, best_pid, best_score
+  FROM curs LEFT JOIN best ON curs.id = best.id
+  WHERE ('0x' || substr(md5(CAST(curs.id AS VARCHAR) || ':1'), 1, 8))::BIGINT % 2 = 0
+    AND best_pid IS NOT NULL AND best_pid <> curs.pid
+    AND best_score > cur_score),
+dep AS (SELECT pid AS best_pid, CAST(COUNT(*) AS DOUBLE) AS d FROM planned GROUP BY pid),
+room AS (SELECT loads.pid AS best_pid,
+  GREATEST(0.0, (SELECT cap FROM nn) - load + COALESCE(dep.d, 0.0)) AS room
+  FROM loads LEFT JOIN dep ON loads.pid = dep.best_pid),
+adm AS (SELECT id, best_pid FROM (
+  SELECT p.id, p.best_pid, best_score,
+    ROW_NUMBER() OVER (PARTITION BY p.best_pid ORDER BY best_score DESC, p.id ASC) AS q,
+    COALESCE(r.room, (SELECT cap FROM nn)) AS room
+  FROM planned p LEFT JOIN room r ON p.best_pid = r.best_pid) WHERE q <= room)
+SELECT l0.id, CAST(COALESCE(adm.best_pid, l0.pid) AS INT) AS pid
+FROM l0 LEFT JOIN adm ON l0.id = adm.id"""
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -2397,6 +2451,7 @@ QUERIES = {
     "q_remove_dup_spans": q_remove_dup_spans,
     "q_classifier_scores": q_classifier_scores,
     "q_dup_representatives": q_dup_representatives,
+    "q_spinner1": q_spinner1,
 }
 
 
@@ -3728,4 +3783,5 @@ FROM n3""",
         "ORDER BY sc.s DESC NULLS LAST, cl.id ASC) AS rn FROM cl LEFT JOIN sc ON cl.id = sc.id) "
         "SELECT id, cluster, (rn = 1) AS keep FROM rk"
     ),
+    "q_spinner1": _SPINNER1_SQL,
 }

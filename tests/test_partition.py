@@ -1,0 +1,59 @@
+"""Spinner balanced partitioning (graph/partition.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amanogawa_spark.graph.partition import edge_cut, spinner_partition
+
+
+def _g(spark, pairs):
+    ids = sorted({x for p in pairs for x in p})
+    return (
+        spark.createDataFrame([(i,) for i in ids], "id long"),
+        spark.createDataFrame(pairs, "src_id long, dst_id long"),
+    )
+
+
+def _two_cliques(n=8, gap=100):
+    pairs = [(a, b) for a in range(n) for b in range(n) if a < b]
+    pairs += [(gap + a, gap + b) for a in range(n) for b in range(n) if a < b]
+    pairs.append((0, gap))  # one bridge
+    return pairs
+
+
+def test_spinner_separates_cliques_and_balances(spark):
+    v, e = _g(spark, _two_cliques())
+    labels = spinner_partition(v, e, k=2, max_rounds=20, stop_moves_frac=0.01)
+    got = {r["id"]: r["pid"] for r in labels.collect()}
+    a = {got[i] for i in range(8)}
+    b = {got[100 + i] for i in range(8)}
+    # each clique ends up in ONE partition, and not the same one
+    assert len(a) == 1 and len(b) == 1 and a != b
+    cut = edge_cut(e, labels).collect()[0]
+    assert cut["n_cut"] == 1  # only the bridge crosses
+    assert cut["n_edges"] == e.count()
+
+
+def test_spinner_balance_capacity_respected(spark):
+    # a star would love to collapse into one partition; slack must prevent
+    # everything piling up when k=2
+    pairs = [(0, i) for i in range(1, 21)]
+    v, e = _g(spark, pairs)
+    labels = spinner_partition(v, e, k=2, max_rounds=8, balance_slack=1.1, stop_moves_frac=0.05)
+    sizes = labels.groupBy("pid").count().collect()
+    assert max(r["count"] for r in sizes) <= (21 // 2 + 1) * 1.1 + 1
+
+
+def test_spinner_deterministic(spark):
+    v, e = _g(spark, _two_cliques())
+    a = sorted(map(tuple, spinner_partition(v, e, k=4, max_rounds=8, stop_moves_frac=0.05).collect()))
+    b = sorted(map(tuple, spinner_partition(v, e.repartition(7), k=4, max_rounds=8, stop_moves_frac=0.05).collect()))
+    assert a == b
+
+
+def test_edge_cut_metric(spark):
+    labels = spark.createDataFrame([(0, 0), (1, 0), (2, 1)], ["id", "pid"])
+    e = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src_id long, dst_id long")
+    row = edge_cut(e, labels).collect()[0]
+    assert (row["n_edges"], row["n_cut"], row["cut_frac_r"]) == (3, 2, round(2 / 3, 8))
