@@ -299,6 +299,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     results["semdedup_scale"] = _timed(_semdedup_scale)
 
+    # balanced partitioning of the bench link graph: 6 quota-gated rounds,
+    # then the edge-cut metric the partitioning job logs
+    from amanogawa_spark.graph.partition import edge_cut, spinner_partition
+
+    part = {}
+
+    def _spinner():
+        lbl = spinner_partition(
+            vertices, edges, k=8, max_rounds=6, stop_moves_frac=0.02
+        )
+        part["cut"] = edge_cut(edges, lbl).collect()[0]["cut_frac_r"]
+
+    results["spinner_partition_k8"] = _timed(_spinner)
+    results["spinner_cut_frac_metric"] = round(part["cut"], 4)
+
     pages.unpersist()
     return results
 
