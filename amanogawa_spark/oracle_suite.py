@@ -2316,6 +2316,41 @@ SELECT l0.id, CAST(COALESCE(adm.best_pid, l0.pid) AS INT) AS pid
 FROM l0 LEFT JOIN adm ON l0.id = adm.id"""
 
 
+def q_matching1(spark, sf_dir):
+    """One maximal-matching round (graph/matching.py): edges whose md5
+    priority is the strict minimum at both endpoints — the line-graph
+    Luby kernel, every winner pair value-checked."""
+    from amanogawa_spark.graph.components import _symmetrize
+    from amanogawa_spark.graph.matching import matching_round_winners
+
+    cand = (
+        _symmetrize(derived_edges(spark, sf_dir))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    return matching_round_winners(cand)
+
+
+_MATCHING1_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+sym AS (
+  SELECT src_id AS u, dst_id AS v FROM edges WHERE src_id < dst_id
+  UNION
+  SELECT dst_id AS u, src_id AS v FROM edges WHERE dst_id < src_id
+),
+pri AS (
+  SELECT u, v,
+    md5(CAST(u AS VARCHAR) || '~' || CAST(v AS VARCHAR))
+      || lpad(CAST(u AS VARCHAR), 12, '0') || lpad(CAST(v AS VARCHAR), 12, '0') AS pri
+  FROM sym
+),
+touch AS (SELECT u AS id, pri FROM pri UNION ALL SELECT v AS id, pri FROM pri),
+vmin AS (SELECT id, MIN(pri) AS vmin FROM touch GROUP BY id)
+SELECT p.u, p.v FROM pri p
+JOIN vmin a ON p.u = a.id JOIN vmin b ON p.v = b.id
+WHERE p.pri = a.vmin AND p.pri = b.vmin"""
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
 # driver row despite passing local DuckDB checks, so the first block below is
@@ -2452,6 +2487,7 @@ QUERIES = {
     "q_classifier_scores": q_classifier_scores,
     "q_dup_representatives": q_dup_representatives,
     "q_spinner1": q_spinner1,
+    "q_matching1": q_matching1,
 }
 
 
@@ -3784,4 +3820,5 @@ FROM n3""",
         "SELECT id, cluster, (rn = 1) AS keep FROM rk"
     ),
     "q_spinner1": _SPINNER1_SQL,
+    "q_matching1": _MATCHING1_SQL,
 }
