@@ -216,3 +216,105 @@ def edge_cut(edges: DataFrame, labels: DataFrame) -> DataFrame:
             "cut_frac_r"
         ),
     )
+
+
+def multilevel_partition(
+    vertices: DataFrame,
+    edges: DataFrame,
+    k: int = 8,
+    levels: int = 2,
+    coarse_rounds: int = 12,
+    refine_rounds: int = 3,
+    balance_slack: float = 1.05,
+    stop_moves_frac: float = 0.02,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """(id, pid): METIS-style multilevel partitioning.
+
+    Coarsen ``levels`` times by maximal matching + contraction (each level
+    roughly halves the vertices), run :func:`spinner_partition` on the
+    small graph where global structure is visible, then project labels
+    back through the matchings and polish each level with a few
+    quota-gated refinement rounds. The standard result carries over:
+    decisions made on the coarse graph capture cluster structure that
+    flat label propagation on the fine graph finds slowly or never.
+
+    Every stage reuses audited kernels: matching (graph/matching.py),
+    contraction (weight-summed coarse multigraph — weights enter the
+    refinement scores through edge multiplicity), spinner rounds
+    (admission quotas, md5 coin). Projection is one join through the
+    matching mapping per level.
+    """
+    import tempfile
+
+    from amanogawa_spark.graph.matching import contract_matching, maximal_matching
+
+    wd = work_dir or tempfile.mkdtemp(prefix="mlpart_")
+    # ---- coarsening phase: remember each level's matching mapping
+    cur_edges = edges.select("src_id", "dst_id").localCheckpoint(eager=True)
+    mappings: list[DataFrame] = []
+    for lvl in range(levels):
+        m = maximal_matching(cur_edges)
+        mapping = (
+            m.select(F.col("u").alias("id"), F.least("u", "v").alias("super"))
+            .unionAll(m.select(F.col("v").alias("id"), F.least("u", "v").alias("super")))
+            .localCheckpoint(eager=True)
+        )
+        mappings.append(mapping)
+        # contracted multigraph keeps multiplicities as repeated rows so the
+        # spinner neighbour counts see the summed weights
+        cur_edges = (
+            contract_matching(cur_edges, m)
+            .select(
+                "src_id",
+                "dst_id",
+                F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("_i"),
+            )
+            .select("src_id", "dst_id")
+            .localCheckpoint(eager=True)
+        )
+    coarse_verts = (
+        cur_edges.select(F.col("src_id").alias("id"))
+        .unionAll(cur_edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    labels = spinner_partition(
+        coarse_verts,
+        cur_edges,
+        k=k,
+        max_rounds=coarse_rounds,
+        balance_slack=balance_slack,
+        stop_moves_frac=stop_moves_frac,
+        work_dir=f"{wd}/coarse",
+    )
+    # ---- uncoarsening: project through each matching, then refine
+    all_vertices = vertices.select("id").distinct()
+    level_edges = edges.select("src_id", "dst_id")
+    for lvl in range(levels - 1, -1, -1):
+        mapping = mappings[lvl]
+        projected = (
+            mapping.join(
+                labels.select(F.col("id").alias("super"), "pid"), "super"
+            ).select("id", "pid")
+        )
+        # vertices that were never matched at this level keep their label
+        labels = projected.unionByName(
+            labels.join(mapping.select("super").distinct(),
+                        labels["id"] == F.col("super"), "left_anti")
+            .select("id", "pid")
+        ).localCheckpoint(eager=True)
+    # any isolated vertices the coarse graph never saw: deterministic init
+    labels = labels.unionByName(
+        all_vertices.join(labels.select("id"), "id", "left_anti")
+        .select("id", _init_pid(k).alias("pid"))
+    ).localCheckpoint(eager=True)
+    # refinement on the full graph
+    adj = _symmetrize(level_edges).localCheckpoint(eager=True)
+    n = all_vertices.count()
+    capacity = float(-(-n // k)) * balance_slack
+    spark = vertices.sparkSession
+    for r in range(1, refine_rounds + 1):
+        path = f"{wd}/refine_r{r}"
+        spinner_round(labels, adj, k, r, capacity).write.mode("overwrite").parquet(path)
+        labels = spark.read.parquet(path)
+    return labels

@@ -57,3 +57,29 @@ def test_edge_cut_metric(spark):
     e = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src_id long, dst_id long")
     row = edge_cut(e, labels).collect()[0]
     assert (row["n_edges"], row["n_cut"], row["cut_frac_r"]) == (3, 2, round(2 / 3, 8))
+
+
+def test_multilevel_partition_ring_of_cliques(spark):
+    from amanogawa_spark.graph.partition import multilevel_partition
+
+    # 4 cliques of 6 in a ring — coarse structure a flat LPA resolves slowly
+    pairs = []
+    for c in range(4):
+        base = c * 10
+        pairs += [(base + a, base + b) for a in range(6) for b in range(6) if a < b]
+    for c in range(4):
+        pairs.append((c * 10, ((c + 1) % 4) * 10))  # ring bridges
+    ids = sorted({x for p in pairs for x in p})
+    v = spark.createDataFrame([(i,) for i in ids], "id long")
+    e = spark.createDataFrame(pairs, "src_id long, dst_id long")
+
+    labels = multilevel_partition(v, e, k=4, levels=2, coarse_rounds=10,
+                                  refine_rounds=2)
+    got = {r["id"]: r["pid"] for r in labels.collect()}
+    assert set(got) == set(ids)  # every vertex labeled exactly once
+    # quality: each clique should be (near-)monochrome — allow 1 straggler
+    for c in range(4):
+        pids = [got[c * 10 + a] for a in range(6)]
+        assert max(pids.count(p) for p in set(pids)) >= 5, (c, pids)
+    cut = edge_cut(e, labels).collect()[0]
+    assert cut["cut_frac_r"] <= 0.25  # 4 ring bridges + slack out of 64 edges
