@@ -28,6 +28,12 @@ from amanogawa_spark.graph.landmarks import (
     select_landmarks,
 )
 from amanogawa_spark.graph.salsa import salsa
+from amanogawa_spark.graph.matching import contract_matching, maximal_matching
+from amanogawa_spark.graph.partition import (
+    edge_cut,
+    multilevel_partition,
+    spinner_partition,
+)
 
 __all__ = [
     "build_edges",
@@ -63,5 +69,10 @@ __all__ = [
     "estimate_distances",
     "select_landmarks",
     "salsa",
+    "maximal_matching",
+    "contract_matching",
+    "spinner_partition",
+    "multilevel_partition",
+    "edge_cut",
     "triangle_count",
 ]
