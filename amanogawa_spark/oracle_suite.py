@@ -2352,11 +2352,11 @@ WHERE p.pri = a.vmin AND p.pri = b.vmin"""
 
 
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
-# entries.  Round-2 audit showed 27 queries (positions 51-77 then) never got a
-# driver row despite passing local DuckDB checks, so the first block below is
-# exactly those 27, then q_pack_sequences (oracle-SQL cast fixed this round),
-# then new round-3 queries, then high-value anchors re-confirmed from round 2.
-# Unioned with CORRECTNESS_r02.json, every query has a green driver row.
+# entries.  The literal below is just the registry; the EFFECTIVE order is
+# computed by _rotation_order() at the bottom of this module — queries sort
+# least-recently-driver-certified-first via cert_ledger.json (regenerated by
+# tools/update_cert_ledger.py from CORRECTNESS_r*.json), so never-certified
+# queries always occupy the window and new additions queue automatically.
 QUERIES = {
     # -- 27 queries that never got a CORRECTNESS row (past the r2 cap) --
     "q_repetition_features": q_repetition_features,
@@ -3822,3 +3822,30 @@ FROM n3""",
     "q_spinner1": _SPINNER1_SQL,
     "q_matching1": _MATCHING1_SQL,
 }
+
+
+def _rotation_order(mapping: dict) -> dict:
+    """Reorder a query mapping least-recently-driver-certified-first.
+
+    The correctness driver runs only the FIRST 50 entries it receives, so
+    dict order IS the certification rotation.  ``cert_ledger.json``
+    (regenerated by ``tools/update_cert_ledger.py`` from the repo's
+    ``CORRECTNESS_r*.json`` artifacts) maps each query to the last round a
+    driver row certified it green; queries absent from the ledger sort as
+    round 0 and therefore always land inside the window.  Ties break by
+    name so the order is fully deterministic.  Any future query addition
+    queues automatically — no hand-reordering of the literals above.
+    """
+    import json
+    from pathlib import Path
+
+    ledger_path = Path(__file__).resolve().parent / "cert_ledger.json"
+    try:
+        ledger = json.loads(ledger_path.read_text())
+    except (OSError, ValueError):
+        ledger = {}
+    return dict(sorted(mapping.items(), key=lambda kv: (ledger.get(kv[0], 0), kv[0])))
+
+
+QUERIES = _rotation_order(QUERIES)
+ORACLE_SQL = _rotation_order(ORACLE_SQL)

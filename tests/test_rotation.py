@@ -1,0 +1,70 @@
+"""The driver-certification rotation policy is code, not a hand-ordered dict.
+
+The correctness driver runs only the first 50 entries of
+``__spark_entry__.queries()``; ``oracle_suite._rotation_order`` sorts the
+registry least-recently-certified-first using ``cert_ledger.json``
+(regenerated per round by ``tools/update_cert_ledger.py``).  These tests
+pin the contract: never-certified queries always land inside the window,
+the order is deterministic, QUERIES/ORACLE_SQL stay aligned, and the
+ledger tool reproduces the committed ledger from the CORRECTNESS
+artifacts.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+DRIVER_CAP = 50
+
+
+def _ledger():
+    return json.loads((REPO / "amanogawa_spark" / "cert_ledger.json").read_text())
+
+
+def test_never_certified_queries_lead_the_window():
+    from amanogawa_spark.oracle_suite import QUERIES
+
+    ledger = _ledger()
+    names = list(QUERIES)
+    window = set(names[:DRIVER_CAP])
+    never = [n for n in names if n not in ledger]
+    assert never, "sanity: some queries should be awaiting certification"
+    missing = [n for n in never if n not in window]
+    assert not missing, f"never-certified queries outside the driver cap: {missing}"
+
+
+def test_order_is_least_recently_certified_first():
+    from amanogawa_spark.oracle_suite import QUERIES
+
+    ledger = _ledger()
+    keys = [(ledger.get(n, 0), n) for n in QUERIES]
+    assert keys == sorted(keys)
+
+
+def test_oracle_sql_order_matches_queries_order():
+    from amanogawa_spark.oracle_suite import ORACLE_SQL, QUERIES
+
+    sql_names = list(ORACLE_SQL)
+    q_names = [n for n in QUERIES if n in ORACLE_SQL]
+    assert sql_names == q_names
+
+
+def test_ledger_tool_reproduces_committed_ledger():
+    from update_cert_ledger import build_ledger
+
+    assert build_ledger() == _ledger()
+
+
+def test_every_registered_query_is_known_to_the_entry_point():
+    import __spark_entry__ as entry
+
+    from amanogawa_spark.oracle_suite import ORACLE_SQL, QUERIES
+
+    assert list(entry.queries()) == list(QUERIES)
+    assert list(entry.oracle_sql()) == list(ORACLE_SQL)
+    # every oracle names a registered query
+    assert set(ORACLE_SQL) <= set(QUERIES)
