@@ -67,7 +67,16 @@ def _domain_index(h: int, n_domains: int) -> int:
     return int(np.searchsorted(_zipf_cdf(n_domains), r)) + 1
 
 
-def _row(i: int, n: int, seed: int, n_domains: int, n_b: int, out_links=(1, 6)):
+def _row(
+    i: int,
+    n: int,
+    seed: int,
+    n_domains: int,
+    n_b: int,
+    out_links=(1, 6),
+    block_local_frac: float = 0.0,
+    block_size: int = 0,
+):
     dom = _domain_index(_h(seed, i, 0), n_domains)
     url = f"https://d{dom}.example.org/p{i}"
     h1 = _h(seed, i, 1)
@@ -84,7 +93,19 @@ def _row(i: int, n: int, seed: int, n_domains: int, n_b: int, out_links=(1, 6)):
         out_deg = lo_d + _h(seed, i, 4) % max(1, hi_d - lo_d + 1)
         for t in range(out_deg):
             ht = _h(seed, i, 200 + t)
-            if ht % 10 < 6 and i > lo + 1:
+            # block-local links model host-level locality (real web graphs
+            # keep ~3/4 of links on-host) — pages in the same contiguous
+            # index block link to each other; the rest follow the global
+            # preferential/uniform mix. This is what gives a partition map
+            # something to FIND: a locality-free random graph has no good
+            # k-way cut for any partitioner.
+            if block_local_frac > 0.0 and block_size > 1 and (
+                (ht >> 32) % (1 << 20)
+            ) < int(block_local_frac * (1 << 20)):
+                b_lo = lo + ((i - lo) // block_size) * block_size
+                b_hi = min(hi, b_lo + block_size)
+                j = b_lo + ht % (b_hi - b_lo)
+            elif ht % 10 < 6 and i > lo + 1:
                 frac = ((ht >> 8) % (1 << 26)) / float(1 << 26)
                 j = lo + int(frac * frac * (min(i, hi - 1) - lo))
             else:
@@ -115,10 +136,17 @@ def distributed_pages(
     second_component_frac: float = 0.1,
     num_partitions: int | None = None,
     out_links: tuple[int, int] = (1, 6),
+    block_local_frac: float = 0.0,
+    block_size: int = 0,
 ) -> DataFrame:
     """``out_links=(lo, hi)`` bounds per-page out-degree — (1, 6) keeps the
     sparse unit-test shape; scaling benches use ~(30, 80) to match real web
-    pages (Common Crawl averages ~50-100 hyperlinks per page)."""
+    pages (Common Crawl averages ~50-100 hyperlinks per page).
+
+    ``block_local_frac``/``block_size``: fraction of links kept inside the
+    page's contiguous ``block_size``-page index block — host-level link
+    locality (real web graphs keep most links on-host), which is what
+    partition-map quality probes need a corpus to actually contain."""
     n_b = max(3, int(n_pages * second_component_frac))
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = spark.range(0, n_pages, 1, n_part)
@@ -126,7 +154,10 @@ def distributed_pages(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                _row(int(i), n_pages, seed, n_domains, n_b, out_links)
+                _row(
+                    int(i), n_pages, seed, n_domains, n_b, out_links,
+                    block_local_frac, block_size,
+                )
                 for i in pdf["id"]
             ]
             out = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])

@@ -1,0 +1,217 @@
+"""Layout-aware ("blocked") PageRank — the consumer of the partition map.
+
+``multilevel_partition`` / ``spinner_partition`` compute a low-cut
+vertex→pid map; this module is where that map pays rent.  The edge table
+is persisted hash-partitioned on ``(spid, salt)`` — the src vertex's
+partition label plus a small salt for intra-pid parallelism — so each
+Spark partition holds the edges of (a slice of) ONE graph partition.
+Because the map is low-cut, the destinations touched by one Spark
+partition concentrate in that same pid, and the per-iteration
+contribution aggregation's map-side combine emits ~|V|/k partials per
+partition instead of ~|V| — the shuffle that dominates iterative graph
+jobs at scale shrinks by the locality the partitioner found.
+``bench.py --layout`` measures exactly this: the same fixed-iteration job
+with a clustered vs a random pid map, reporting per-stage shuffle bytes.
+
+The per-iteration join stays EDGE-STATIONARY: the rank vector is
+repartitioned to the same ``(pid, salt)`` hash layout and joined on
+``(spid, salt, src_id)``; with
+``spark.sql.requireAllClusterKeysForCoPartition=false`` Spark accepts the
+shared subset partitioning and shuffles NEITHER side (plan-pinned by
+tests/test_blocked_pagerank.py).  Per iteration the only moved data is
+the O(V) rank vector plus the (locality-reduced) aggregation partials —
+identical to the classic formulation's lower bound, minus the partial
+blow-up.
+
+Semantics match ``graph.pagerank.pagerank`` exactly (damping 0.85
+default, dangling mass redistributed uniformly, same fixed-point) —
+pytest asserts allclose(1e-12) against the classic plan on both layouts.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from amanogawa_spark.graph.iter_conf import iteration_conf
+
+
+@dataclass
+class BlockedPageRankResult:
+    ranks: DataFrame
+    iterations: int
+    seconds: float
+
+
+def _with_conf(spark, key: str, value: str):
+    class _Ctx:
+        def __enter__(self):
+            try:
+                self.old = spark.conf.get(key)
+            except Exception:
+                self.old = None
+            spark.conf.set(key, value)
+
+        def __exit__(self, *exc):
+            if self.old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, self.old)
+
+    return _Ctx()
+
+
+def blocked_edges(
+    edges: DataFrame,
+    labels: DataFrame,
+    n_salt: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(spid, salt, src_id, dst_id, out_degree): the pid-clustered,
+    persisted edge layout. ``labels``: (id, pid). Vertices missing from
+    the map fall back to pid 0 (the map may come from a coarse run that
+    never saw isolated vertices)."""
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(
+        F.count("*").cast("double").alias("out_degree")
+    )
+    lab = labels.select("id", F.col("pid").cast("long").alias("pid"))
+    e = (
+        edges.select("src_id", "dst_id")
+        .join(out_deg.withColumnRenamed("id", "src_id"), "src_id")
+        .join(
+            lab.select(F.col("id").alias("src_id"), F.col("pid").alias("spid")),
+            "src_id",
+            "left",
+        )
+        .select(
+            F.coalesce("spid", F.lit(0)).alias("spid"),
+            (F.col("src_id") % n_salt).cast("long").alias("salt"),
+            "src_id",
+            "dst_id",
+            "out_degree",
+        )
+        .repartition(n_part, "spid", "salt")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.count()
+    return e
+
+
+def blocked_pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    labels: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 8,
+    n_salt: int = 4,
+    num_partitions: int | None = None,
+) -> BlockedPageRankResult:
+    """Fixed-iteration PageRank over the pid-clustered edge layout.
+
+    Same fixed point as ``pagerank(vertices, edges, tol=-1, max_iter=k)``;
+    the execution shape is the layout-aware one described in the module
+    docstring. Returns the rank vector plus wall seconds for the
+    iteration loop (excluding the one-time layout build).
+    """
+    spark = vertices.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lab = labels.select("id", F.col("pid").cast("long").alias("pid"))
+
+    e = blocked_edges(edges, labels, n_salt=n_salt, num_partitions=n_part)
+
+    # vertex table: (id, pid, salt, dang) — persisted in the SAME (pid,
+    # salt) hash layout as the edges, so the per-iteration rank
+    # repartition is the only vertex-sized movement
+    verts = (
+        vertices.select("id")
+        .distinct()
+        .join(
+            e.select(F.col("src_id").alias("id")).distinct().withColumn(
+                "_has_out", F.lit(1)
+            ),
+            "id",
+            "left",
+        )
+        .join(lab, "id", "left")
+        .select(
+            "id",
+            F.coalesce("pid", F.lit(0)).alias("pid"),
+            (F.col("id") % n_salt).cast("long").alias("salt"),
+            F.col("_has_out").isNull().cast("double").alias("dang"),
+        )
+        .repartition(n_part, "pid", "salt")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = verts.count()
+    if n == 0:
+        return BlockedPageRankResult(
+            ranks=verts.select("id", F.lit(0.0).alias("rank")),
+            iterations=0,
+            seconds=0.0,
+        )
+    base = (1.0 - damping) / n
+
+    ranks = verts.select("id", "pid", "salt", "dang", F.lit(1.0 / n).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    t0 = time.time()
+    with _with_conf(
+        spark, "spark.sql.requireAllClusterKeysForCoPartition", "false"
+    ), iteration_conf(spark, disable_aqe=True):
+        for _ in range(max_iter):
+            dm = (
+                ranks.agg(F.sum(F.col("rank") * F.col("dang"))).collect()[0][0]
+                or 0.0
+            )
+            r = ranks.select(
+                F.col("pid").alias("spid"),
+                "salt",
+                F.col("id").alias("src_id"),
+                "rank",
+            ).repartition(n_part, "spid", "salt")
+            contribs = (
+                e.join(r.hint("shuffle_hash"), ["spid", "salt", "src_id"])
+                .select(
+                    F.col("dst_id").alias("id"),
+                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("in_mass"))
+            )
+            nxt = (
+                verts.join(contribs.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    "pid",
+                    "salt",
+                    "dang",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dm / n))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            ranks = nxt
+    secs = time.time() - t0
+    out = ranks.select("id", "rank")
+    verts.unpersist()
+    e.unpersist()
+    return BlockedPageRankResult(ranks=out, iterations=max_iter, seconds=secs)
+
+
+def iteration_join_plan(e: DataFrame, ranks_like: DataFrame) -> str:
+    """Physical plan of one edge⋈ranks iteration join over a persisted
+    blocked layout — exposed so tests can pin the edge-stationary
+    property (no Exchange above the cached edge scan)."""
+    spark = e.sparkSession
+    with _with_conf(spark, "spark.sql.requireAllClusterKeysForCoPartition", "false"):
+        j = e.join(ranks_like.hint("shuffle_hash"), ["spid", "salt", "src_id"])
+        return j._jdf.queryExecution().executedPlan().toString()

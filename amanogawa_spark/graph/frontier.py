@@ -30,6 +30,9 @@ def frontier_priorities(
     ``links``: (src, dst) — any key type; ``crawled``: (key) fetched set;
     ``ranks``: (key, rank) for crawled sources (uniform 1.0 when None).
     mass(dst) = Σ_{src→dst, src crawled} rank(src) / outdeg(src).
+    A crawled source MISSING from ``ranks`` contributes the uniform
+    default 1.0 rather than silently dropping out — a partially-populated
+    rank table (e.g. mid-refresh) must not zero whole frontier regions.
     """
     src_keyed = links.select(F.col("src").alias("key"), "dst")
     crawled_keys = crawled.select(F.col(crawled.columns[0]).alias("key")).distinct()
@@ -41,7 +44,8 @@ def frontier_priorities(
         r = outdeg.join(
             ranks.select(F.col(ranks.columns[0]).alias("key"), F.col(ranks.columns[1]).alias("rank")),
             "key",
-        )
+            "left",
+        ).select("key", F.coalesce("rank", F.lit(1.0)).alias("rank"), "od")
     contrib = from_crawled.join(r, "key").select(
         "dst", (F.col("rank") / F.col("od")).alias("w")
     )

@@ -101,7 +101,9 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
 
 def contract_matching(edges: DataFrame, matching: DataFrame) -> DataFrame:
     """(src_id, dst_id, weight) — the coarse multigraph: each matched pair
-    collapses into its smaller id; parallel edges sum into ``weight``;
+    collapses into its smaller id; parallel edges sum into ``weight``
+    (input weights sum through when present, so repeated contraction
+    composes — level-2 weights are true fine-edge multiplicities);
     self-loops (intra-pair edges) drop. Two mapping joins + one
     map-side-combined aggregate."""
     m = matching.select(F.col("u").alias("id"), F.least("u", "v").alias("super")).unionAll(
@@ -109,14 +111,19 @@ def contract_matching(edges: DataFrame, matching: DataFrame) -> DataFrame:
     )
     src_m = m.select(F.col("id").alias("src_id"), F.col("super").alias("s_new"))
     dst_m = m.select(F.col("id").alias("dst_id"), F.col("super").alias("d_new"))
+    w_in = (
+        F.col("weight").cast("long") if "weight" in edges.columns else F.lit(1)
+    )
     return (
-        edges.join(src_m, "src_id", "left")
+        edges.withColumn("_w", w_in)
+        .join(src_m, "src_id", "left")
         .join(dst_m, "dst_id", "left")
         .select(
             F.coalesce("s_new", F.col("src_id")).alias("src_id"),
             F.coalesce("d_new", F.col("dst_id")).alias("dst_id"),
+            "_w",
         )
         .filter(F.col("src_id") != F.col("dst_id"))
         .groupBy("src_id", "dst_id")
-        .agg(F.count("*").cast("long").alias("weight"))
+        .agg(F.sum("_w").cast("long").alias("weight"))
     )

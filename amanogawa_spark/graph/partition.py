@@ -47,17 +47,27 @@ def spinner_round(
 ) -> DataFrame:
     """One synchronous Spinner round → new (id, pid).
 
-    ``labels``: (id, pid); ``adj``: symmetric (u, v) pairs. Movers are the
-    round's coin-active vertices; each scores partition p as
-    ``cnt_p · (1 − load_p / capacity)`` over its neighbourhood and takes
-    the argmax (score desc, pid asc) iff STRICTLY better than its current
-    partition's score. Vertices with no neighbours never move.
+    ``labels``: (id, pid); ``adj``: symmetric (u, v) pairs, optionally with
+    a ``weight`` column (coarse multigraphs from ``contract_matching``
+    carry summed multiplicities — threading the weight through the
+    neighbour score instead of exploding ``sequence(1, weight)`` into
+    repeated rows keeps a contracted hub edge O(1) rows, not O(weight)).
+    Movers are the round's coin-active vertices; each scores partition p
+    as ``w_p · (1 − load_p / capacity)`` over its neighbourhood (w = edge
+    count when unweighted) and takes the argmax (score desc, pid asc) iff
+    STRICTLY better than its current partition's score. Vertices with no
+    neighbours never move.
     """
     loads = labels.groupBy("pid").agg(F.count("*").cast("double").alias("load"))
+    nbr_w = (
+        F.sum(F.col("weight").cast("double"))
+        if "weight" in adj.columns
+        else F.count("*").cast("double")
+    )
     nbr = (
         adj.join(labels.select(F.col("id").alias("u"), F.col("pid")), "u")
         .groupBy(F.col("v").alias("id"), "pid")
-        .agg(F.count("*").cast("double").alias("cnt"))
+        .agg(nbr_w.alias("cnt"))
     )
     scored = nbr.join(F.broadcast(loads), "pid").select(
         "id", "pid", (F.col("cnt") * (1.0 - F.col("load") / capacity)).alias("score")
@@ -146,6 +156,21 @@ def spinner_round(
     )
 
 
+def _symmetrize_weighted(edges: DataFrame) -> DataFrame:
+    """Directed (src_id, dst_id, weight) → undirected (u, v, weight) with
+    parallel-edge weights summed — the weighted analogue of
+    components._symmetrize (which dedups pairs and drops multiplicity)."""
+    w = F.col("weight").cast("double").alias("weight")
+    fwd = edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"), w)
+    rev = edges.select(F.col("dst_id").alias("u"), F.col("src_id").alias("v"), w)
+    return (
+        fwd.unionAll(rev)
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
 def spinner_partition(
     vertices: DataFrame,
     edges: DataFrame,
@@ -154,6 +179,7 @@ def spinner_partition(
     balance_slack: float = 1.05,
     stop_moves_frac: float = 0.0,
     work_dir: str | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """(id, pid): balanced low-cut partition map.
 
@@ -174,7 +200,9 @@ def spinner_partition(
     """
     import tempfile
 
-    adj = _symmetrize(edges).localCheckpoint(eager=True)
+    adj = (
+        _symmetrize_weighted(edges) if weighted else _symmetrize(edges)
+    ).localCheckpoint(eager=True)
     labels = (
         vertices.select("id").distinct().select("id", _init_pid(k).alias("pid"))
     ).localCheckpoint(eager=True)
@@ -261,18 +289,12 @@ def multilevel_partition(
             .localCheckpoint(eager=True)
         )
         mappings.append(mapping)
-        # contracted multigraph keeps multiplicities as repeated rows so the
-        # spinner neighbour counts see the summed weights
-        cur_edges = (
-            contract_matching(cur_edges, m)
-            .select(
-                "src_id",
-                "dst_id",
-                F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("_i"),
-            )
-            .select("src_id", "dst_id")
-            .localCheckpoint(eager=True)
-        )
+        # the contracted multigraph carries multiplicities in the `weight`
+        # column, threaded straight into the spinner neighbour score — a
+        # contracted hub edge stays ONE row regardless of its weight
+        # (the old sequence(1, weight) explode re-materialized O(weight)
+        # rows per coarse edge, undoing the coarsening on skewed graphs)
+        cur_edges = contract_matching(cur_edges, m).localCheckpoint(eager=True)
     coarse_verts = (
         cur_edges.select(F.col("src_id").alias("id"))
         .unionAll(cur_edges.select(F.col("dst_id").alias("id")))
@@ -286,6 +308,7 @@ def multilevel_partition(
         balance_slack=balance_slack,
         stop_moves_frac=stop_moves_frac,
         work_dir=f"{wd}/coarse",
+        weighted="weight" in cur_edges.columns,
     )
     # ---- uncoarsening: project through each matching, then refine
     all_vertices = vertices.select("id").distinct()

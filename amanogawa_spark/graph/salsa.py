@@ -138,7 +138,15 @@ def salsa(
         )
         prev.unpersist()
         raw.unpersist()
-        scores = nxt.localCheckpoint(eager=True) if it % 4 == 0 else nxt
+        if it % 4 == 0:
+            # release the persisted frame once its checkpoint exists — the
+            # next round's prev.unpersist() only sees the checkpoint handle,
+            # so skipping this leaks one MEMORY_AND_DISK cache per 4 iters
+            chk = nxt.localCheckpoint(eager=True)
+            nxt.unpersist()
+            scores = chk
+        else:
+            scores = nxt
         iterations = it
         if delta <= tol:
             break

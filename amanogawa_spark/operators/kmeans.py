@@ -42,6 +42,25 @@ def _assign_cid(vec, centroids: list[list[float]]):
     return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
+def seed_vectors(v: DataFrame, k: int, seed: int) -> DataFrame:
+    """(id, v, _h): the k hash-smallest rows — deterministic k-means init.
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject — each
+    partition keeps a local top-k of (hash, id) longs and the driver
+    merges k rows per partition; NO single-partition Exchange anywhere in
+    the plan (a global ``Window.orderBy`` would funnel every id through
+    one task — at 10^12 vectors that one stage kills the job; plan-pinned
+    by test_kmeans_seeding). The k seed vectors come back via a broadcast
+    join on the k ids, so the wide vector column never enters the ranking.
+    """
+    seed_ids = (
+        v.select("id", F.xxhash64("id", F.lit(seed)).alias("_h"))
+        .orderBy(F.asc("_h"), F.asc("id"))
+        .limit(k)
+    )
+    return v.join(F.broadcast(seed_ids), "id").select("id", "v", "_h")
+
+
 def kmeans_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -56,22 +75,14 @@ def kmeans_centroids(
     Empty clusters keep their previous centroid (standard Lloyd fallback).
     Stops when the max centroid L2 shift <= tol or after max_iter.
     """
-    from pyspark.sql.window import Window
-
     v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    # deterministic init: the k hash-smallest ids
-    w = Window.orderBy(F.xxhash64("id", F.lit(seed)), F.asc("id"))
-    init_rows = (
-        v.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).collect()
-    )
-    # the k-row global window is fine: it ranks only to pick k seeds, and the
-    # single-partition sort is over n ids (longs), not vectors — at true
-    # scale swap in a TABLESAMPLE + local top-k; the iteration core is the
-    # scale path, not the seeding
-    centroids = [list(r["v"]) for r in sorted(init_rows, key=lambda r: r["rn"])]
+    init_rows = seed_vectors(v, k, seed).collect()
+    centroids = [
+        list(r["v"]) for r in sorted(init_rows, key=lambda r: (r["_h"], r["id"]))
+    ][:k]
     if len(centroids) < k:
         raise ValueError(f"need >= {k} rows for k={k} init, got {len(centroids)}")
 

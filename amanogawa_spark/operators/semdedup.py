@@ -76,10 +76,22 @@ def assign_clusters(
         cents = _unit_vectors(centroids, "cid", "cv").select(
             F.col("id").cast("long").alias("cid"), F.col("v").alias("cv")
         )
+        if cents.limit(1).count() == 0:
+            raise ValueError("assign_clusters: `centroids` table is empty")
     else:
         cents = v.filter(F.col("id") % stride == 0).select(
             F.col("id").alias("cid"), F.col("v").alias("cv")
         )
+        if cents.limit(1).count() == 0:
+            # sparse or non-contiguous id space where no id hits the stride:
+            # an empty centroid set would silently drop EVERY row through
+            # the inner join below. Fall back to the 16 smallest ids
+            # (orderBy+limit = TakeOrdered, no single-partition exchange).
+            cents = (
+                v.orderBy(F.asc("id"))
+                .limit(16)
+                .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+            )
     scored = v.join(F.broadcast(cents)).select(
         "id", "v", "cid", _dot(F.col("v"), F.col("cv")).alias("csim")
     )
@@ -97,6 +109,7 @@ def assign_clusters_arrow(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     stride: int = 25,
+    max_centroids: int = 4096,
 ) -> DataFrame:
     """BLAS fast path for :func:`assign_clusters`: one ``mapInPandas``
     matrix multiply per Arrow batch (X̂ @ Ĉᵀ, argmax row-wise) instead of
@@ -116,13 +129,37 @@ def assign_clusters_arrow(
     from pyspark.sql import types as T
 
     if centroids is None:
+        # BOUNDED derivation: the stride filter alone collects O(n/stride)
+        # rows — unbounded at corpus scale. orderBy+limit is TakeOrdered
+        # (per-partition local top-k, tiny driver merge), so the driver
+        # holds at most max_centroids × dim doubles. For trained-quality
+        # clusters pass kmeans_centroids() output explicitly.
         rows = (
             df.filter(F.col(id_col) % stride == 0)
-            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cv"))
+            .orderBy(F.asc("cid"))
+            .limit(max_centroids)
             .collect()
         )
+        if not rows:
+            # no id hits the stride (sparse/non-contiguous id space):
+            # same fallback as assign_clusters — the 16 smallest ids
+            rows = (
+                df.select(
+                    F.col(id_col).cast("long").alias("cid"),
+                    F.col(vec_col).alias("cv"),
+                )
+                .orderBy(F.asc("cid"))
+                .limit(16)
+                .collect()
+            )
     else:
         rows = centroids.select("cid", "cv").collect()
+    if not rows:
+        raise ValueError(
+            "assign_clusters_arrow: empty centroid set (empty input or empty "
+            "`centroids` table) — every row would be dropped downstream"
+        )
     rows = sorted(rows, key=lambda r: r["cid"])
     cids = np.array([int(r["cid"]) for r in rows], dtype=np.int64)
     C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])

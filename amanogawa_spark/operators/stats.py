@@ -31,7 +31,11 @@ def exact_quantiles(
     ``floor(q·(n−1))`` of the sorted column (numpy 'lower' interpolation).
 
     One range-partitioned rank pass + one O(1) count + a broadcast join
-    of the |qs|-row rank table. NULLs are excluded before ranking.
+    of the |qs|-row rank table. NULLs are excluded before ranking. The
+    |qs| result rows are collected eagerly and the corpus-sized ranked
+    frame is unpersisted before returning, so the only thing that
+    outlives the call is the tiny local result — not a pinned
+    full-column cache.
     """
     vals = df.select(F.col(col).cast("double").alias("x")).filter(
         F.col("x").isNotNull()
@@ -39,13 +43,20 @@ def exact_quantiles(
     ranked = dense_rank_ids(vals, "x", num_partitions=num_partitions, out_col="rk")
     n = ranked.count()
     if n == 0:
+        ranked.unpersist()
         return df.sparkSession.createDataFrame([], "q double, value double")
     targets = [(float(q), int(math.floor(q * (n - 1)))) for q in qs]
     tdf = df.sparkSession.createDataFrame(targets, "q double, rk long")
-    return (
+    rows = (
         F.broadcast(tdf)
         .join(ranked, "rk")
         .select("q", F.col("x").alias("value"))
+        .collect()
+    )
+    ranked.unpersist()
+    return df.sparkSession.createDataFrame(
+        sorted((float(r["q"]), float(r["value"])) for r in rows),
+        "q double, value double",
     )
 
 

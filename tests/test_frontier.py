@@ -62,3 +62,19 @@ def test_crawl_frontier_end_to_end_on_pages(spark):
         assert r["host"].endswith(".example.org")
     assert all(v <= 5 for v in per_host.values())
     assert len(rows) > 0
+
+
+def test_frontier_partial_ranks_default_to_uniform(spark):
+    """A crawled source missing from the ranks table contributes the uniform
+    default 1.0, not silently zero (ADVICE r3: inner join dropped it)."""
+    links = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("b", "y")], ["src", "dst"]
+    )
+    crawled = spark.createDataFrame([("a",), ("b",)], ["url"])
+    ranks = spark.createDataFrame([("a", 0.8)], ["url", "rank"])  # b unranked
+    got = {
+        r["dst"]: r["mass"]
+        for r in frontier_priorities(links, crawled, ranks).collect()
+    }
+    # a: rank .8 / outdeg 1 -> x ; b: default 1.0 / outdeg 2 -> x and y
+    assert got == {"x": pytest.approx(1.3), "y": pytest.approx(0.5)}

@@ -83,3 +83,41 @@ def test_multilevel_partition_ring_of_cliques(spark):
         assert max(pids.count(p) for p in set(pids)) >= 5, (c, pids)
     cut = edge_cut(e, labels).collect()[0]
     assert cut["cut_frac_r"] <= 0.25  # 4 ring bridges + slack out of 64 edges
+
+
+def test_spinner_round_weighted_equals_exploded_multigraph(spark):
+    """A weighted adjacency scores identically to the same multigraph with
+    multiplicity materialized as repeated rows (ADVICE r3: the explode
+    blows up O(weight) rows per contracted hub edge)."""
+    from amanogawa_spark.graph.partition import spinner_round
+
+    wadj = spark.createDataFrame(
+        [(0, 1, 3.0), (1, 0, 3.0), (1, 2, 1.0), (2, 1, 1.0),
+         (2, 3, 5.0), (3, 2, 5.0), (0, 3, 1.0), (3, 0, 1.0)],
+        "u long, v long, weight double",
+    )
+    exploded = wadj.selectExpr("u", "v", "explode(sequence(1, cast(weight as int)))") \
+                   .select("u", "v")
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 0), (3, 1)], ["id", "pid"]
+    )
+    a = {(r["id"], r["pid"])
+         for r in spinner_round(labels, wadj, k=2, round_idx=1, capacity=3.0).collect()}
+    b = {(r["id"], r["pid"])
+         for r in spinner_round(labels, exploded, k=2, round_idx=1, capacity=3.0).collect()}
+    assert a == b
+
+
+def test_contract_matching_composes_weights(spark):
+    """Contracting an already-weighted coarse graph sums the carried
+    weights — level-2 weights are true fine-edge multiplicities."""
+    from amanogawa_spark.graph.matching import contract_matching
+
+    e = spark.createDataFrame(
+        [(0, 2, 3), (1, 2, 4), (0, 1, 7)],
+        "src_id long, dst_id long, weight long",
+    )
+    m = spark.createDataFrame([(0, 1)], ["u", "v"])  # collapse 0,1 -> 0
+    got = {(r["src_id"], r["dst_id"]): r["weight"]
+           for r in contract_matching(e, m).collect()}
+    assert got == {(0, 2): 7}  # 3 + 4; the intra-pair edge (w=7) drops

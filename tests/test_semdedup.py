@@ -102,3 +102,54 @@ def test_arrow_method_guard_passthrough(spark):
         max_cluster_size=5, method="arrow",
     )
     assert all(r["keep"] for r in out.collect())
+
+
+def test_assign_clusters_stride_miss_falls_back(spark):
+    """No id divisible by the stride (sparse id space): the derived centroid
+    table would be empty and the inner join would silently drop every row —
+    the fallback seeds from the smallest ids instead (ADVICE r3)."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (3, [0.99, 0.1]),
+        (7, [0.0, 1.0]),
+    ]
+    out = semdedup(_emb_df(spark, rows), threshold=0.999, stride=25)
+    got = {r["id"]: r["keep"] for r in out.collect()}
+    assert set(got) == {1, 3, 7}
+    assert all(got.values())  # nothing near-identical at this threshold
+
+
+def test_assign_clusters_arrow_stride_miss_falls_back(spark):
+    from amanogawa_spark.operators.semdedup import assign_clusters_arrow
+
+    rows = [(1, [1.0, 0.0]), (3, [0.0, 1.0])]
+    out = assign_clusters_arrow(_emb_df(spark, rows), stride=25)
+    assert {r["id"] for r in out.collect()} == {1, 3}
+
+
+def test_assign_clusters_empty_centroids_raise(spark):
+    import pytest
+
+    from amanogawa_spark.operators.semdedup import assign_clusters_arrow
+
+    df = _emb_df(spark, [(1, [1.0, 0.0])])
+    empty = spark.createDataFrame([], "cid long, cv array<double>")
+    with pytest.raises(ValueError):
+        assign_clusters(df, centroids=empty)
+    with pytest.raises(ValueError):
+        assign_clusters_arrow(df, centroids=empty)
+
+
+def test_assign_clusters_arrow_bounded_centroid_collect(spark):
+    """The default (stride-derived) arrow centroid set is capped at
+    max_centroids — the driver never holds an O(n/stride) table."""
+    from amanogawa_spark.operators.semdedup import assign_clusters_arrow
+
+    rows = [(i, [float(i % 7), 1.0]) for i in range(0, 400, 2)]
+    out = assign_clusters_arrow(
+        _emb_df(spark, rows), stride=2, max_centroids=5
+    ).collect()
+    assert len(out) == 200
+    assert len({r["cid"] for r in out}) <= 5
+    # the 5 kept centroids are the smallest stride-matching ids
+    assert {r["cid"] for r in out} <= {0, 2, 4, 6, 8}

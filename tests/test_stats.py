@@ -45,3 +45,18 @@ def test_histogram_counts_and_clamping(spark):
     assert rows[7]["cnt"] == 2  # 63.9 and clamped 200.0
     assert rows[0]["lo_edge"] == 0.0 and rows[0]["hi_edge"] == 8.0
     assert sum(r["cnt"] for r in rows.values()) == len(vals)
+
+
+def test_exact_quantiles_leaves_no_pinned_cache(spark):
+    """The ranked full-column frame is unpersisted before returning — only
+    the |qs|-row local result outlives the call (ADVICE r3)."""
+    from amanogawa_spark.operators.stats import exact_quantiles
+
+    spark.sparkContext._jvm.System.gc()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.range(0, 500).selectExpr("cast(id as double) as x")
+    out = exact_quantiles(df, "x", [0.0, 0.5, 1.0])
+    got = {r["q"]: r["value"] for r in out.collect()}
+    assert got == {0.0: 0.0, 0.5: 249.0, 1.0: 499.0}
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before
