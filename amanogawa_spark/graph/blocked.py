@@ -111,6 +111,8 @@ def blocked_pagerank(
     max_iter: int = 8,
     n_salt: int = 4,
     num_partitions: int | None = None,
+    prebuilt_edges: DataFrame | None = None,
+    on_layout_ready=None,
 ) -> BlockedPageRankResult:
     """Fixed-iteration PageRank over the pid-clustered edge layout.
 
@@ -123,7 +125,14 @@ def blocked_pagerank(
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     lab = labels.select("id", F.col("pid").cast("long").alias("pid"))
 
-    e = blocked_edges(edges, labels, n_salt=n_salt, num_partitions=n_part)
+    # ``prebuilt_edges``: reuse a blocked_edges() layout built (and
+    # measured) separately — the bench isolates the one-time layout cost
+    # from the per-iteration shuffle it exists to shrink
+    e = (
+        prebuilt_edges
+        if prebuilt_edges is not None
+        else blocked_edges(edges, labels, n_salt=n_salt, num_partitions=n_part)
+    )
 
     # vertex table: (id, pid, salt, dang) — persisted in the SAME (pid,
     # salt) hash layout as the edges, so the per-iteration rank
@@ -159,6 +168,10 @@ def blocked_pagerank(
 
     ranks = verts.select("id", "pid", "salt", "dang", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
+    if on_layout_ready is not None:
+        # everything above is one-time layout build; everything below is
+        # the per-iteration loop the bench meters separately
+        on_layout_ready()
 
     t0 = time.time()
     with _with_conf(
@@ -203,7 +216,8 @@ def blocked_pagerank(
     secs = time.time() - t0
     out = ranks.select("id", "rank")
     verts.unpersist()
-    e.unpersist()
+    if prebuilt_edges is None:
+        e.unpersist()
     return BlockedPageRankResult(ranks=out, iterations=max_iter, seconds=secs)
 
 

@@ -175,6 +175,108 @@ def bpe_train(
     return merges
 
 
+def bpe_merge_loop_local(
+    word_counts: dict[str, int], num_merges: int, min_pair_count: int = 2
+) -> list[tuple[str, str]]:
+    """Driver-local incremental BPE merge loop — EXACTLY the fixpoint of
+    the distributed loop (same overlapping adjacent-pair counting, same
+    (count desc, pair asc) tie-break; mirror-equality pinned by pytest),
+    but each merge touches only the words that contain the merged pair.
+
+    Bookkeeping is the standard fast-BPE shape (cf. subword-nmt): a
+    pair→{word index} inverted index, exact pair counts updated by
+    delta, and a lazy-invalidation max-heap — popping a stale entry
+    (count changed since push) skips it; every touched pair is re-pushed
+    with its current count, so the live maximum is always present. Total
+    work is O(Σ per-merge affected-word lengths · log), independent of
+    merge count beyond the words actually rewritten — 32k merges over a
+    100k-word vocabulary run in seconds, vs one Spark job per merge in
+    the distributed loop.
+    """
+    import heapq
+
+    words: list[list] = []  # [syms, cnt] — sorted for determinism
+    for w in sorted(word_counts):
+        words.append([list(w), int(word_counts[w])])
+    pair_cnt: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, c) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_cnt[p] = pair_cnt.get(p, 0) + c
+            where.setdefault(p, set()).add(idx)
+    heap = [(-c, p) for p, c in pair_cnt.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges and heap:
+        negc, p = heapq.heappop(heap)
+        cur = pair_cnt.get(p, 0)
+        if cur != -negc or cur <= 0:
+            continue  # stale heap entry
+        if cur < min_pair_count:
+            break
+        a, b = p
+        merges.append(p)
+        touched: set[tuple[str, str]] = {p}
+        for idx in where.pop(p, set()):
+            syms, wc = words[idx]
+            new = _merge_pass(syms, a, b)
+            if len(new) == len(syms):
+                continue  # index entry was stale — word changed earlier
+            for i in range(len(syms) - 1):
+                q = (syms[i], syms[i + 1])
+                pair_cnt[q] = pair_cnt.get(q, 0) - wc
+                touched.add(q)
+            for i in range(len(new) - 1):
+                q = (new[i], new[i + 1])
+                pair_cnt[q] = pair_cnt.get(q, 0) + wc
+                where.setdefault(q, set()).add(idx)
+                touched.add(q)
+            words[idx][0] = new
+        for q in touched:
+            c2 = pair_cnt.get(q, 0)
+            if c2 > 0:
+                heapq.heappush(heap, (-c2, q))
+            else:
+                pair_cnt.pop(q, None)
+                where.pop(q, None)
+    return merges
+
+
+def bpe_train_local(
+    docs: DataFrame,
+    num_merges: int = 32_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    vocab_sample_denom: int | None = None,
+    max_vocab_rows: int = 2_000_000,
+) -> list[tuple[str, str]]:
+    """Production-scale BPE training: ONE distributed corpus pass for the
+    weighted vocabulary, then the merge loop runs on the driver
+    (:func:`bpe_merge_loop_local`).
+
+    Zipf's law makes the word vocabulary tiny next to the corpus, so the
+    driver collect is bounded in practice; ``max_vocab_rows`` makes the
+    bound EXPLICIT — the frequency-truncated head via orderBy+limit
+    (TakeOrdered: per-partition local top-k, no single-partition sort).
+    Dropping the sub-head tail biases merges negligibly (those words'
+    pair mass is by construction the smallest) and is what real tokenizer
+    pipelines ship. The distributed loop (:func:`bpe_train`) stays as the
+    cross-verify surface; encoding stays distributed either way.
+    """
+    vocab = word_vocab(docs, id_col=id_col, text_col=text_col)
+    if vocab_sample_denom:
+        vocab = sample_vocab(vocab, vocab_sample_denom)
+    rows = (
+        vocab.orderBy(F.desc("cnt"), F.asc("word")).limit(max_vocab_rows).collect()
+    )
+    word_counts = {r["word"]: int(r["cnt"]) for r in rows}
+    return bpe_merge_loop_local(
+        word_counts, num_merges, min_pair_count=min_pair_count
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],

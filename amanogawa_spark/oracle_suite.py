@@ -2351,6 +2351,52 @@ JOIN vmin a ON p.u = a.id JOIN vmin b ON p.v = b.id
 WHERE p.pri = a.vmin AND p.pri = b.vmin"""
 
 
+def q_blocked_pagerank5(spark, sf_dir):
+    """Layout-aware blocked PageRank (graph/blocked.py): 5 fixed iterations
+    over the derived graph with an md5-mod-8 partition map. Identical
+    fixed point to q_pagerank5 — the pid-clustered layout changes where
+    bytes move, never the values — so the oracle is the same unrolled
+    power iteration, and a green row certifies the whole edge-stationary
+    co-partitioned join path end-to-end."""
+    from amanogawa_spark.graph.blocked import blocked_pagerank
+    from amanogawa_spark.graph.partition import _init_pid
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    labels = v.select("id", _init_pid(8).alias("pid"))
+    res = blocked_pagerank(v, e, labels, max_iter=5, n_salt=2)
+    return res.ranks.select("id", F.round("rank", 8).alias("pr_value"))
+
+
+def q_community_partition(spark, sf_dir):
+    """Community-driven balanced partitioning (graph/partition.py
+    community_partition): 2 LPA rounds, then a driver-side first-fit-
+    decreasing pack of community sizes into k=4 bins (mirrored by a
+    sequential recursive CTE); communities above one bin's capacity split
+    by the md5 init hash. Every (id, pid) assignment value-checked."""
+    from amanogawa_spark.graph.partition import community_partition
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return community_partition(v, e, k=4, lpa_rounds=2)
+
+
+def q_bpe_local_merges(spark, sf_dir):
+    """Driver-local BPE merge loop (operators/bpe.py bpe_train_local): the
+    first two learned merges over the corpus vocabulary — one distributed
+    vocab aggregate, then the incremental local loop. The oracle unrolls
+    two full training rounds in SQL (pair counts → argmax → exact
+    left-to-right merge fold via list_reduce)."""
+    from amanogawa_spark.operators.bpe import bpe_train_local
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    merges = bpe_train_local(docs, num_merges=2, min_pair_count=2)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, mleft string, mright string",
+    )
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  The literal below is just the registry; the EFFECTIVE order is
 # computed by _rotation_order() at the bottom of this module — queries sort
@@ -2488,6 +2534,10 @@ QUERIES = {
     "q_dup_representatives": q_dup_representatives,
     "q_spinner1": q_spinner1,
     "q_matching1": q_matching1,
+    # -- new in round 4 (never certified -> the rotation queues them first) --
+    "q_blocked_pagerank5": q_blocked_pagerank5,
+    "q_community_partition": q_community_partition,
+    "q_bpe_local_merges": q_bpe_local_merges,
 }
 
 
@@ -2903,6 +2953,142 @@ def _lpa_sql(rounds: int = 3) -> str:
     return (
         parts[0] + ",\n" + ",\n".join(parts[1:])
         + f"\nSELECT id, lab AS label FROM l{rounds}"
+    )
+
+
+def _community_partition_sql(rounds: int = 2, k: int = 4, slack: float = 1.05) -> str:
+    """community_partition mirror: the LPA rounds reuse the q_lpa3 unroll;
+    the driver's first-fit-decreasing fold becomes a SEQUENTIAL recursive
+    CTE (one community per recursion step, bins carried as a k-list;
+    struct sort gives the same (load, index) tie-break); oversized
+    communities take the md5-mod-k split, exactly like _init_pid."""
+    # NOTE: the RECURSIVE modifier must NOT cover the whole WITH — DuckDB
+    # evaluates the (non-recursive) LPA chain differently under WITH
+    # RECURSIVE (measured: 1000/2000 labels flip with the keyword alone),
+    # so the recursion is scoped to a nested WITH inside `assign`.
+    parts = [f"WITH {_EDGES_SQL.strip()}", _VERTS_SQL.strip()]
+    parts.append(
+        "sym AS (SELECT src_id AS u, dst_id AS v FROM edges "
+        "UNION SELECT dst_id AS u, src_id AS v FROM edges)"
+    )
+    parts.append("l0 AS (SELECT id, id AS lab FROM verts)")
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"cnt{r} AS (SELECT s.u AS id, l.lab AS lab, COUNT(*) AS freq FROM sym s "
+            f"JOIN l{p} l ON s.v = l.id GROUP BY s.u, l.lab)"
+        )
+        parts.append(
+            f"best{r} AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY freq DESC, lab ASC) AS rn FROM cnt{r}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{r} AS (SELECT l.id, COALESCE(b.lab, l.lab) AS lab FROM l{p} l "
+            f"LEFT JOIN best{r} b ON l.id = b.id)"
+        )
+    lf = f"l{rounds}"
+    # anchor types must match the recursive arm exactly (DOUBLE[] / BIGINT)
+    zeros = "[" + ", ".join("CAST(0 AS DOUBLE)" for _ in range(k)) + "]"
+    sorted_bins = (
+        f"list_sort(list_transform(range({k}), "
+        "i -> struct_pack(load := p.bins[i+1], idx := i)))"
+    )
+    parts.append(f"sizes AS (SELECT lab, COUNT(*) AS cnt FROM {lf} GROUP BY lab)")
+    parts.append(
+        f"cap AS (SELECT CEIL(CAST(SUM(cnt) AS DOUBLE) / {k}) * "
+        f"CAST({slack} AS DOUBLE) AS c FROM sizes)"
+    )
+    parts.append(
+        "ordc AS (SELECT lab, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, lab ASC) "
+        "AS rn FROM sizes)"
+    )
+    pack_cte = (
+        "pack(rn, bins, pid) AS ("
+        f"SELECT CAST(0 AS BIGINT), {zeros}, CAST(-2 AS BIGINT) "
+        "UNION ALL "
+        "SELECT rn, "
+        f"CASE WHEN big THEN list_transform(bins, b -> b + c / {k}) "
+        f"ELSE list_transform(range({k}), i -> bins[i+1] + "
+        "CASE WHEN i = tgt THEN c ELSE 0.0 END) END, "
+        "CASE WHEN big THEN -1 ELSE tgt END "
+        # DuckDB lambdas cannot hold subqueries — capacity rides in as a
+        # cross-joined plain column instead
+        "FROM (SELECT o.rn AS rn, p.bins AS bins, CAST(o.cnt AS DOUBLE) AS c, "
+        "o.cnt > cap.c AS big, "
+        f"COALESCE(list_filter({sorted_bins}, "
+        "s -> s.load + cnt_d <= cap_c)[1].idx, "
+        f"{sorted_bins}[1].idx) AS tgt "
+        "FROM (SELECT *, CAST(cnt AS DOUBLE) AS cnt_d FROM ordc) o, cap, "
+        "(SELECT c AS cap_c FROM cap) cap2, pack p "
+        "WHERE o.rn = p.rn + 1))"
+    )
+    parts.append(
+        f"assign AS (WITH RECURSIVE {pack_cte} "
+        "SELECT o.lab, p.pid FROM pack p JOIN ordc o USING (rn) "
+        "WHERE p.rn > 0)"
+    )
+    return (
+        parts[0] + ",\n" + ",\n".join(parts[1:]) + "\n"
+        f"SELECT l.id, CAST(CASE WHEN a.pid >= 0 THEN a.pid ELSE "
+        f"('0x' || substr(md5(CAST(l.id AS VARCHAR)), 1, 8))::BIGINT % {k} "
+        f"END AS INT) AS pid FROM {lf} l JOIN assign a ON l.lab = a.lab"
+    )
+
+
+def _bpe_local_merges_sql(min_pair_count: int = 2) -> str:
+    """Two unrolled BPE training rounds: pair counts from the symbolized
+    vocabulary, (count desc, pair asc) argmax, then an EXACT left-to-right
+    non-overlapping merge application as a list_reduce fold over the
+    token list (string replace would mis-handle consecutive overlapping
+    pairs like 'a a a a'; the fold merges the trailing token iff it
+    equals the left part — exactly _merge_pass's scan)."""
+    sep = "chr(31)"
+    spaced = (
+        "s0 AS (SELECT cnt, array_to_string(list_transform(range(length(word)), "
+        f"i -> substr(word, CAST(i + 1 AS INT), 1)), {sep}) AS s FROM wc)"
+    )
+
+    def pair_cte(src: str, name: str) -> str:
+        return (
+            f"{name} AS (SELECT pr[1] AS mleft, pr[2] AS mright, SUM(cnt) AS pc "
+            f"FROM (SELECT cnt, unnest(list_transform(range(len(tk) - 1), "
+            "i -> [tk[i+1], tk[i+2]])) AS pr "
+            f"FROM (SELECT cnt, string_split(s, {sep}) AS tk FROM {src}) "
+            "WHERE len(tk) >= 2) GROUP BY pr[1], pr[2])"
+        )
+
+    def argmax_cte(pairs: str, name: str) -> str:
+        return (
+            f"{name} AS (SELECT mleft, mright FROM {pairs} "
+            f"WHERE pc >= {min_pair_count} "
+            "ORDER BY pc DESC, mleft ASC, mright ASC LIMIT 1)"
+        )
+
+    def apply_cte(src: str, m: str, name: str) -> str:
+        # DuckDB lambdas cannot hold subqueries — the merge pair rides in
+        # as cross-joined plain columns (m is a 1-row CTE)
+        fold = (
+            f"list_reduce(string_split(s, {sep}), (acc, x) -> "
+            f"CASE WHEN x = mright AND (acc = mleft OR "
+            f"ends_with(acc, {sep} || mleft)) "
+            f"THEN left(acc, length(acc) - length(mleft)) || mleft || mright "
+            f"ELSE acc || {sep} || x END)"
+        )
+        return f"{name} AS (SELECT cnt, {fold} AS s FROM {src}, {m})"
+
+    return (
+        f"WITH base AS (SELECT {_NORM} AS norm FROM documents WHERE doc_id < 150),\n"
+        "tok AS (SELECT unnest(string_split(norm, ' ')) AS word FROM base),\n"
+        "wc AS (SELECT word, COUNT(*) AS cnt FROM tok WHERE length(word) > 0 "
+        "GROUP BY word),\n"
+        + spaced + ",\n"
+        + pair_cte("s0", "p1") + ",\n"
+        + argmax_cte("p1", "m1") + ",\n"
+        + apply_cte("s0", "m1", "s1") + ",\n"
+        + pair_cte("s1", "p2") + ",\n"
+        + argmax_cte("p2", "m2") + "\n"
+        "SELECT 1 AS rank, mleft, mright FROM m1 "
+        "UNION ALL SELECT 2, mleft, mright FROM m2"
     )
 
 
@@ -3821,6 +4007,10 @@ FROM n3""",
     ),
     "q_spinner1": _SPINNER1_SQL,
     "q_matching1": _MATCHING1_SQL,
+    # -- new in round 4 --
+    "q_blocked_pagerank5": _pagerank_sql(5),
+    "q_community_partition": _community_partition_sql(2, 4),
+    "q_bpe_local_merges": _bpe_local_merges_sql(),
 }
 
 

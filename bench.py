@@ -42,6 +42,43 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+# median-of-3 runs recorded here by _timed_med, keyed like `queries`
+_RUNS: dict[str, list[float]] = {}
+
+
+def _timed_med(name: str, fn, repeats: int = 3) -> float:
+    """Median of ``repeats`` runs — for PURE probes (no persisted-state
+    mutation) cheap enough to repeat. The spread rides along in the
+    emitted ``queries_runs`` so cross-round comparisons can see host
+    noise instead of guessing at it (VERDICT r3 item 3)."""
+    runs = sorted(_timed(fn) for _ in range(repeats))
+    _RUNS[name] = [round(r, 3) for r in runs]
+    return runs[len(runs) // 2]
+
+
+def calibration_probe(spark) -> float:
+    """Fixed-work CPU+shuffle microjob (median of 3): 20M xxhash64 rows
+    through one 1000-key aggregate. Its wall time normalizes every query
+    time into a host-speed-independent ratio — BENCH_rN.json files taken
+    in different driver windows become comparable via
+    ``queries_normalized`` (raw seconds stay authoritative)."""
+    from pyspark.sql import functions as F
+
+    def job():
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.xxhash64("id") % 1000).alias("k"),
+                F.xxhash64("id", "id").alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .count()
+        )
+
+    return sorted(_timed(job) for _ in range(3))[1]
+
+
 def build_pages(spark, n_pages: int, seed: int = 7):
     """Deterministic in-memory pages corpus → DataFrame (bench fixture)."""
     from amanogawa_spark.fixtures.pages import generate_pages
@@ -128,20 +165,31 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         dense["edges"] * 8 / dense["pr_sec"], 2
     )
 
-    results["connected_components"] = _timed(
-        lambda: connected_components(vertices, edges).count()
+    results["connected_components"] = _timed_med(
+        "connected_components", lambda: connected_components(vertices, edges).count()
     )
-    results["triangle_count"] = _timed(lambda: triangle_total(edges).collect())
+    results["triangle_count"] = _timed_med(
+        "triangle_count", lambda: triangle_total(edges).collect()
+    )
 
-    results["agg_pricing"] = _timed(lambda: q_agg_pricing(spark, sf_dir).collect())
-    results["join_agg_revenue"] = _timed(lambda: q_join_agg_revenue(spark, sf_dir).collect())
-    results["sessionize"] = _timed(lambda: q_user_sessions(spark, sf_dir).collect())
-    results["minhash_dedup"] = _timed(
+    results["agg_pricing"] = _timed_med(
+        "agg_pricing", lambda: q_agg_pricing(spark, sf_dir).collect()
+    )
+    results["join_agg_revenue"] = _timed_med(
+        "join_agg_revenue", lambda: q_join_agg_revenue(spark, sf_dir).collect()
+    )
+    results["sessionize"] = _timed_med(
+        "sessionize", lambda: q_user_sessions(spark, sf_dir).collect()
+    )
+    results["minhash_dedup"] = _timed_med(
+        "minhash_dedup",
         lambda: minhash_dedup(
             spark.read.parquet(f"{sf_dir}/documents.parquet")
-        ).count()
+        ).count(),
     )
-    results["ann_topk"] = _timed(lambda: q_ann_topk(spark, sf_dir).count())
+    results["ann_topk"] = _timed_med(
+        "ann_topk", lambda: q_ann_topk(spark, sf_dir).count()
+    )
 
     # --- scale probes: dedup + ANN on DISTRIBUTED corpora ~20x the sf tables
     # (round-1 benched these only at sf0.1 doc counts; hot band buckets /
@@ -193,15 +241,17 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # hash-deterministic walk corpus over the sparse bench graph
     from amanogawa_spark.graph.walks import random_walks
 
-    results["random_walks_l4"] = _timed(
-        lambda: random_walks(edges, walk_length=4, walks_per_vertex=2).count()
+    results["random_walks_l4"] = _timed_med(
+        "random_walks_l4",
+        lambda: random_walks(edges, walk_length=4, walks_per_vertex=2).count(),
     )
 
     # second-order biased walks: adds the prev-adjacency join per step
     from amanogawa_spark.graph.walks import node2vec_walks
 
-    results["node2vec_l4"] = _timed(
-        lambda: node2vec_walks(edges, walk_length=4, p=2.0, q=0.5).count()
+    results["node2vec_l4"] = _timed_med(
+        "node2vec_l4",
+        lambda: node2vec_walks(edges, walk_length=4, p=2.0, q=0.5).count(),
     )
 
     # directed condensation of the derived digraph (SCC peel to fixpoint)
@@ -217,7 +267,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         )
         strongly_connected_components(dv, de).count()
 
-    results["scc_derived"] = _timed(_scc)
+    results["scc_derived"] = _timed_med("scc_derived", _scc)
 
     # community detection over the bench link graph: 2-level Louvain, then
     # modularity of the found partition (bounded rounds — the bench measures
@@ -254,7 +304,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         target = docs.filter(F.col("doc_id") % 97 == 0)
         dsir_logratios(docs, target, num_buckets=4096).count()
 
-    results["dsir_scale"] = _timed(_dsir_scale)
+    results["dsir_scale"] = _timed_med("dsir_scale", _dsir_scale)
 
     # --- round-3 session probes: retrieval + semantic dedup at scale -------
     # BM25 over the distributed corpus (~100k docs at sf0.1): corpus stats
@@ -274,7 +324,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         )
         bm25_scores(docs, qdf, k=10).count()
 
-    results["bm25_scale"] = _timed(_bm25_scale)
+    results["bm25_scale"] = _timed_med("bm25_scale", _bm25_scale)
 
     # SemDeDup over distributed embeddings: broadcast centroid assignment +
     # within-cluster pairs only. Sizing note (measured): assignment is
@@ -297,22 +347,119 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             emb, threshold=0.9, stride=150, max_cluster_size=600, method="arrow"
         ).filter(~F.col("keep")).count()
 
-    results["semdedup_scale"] = _timed(_semdedup_scale)
+    results["semdedup_scale"] = _timed_med("semdedup_scale", _semdedup_scale)
 
-    # balanced partitioning of the bench link graph: 6 quota-gated rounds,
-    # then the edge-cut metric the partitioning job logs
-    from amanogawa_spark.graph.partition import edge_cut, spinner_partition
+    # --- partitioning + layout probes (round-4) ----------------------------
+    # The corpus: a web-LIKE graph with host-level link locality (80% of
+    # links stay in a 500-page block — real web graphs keep ~3/4 of links
+    # on-host). The earlier bench graph was locality-free, so NO partition
+    # map could land under random's (k-1)/k cut — a probe that can't
+    # distinguish a good partitioner from a bad one. The flat spinner row
+    # stays for continuity; the HEADLINE partitioner is
+    # community_partition (LPA communities + driver FFD bin-pack), the
+    # shape that matches web structure.
+    from amanogawa_spark.graph.partition import (
+        _init_pid,
+        community_partition,
+        edge_cut,
+        spinner_partition,
+    )
+
+    n_loc = max(4000, int(200_000 * sf))
+    # out_links (30, 80): realistic web out-degree (same basis as the
+    # scaling corpus) — at E/V ≈ 50 the aggregation partials dominate the
+    # per-iteration shuffle, which is the regime the layout exists for
+    loc_pages = distributed_pages(
+        spark, n_loc, out_links=(30, 80), block_local_frac=0.8, block_size=500
+    ).persist()
+    loc_verts = build_vertices(loc_pages, id_mode="hash").persist()
+    loc_edges = build_edges(loc_pages, loc_verts).persist()
+    loc_edges.count()
 
     part = {}
 
     def _spinner():
         lbl = spinner_partition(
-            vertices, edges, k=8, max_rounds=6, stop_moves_frac=0.02
+            loc_verts.select("id"), loc_edges, k=8, max_rounds=6,
+            stop_moves_frac=0.02,
         )
-        part["cut"] = edge_cut(edges, lbl).collect()[0]["cut_frac_r"]
+        part["cut"] = edge_cut(loc_edges, lbl).collect()[0]["cut_frac_r"]
 
     results["spinner_partition_k8"] = _timed(_spinner)
     results["spinner_cut_frac_metric"] = round(part["cut"], 4)
+
+    cpart = {}
+
+    def _community_partition():
+        lbl = community_partition(
+            loc_verts.select("id"), loc_edges, k=8, lpa_rounds=6
+        ).persist()
+        cpart["cut"] = edge_cut(loc_edges, lbl).collect()[0]["cut_frac_r"]
+        loads = sorted(
+            r["count"] for r in lbl.groupBy("pid").count().collect()
+        )
+        n_v = sum(loads)
+        cpart["imbalance"] = loads[-1] / (n_v / 8.0)
+        cpart["labels"] = lbl
+
+    results["partition_k8_seconds"] = _timed(_community_partition)
+    results["partition_cut_frac_metric"] = round(cpart["cut"], 4)
+    results["partition_max_imbalance_metric"] = round(cpart["imbalance"], 4)
+
+    # the partition map's CONSUMER (graph/blocked.py): the same
+    # fixed-iteration PageRank loop over a pid-clustered vs a random edge
+    # layout; per-iteration shuffle bytes from the UI stage store. The
+    # clustered layout's map-side combine emits ~V/k partials per
+    # partition instead of ~V — the reduction is the partition map paying
+    # rent on the shuffle that dominates iterative graph jobs at scale.
+    from amanogawa_spark.graph.blocked import blocked_edges, blocked_pagerank
+
+    def _stage_store():
+        import urllib.request
+
+        app = spark.sparkContext.applicationId
+        base = spark.sparkContext.uiWebUrl
+        if base is None:
+            return None
+        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        return json.load(urllib.request.urlopen(url))
+
+    def _max_sid():
+        data = _stage_store()
+        return None if data is None else max((s["stageId"] for s in data), default=-1)
+
+    def _shuf_since(sid):
+        data = _stage_store()
+        if data is None or sid is None:
+            return -1.0
+        return sum(
+            s.get("shuffleWriteBytes", 0) for s in data if s["stageId"] > sid
+        )
+
+    rnd_lbl = loc_verts.select("id", _init_pid(8).alias("pid")).persist()
+    for tag, lbl in (("random", rnd_lbl), ("clustered", cpart["labels"])):
+        eb = blocked_edges(loc_edges, lbl, n_salt=2)
+        marker = {}
+        res = blocked_pagerank(
+            loc_verts.select("id"), loc_edges, lbl, max_iter=8,
+            prebuilt_edges=eb,
+            on_layout_ready=lambda: marker.update(sid=_max_sid()),
+        )
+        res.ranks.count()
+        shuf = _shuf_since(marker.get("sid"))
+        eb.unpersist()
+        results[f"layout_pagerank_{tag}_sec"] = round(res.seconds, 3)
+        results[f"layout_pagerank_{tag}_shuffle_mb_metric"] = round(shuf / 1e6, 2)
+    r_mb = results["layout_pagerank_random_shuffle_mb_metric"]
+    c_mb = results["layout_pagerank_clustered_shuffle_mb_metric"]
+    results["layout_shuffle_reduction_metric"] = (
+        round(1.0 - c_mb / r_mb, 4) if r_mb > 0 and c_mb >= 0 else -1.0
+    )
+    rnd_lbl.unpersist()
+    cpart["labels"].unpersist()
+    loc_pages.unpersist()
+    loc_verts.unpersist()
+    loc_edges.unpersist()
 
     pages.unpersist()
     return results
@@ -321,7 +468,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 def run_default() -> dict:
     from amanogawa_spark.session import get_spark
 
-    spark = get_spark(cpus=CPUS, app_name="amanogawa_bench")
+    spark = get_spark(
+        cpus=CPUS,
+        app_name="amanogawa_bench",
+        # the layout probe reads per-stage shuffle bytes from the UI store
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "30000"},
+    )
+    calibration = calibration_probe(spark)
     qtimes = bench_queries(spark, SF_DIR)
     total = sum(
         v
@@ -335,6 +488,19 @@ def run_default() -> dict:
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in qtimes.items()},
+        # host-speed normalization (VERDICT r3 item 3): seconds / the
+        # fixed-work calibration probe's seconds — dimensionless ratios
+        # comparable across driver windows on different host load
+        "calibration_seconds": round(calibration, 3),
+        "queries_normalized": {
+            k: round(v / calibration, 2)
+            for k, v in qtimes.items()
+            if not k.endswith("_iters")
+            and not k.endswith("_per_sec")
+            and not k.endswith("_metric")
+        },
+        # raw median-of-3 spreads for the repeated pure probes
+        "queries_runs": dict(_RUNS),
         "sf": _sf_of(SF_DIR),
         "cpus": CPUS,
     }

@@ -79,3 +79,56 @@ def test_sample_vocab_deterministic_subset(spark):
     s2 = sorted(r["word"] for r in sample_vocab(vocab.repartition(5), 2).collect())
     assert s1 == s2
     assert set(s1) <= {r["word"] for r in vocab.collect()}
+
+
+def test_local_merge_loop_mirrors_reference_exactly():
+    """The incremental driver-local loop == the full-recount reference on
+    every prefix (same counts, same tie-breaks)."""
+    from amanogawa_spark.operators.bpe import bpe_merge_loop_local
+
+    wc = _word_counts()
+    for n in (1, 3, 8, 50):
+        assert bpe_merge_loop_local(wc, n) == bpe_reference_train(wc, n)
+
+
+def test_local_merge_loop_mirrors_reference_random_corpus():
+    import random
+
+    from amanogawa_spark.operators.bpe import bpe_merge_loop_local
+
+    rng = random.Random(11)
+    alphabet = "abcdef"
+    wc = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9))): rng.randint(1, 40)
+        for _ in range(300)
+    }
+    assert bpe_merge_loop_local(wc, 120) == bpe_reference_train(wc, 120)
+
+
+def test_bpe_train_local_matches_distributed(spark):
+    from amanogawa_spark.operators.bpe import bpe_train_local
+
+    got = bpe_train_local(_docs_df(spark), num_merges=8)
+    want = bpe_train(_docs_df(spark), num_merges=8)
+    assert got == want
+
+
+def test_bpe_train_local_32k_merges_fast():
+    """32k merges over a synthetic 20k-word vocabulary in seconds — the
+    scale shape the distributed per-merge loop cannot reach."""
+    import random
+    import time
+
+    from amanogawa_spark.operators.bpe import bpe_merge_loop_local
+
+    rng = random.Random(3)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    wc = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 14))): rng.randint(1, 1000)
+        for _ in range(20_000)
+    }
+    t0 = time.time()
+    merges = bpe_merge_loop_local(wc, 32_000, min_pair_count=1)
+    dt = time.time() - t0
+    assert len(merges) > 5_000  # vocabulary yields many thousand merges
+    assert dt < 120, f"local merge loop too slow: {dt:.1f}s"
