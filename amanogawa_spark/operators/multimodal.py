@@ -4,9 +4,11 @@ The Spark-side contract is fully real — schemas, partition-aware batch
 iteration (``mapInPandas``), Arrow batch shapes, deterministic feature
 extraction — and so is one decoder per modality, stdlib-only:
 
-- images: binary PPM (P6) / PGM (P5) parsed with a numpy frombuffer —
-  no PIL needed. Compressed formats (PNG/JPEG) still raise
-  ``NotImplementedError`` because their codecs aren't in this container.
+- images: binary PPM (P6) / PGM (P5) parsed with a numpy frombuffer, and
+  8-bit grey/RGB non-interlaced PNG via stdlib zlib inflate + scanline
+  unfilter (encoder included for test fixtures). JPEG and exotic PNG
+  variants raise ``NotImplementedError`` — those codecs aren't in this
+  container.
 - audio: RIFF/WAV PCM via the stdlib ``wave`` module (8/16/32-bit).
   Lossy codecs (mp3/ogg) raise.
 
@@ -40,20 +42,108 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6) / PGM (P5) → float64 array (h, w, 3) in [0, 1].
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Pure stdlib+numpy: netpbm is a deterministic uncompressed format, so
-    the decode is a header parse + ``np.frombuffer``. Compressed formats
-    (PNG/JPEG) raise ``NotImplementedError`` — their codecs (PIL/opencv)
-    are not in this container; the caller-visible contract is identical.
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) → (h, w*ch) uint8. Up is vectorized; Sub/Average/Paeth
+    carry a left-neighbor dependency so they walk the row."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        prior = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            out[y] = row
+        elif ftype == 2:  # Up
+            out[y] = (row.astype(np.int32) + prior) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth (left-dependent)
+            rec = out[y]
+            ri = row.astype(np.int32)
+            pi = prior.astype(np.int32)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                if ftype == 1:
+                    rec[x] = (ri[x] + a) % 256
+                elif ftype == 3:
+                    rec[x] = (ri[x] + (a + int(pi[x])) // 2) % 256
+                else:
+                    b = int(pi[x])
+                    c = int(pi[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (ri[x] + pred) % 256
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Stdlib PNG decode: chunk walk → IHDR + concatenated IDAT → zlib
+    inflate → scanline unfilter. Supports 8-bit greyscale (color type 0)
+    and RGB (2), non-interlaced — the deterministic subset; palette/alpha/
+    16-bit/interlaced raise ``NotImplementedError`` honestly (no codec
+    library in this container to fall back to)."""
+    import struct
+    import zlib
+
+    if len(payload) < 33 or payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG subset is 8-bit grey/RGB non-interlaced (got depth={depth}, "
+            f"color={color}, interlace={interlace})"
+        )
+    ch = 1 if color == 0 else 3
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + w * ch):
+        raise NotImplementedError("PNG IDAT length mismatch")
+    px = _png_unfilter(raw, w, h, ch)
+    img = px.astype(np.float64).reshape(h, w, ch) / 255.0
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) / 8-bit non-interlaced PNG → float64
+    array (h, w, 3) in [0, 1].
+
+    Pure stdlib+numpy: netpbm is a header parse + ``np.frombuffer``; PNG
+    is a zlib inflate + scanline unfilter (:func:`_decode_png`). JPEG and
+    the exotic PNG variants raise ``NotImplementedError`` — their codecs
+    (PIL/opencv) are not in this container; the caller-visible contract
+    is identical.
     """
     if payload is None or len(payload) < 2:
         raise NotImplementedError("empty/truncated payload")
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     magic = payload[:2]
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
-            "only binary PPM(P6)/PGM(P5) decode here; PNG/JPEG need PIL/opencv"
+            "only PPM(P6)/PGM(P5)/PNG decode here; JPEG needs PIL/opencv"
         )
     # header: magic, width, height, maxval as whitespace-separated tokens,
     # '#' comments allowed between tokens; one whitespace byte after maxval
@@ -233,6 +323,79 @@ def synth_ppm(width: int, height: int, seed: int = 0) -> bytes:
     pixels = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
     header = f"P6\n{width} {height}\n255\n".encode()
     return header + pixels.tobytes()
+
+
+def encode_png(
+    pixels: np.ndarray, filters: list[int] | None = None
+) -> bytes:
+    """Minimal stdlib PNG encoder: (h, w) uint8 grey or (h, w, 3) uint8 RGB
+    → 8-bit non-interlaced PNG. ``filters`` optionally fixes each row's
+    filter type (0..4; default all 0) — the test surface for the decoder's
+    unfilter paths. Deterministic bytes (fixed zlib level)."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if ch not in (1, 3):
+        raise ValueError("grey or RGB only")
+    color = 0 if ch == 1 else 2
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    rows = bytearray()
+    for y in range(h):
+        f = filters[y] if filters else 0
+        cur = flat[y]
+        prior = flat[y - 1] if y > 0 else np.zeros(w * ch, dtype=np.int32)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prior
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            enc = cur - (left + prior) // 2
+        elif f == 4:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, dtype=np.int32), prior[:-ch]])
+            p = left + prior - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"filter {f}")
+        rows.append(f)
+        rows.extend((enc % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic PNG payload: the SAME seeded pixel matrix as
+    ``synth_ppm`` (so PNG-vs-PPM round trips compare bit-identical), with
+    each row cycling through the five filter types."""
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    return encode_png(pixels, filters=[y % 5 for y in range(height)])
 
 
 def synth_wav(n_samples: int, rate: int = 8000, seed: int = 0) -> bytes:

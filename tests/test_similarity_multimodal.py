@@ -380,3 +380,81 @@ def test_real_decoders_end_to_end(spark):
     }
     assert a1 == a2 and len(a1) == 8
     assert all(len(v) == 6 and any(x > 0 for x in v) for v in a1.values())
+
+
+def test_png_decode_roundtrip_matches_ppm():
+    """decode_image over a synthesized PNG (all five filter types across
+    rows) reproduces the exact pixel matrix the PPM path yields."""
+    import numpy as np
+
+    from amanogawa_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        synth_png,
+        synth_ppm,
+    )
+
+    rng = np.random.default_rng(5)
+    pixels = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for filters in (None, [1] * 9, [2] * 9, [3] * 9, [4] * 9, [0, 1, 2, 3, 4, 4, 3, 2, 1]):
+        img = decode_image(encode_png(pixels, filters=filters))
+        assert img.shape == (9, 7, 3)
+        assert np.array_equal((img * 255).round().astype(np.uint8), pixels), filters
+    # PNG and PPM of the same seed decode bit-identically
+    a = decode_image(synth_png(8, 6, seed=3))
+    b = decode_image(synth_ppm(8, 6, seed=3))
+    assert np.array_equal(a, b)
+    # greyscale color type 0 expands to 3 identical channels
+    grey = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    g = decode_image(encode_png(grey, filters=[4, 2, 1, 3]))
+    assert np.array_equal(g[:, :, 0], g[:, :, 2])
+    assert np.array_equal((g[:, :, 0] * 255).round().astype(np.uint8), grey)
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from amanogawa_spark.operators.multimodal import _PNG_SIG, decode_image, encode_png
+
+    with pytest.raises(NotImplementedError):
+        decode_image(_PNG_SIG + b"\x00" * 10)  # no IHDR/IDAT
+    # forge a 16-bit-depth IHDR
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(_PNG_SIG + chunk)
+    # valid PNG still decodes after the failures (no shared state)
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert decode_image(encode_png(px)).shape == (2, 2, 3)
+
+
+def test_png_media_pipeline_repartition_invariant(spark):
+    """PNG payloads through the media feature pipeline: byte-stable
+    features, invariant to input partitioning."""
+    from amanogawa_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        synth_png,
+    )
+
+    rows = [
+        (i, "image", synth_png(12, 10, seed=i), "image/png", 12, 10, None)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    f1 = {
+        r["media_id"]: tuple(r["feature"])
+        for r in extract_features(df, dim=8, decoder="image").collect()
+    }
+    f2 = {
+        r["media_id"]: tuple(r["feature"])
+        for r in extract_features(df.repartition(7), dim=8, decoder="image").collect()
+    }
+    assert f1 == f2
+    assert all(len(v) == 8 for v in f1.values())
