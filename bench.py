@@ -457,6 +457,30 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     )
     rnd_lbl.unpersist()
     cpart["labels"].unpersist()
+
+    # --- end-to-end curation superjob (tools/run_curation_job.py) on the
+    # locality corpus: extract → exact+MinHash dedup → graph → PageRank
+    # (capped at 15 iterations so the row is cross-round comparable) →
+    # quality gate → mixture → packing. Fresh work dir — no stage skips.
+    import argparse
+    import tempfile
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+    from run_curation_job import run as _run_curation
+
+    cur_dir = tempfile.mkdtemp(prefix="bench_curation_")
+    loc_pages.write.mode("overwrite").parquet(f"{cur_dir}/pages")
+    cur_args = argparse.Namespace(
+        pages=f"{cur_dir}/pages", work=f"{cur_dir}/work", out=f"{cur_dir}/out",
+        tol=1e-6, max_iter=15, checkpoint_every=5, minhash_threshold=0.8,
+        min_tokens=3, mixture="en:1.0,ja:1.0,de:1.0,fr:1.0,es:1.0",
+        max_tokens=2048,
+    )
+    t0 = time.time()
+    cur_report = _run_curation(cur_args, spark=spark)
+    results["curation_superjob"] = round(time.time() - t0, 3)
+    results["curation_rows_metric"] = float(cur_report["curated_rows"])
+
     loc_pages.unpersist()
     loc_verts.unpersist()
     loc_edges.unpersist()
