@@ -218,8 +218,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         # surface — at 200 members/cluster the unguarded join was 80M pairs
         # and 130s, measured)
         emb = distributed_embeddings(spark, n_scale, dim=64, n_clusters=max(50, n_scale // 50))
+        # gram-matrix per-bucket top-k (method='arrow'): the expr path's
+        # pair-dedup exchange carries 2×64 doubles per candidate pair —
+        # measured 83 s → 11 s at this shape, identical rows (parity
+        # pytest); the expr path remains the q_ann_lsh oracle mirror
         cosine_topk_lsh(
-            emb, k=5, dim=64, n_tables=4, n_planes=14, max_bucket_size=150
+            emb, k=5, dim=64, n_tables=4, n_planes=14, max_bucket_size=150,
+            method="arrow",
         ).count()
 
     results["ann_lsh_scale"] = _timed(_ann_lsh_scale)

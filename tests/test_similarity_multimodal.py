@@ -458,3 +458,24 @@ def test_png_media_pipeline_repartition_invariant(spark):
     }
     assert f1 == f2
     assert all(len(v) == 8 for v in f1.values())
+
+
+def test_lsh_arrow_path_matches_expr_path(spark):
+    """The gram-matrix per-bucket top-k == the pair-join path (lossless
+    vs the pair-union semantics); cosines compared at 1e-9."""
+    from amanogawa_spark.fixtures.distributed import distributed_embeddings
+    from amanogawa_spark.operators.similarity import cosine_topk_lsh
+
+    emb = distributed_embeddings(spark, 600, dim=16, n_clusters=20)
+    kw = dict(k=4, dim=16, n_tables=3, n_planes=8, max_bucket_size=200)
+    expr = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk_lsh(emb, **kw).collect()
+    }
+    arrow = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk_lsh(emb, method="arrow", **kw).collect()
+    }
+    assert set(expr) == set(arrow)
+    for key, v in expr.items():
+        assert abs(arrow[key] - v) < 1e-9, key
