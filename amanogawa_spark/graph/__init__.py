@@ -28,6 +28,8 @@ from amanogawa_spark.graph.landmarks import (
     select_landmarks,
 )
 from amanogawa_spark.graph.salsa import salsa
+from amanogawa_spark.graph.trustrank import spam_mass, spam_mass_scores, trustrank
+from amanogawa_spark.graph.host import host_graph, host_rank, host_vertices
 from amanogawa_spark.graph.matching import contract_matching, maximal_matching
 from amanogawa_spark.graph.partition import (
     edge_cut,
@@ -69,6 +71,12 @@ __all__ = [
     "estimate_distances",
     "select_landmarks",
     "salsa",
+    "trustrank",
+    "spam_mass",
+    "spam_mass_scores",
+    "host_graph",
+    "host_vertices",
+    "host_rank",
     "maximal_matching",
     "contract_matching",
     "spinner_partition",

@@ -1,8 +1,9 @@
 from amanogawa_spark.operators.etl import branch_columns, key_join, row_filter
-from amanogawa_spark.operators.sampling import hash_sample, stratified_sample
+from amanogawa_spark.operators.sampling import hash_sample, stratified_sample, weighted_reservoir
 from amanogawa_spark.operators.packing import pack_sequences
 from amanogawa_spark.operators.quality import (
     c4_line_filter,
+    perplexity_buckets,
     redact_pii,
     repetition_features,
 )
@@ -16,16 +17,18 @@ from amanogawa_spark.operators.bpe import bpe_encode, bpe_train
 from amanogawa_spark.operators.retrieval import bm25_scores, posting_lists
 from amanogawa_spark.operators.semdedup import semdedup
 from amanogawa_spark.operators.pq import ivf_pq_topk, pq_adc_topk, pq_encode, pq_train
-from amanogawa_spark.operators.stats import exact_quantiles, numeric_histogram
+from amanogawa_spark.operators.stats import exact_quantiles, numeric_histogram, powerlaw_alpha
 
 __all__ = [
     "branch_columns",
     "key_join",
     "row_filter",
     "hash_sample",
+    "weighted_reservoir",
     "stratified_sample",
     "pack_sequences",
     "c4_line_filter",
+    "perplexity_buckets",
     "redact_pii",
     "repetition_features",
     "cms_query",
@@ -42,5 +45,6 @@ __all__ = [
     "pq_adc_topk",
     "ivf_pq_topk",
     "exact_quantiles",
+    "powerlaw_alpha",
     "numeric_histogram",
 ]

@@ -101,3 +101,82 @@ def redact_pii(
         n_emails.alias("n_emails"),
         n_phones.alias("n_phones"),
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    score_col: str = "avg_logprob",
+    id_col: str = "id",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """(id, score, bucket, label): CCNet-style perplexity tertiles.
+
+    CCNet (Wenzek et al. 2020 §3.3) splits a crawl into head/middle/tail
+    thirds by LM perplexity and samples each third at different rates —
+    the standard quality-stratification step between scoring and
+    mixture sampling. ``scored`` is any (id, score) frame (feed
+    ``unigram_logprob_scores``; higher score = lower perplexity =
+    bucket 1 = head). Buckets are exact NTILE(n) over
+    (round(score,8) DESC, id ASC) — the rounding + id tiebreak makes the
+    assignment engine-portable for the value oracle.
+
+    Scale shape: NTILE's naive form is a single-partition global window
+    (every row through one task). This formulation is exactly
+    NTILE-equivalent without it: the two-pass range-partitioned ranker
+    (``dense_rank_ids``) finds the n_buckets−1 BOUNDARY keys (the first
+    (score,id) of each bucket — unique because the composite key is a
+    total order), collects those ≤3 rows, unpersists the rank table, and
+    assigns buckets with a pure broadcast comparison — no corpus-sized
+    cache or window survives the call, and the assignment pass is a
+    zero-shuffle map over the scores.
+    """
+    from amanogawa_spark.graph.build import dense_rank_ids
+
+    if labels is None:
+        labels = (
+            ("head", "middle", "tail")
+            if n_buckets == 3
+            else tuple(f"b{i + 1}" for i in range(n_buckets))
+        )
+    if len(labels) != n_buckets:
+        raise ValueError("labels must have n_buckets entries")
+    neg = -F.round(F.col(score_col).cast("double"), 8)
+    base = scored.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("double").alias("score"),
+        F.struct(neg.alias("ns"), F.col(id_col).cast("long").alias("tid")).alias("_k"),
+    )
+    ranked = dense_rank_ids(base.select("_k"), "_k", out_col="_rk")
+    n = ranked.count()
+    if n == 0:
+        ranked.unpersist()
+        return scored.sparkSession.createDataFrame(
+            [], "id long, score double, bucket int, label string"
+        )
+    q, r = divmod(n, n_buckets)
+    starts = []
+    acc = 0
+    for i in range(n_buckets - 1):
+        acc += q + 1 if i < r else q
+        if acc < n:
+            starts.append(acc)
+    bdf = scored.sparkSession.createDataFrame(
+        [(int(s),) for s in starts], "_rk long"
+    )
+    bounds = [
+        (row["_k"]["ns"], row["_k"]["tid"])
+        for row in F.broadcast(bdf).join(ranked, "_rk").select("_k").collect()
+    ]
+    ranked.unpersist()
+    bounds.sort()
+    bucket = F.lit(1)
+    for bns, btid in bounds:
+        ge = (F.col("_k.ns") > F.lit(bns)) | (
+            (F.col("_k.ns") == F.lit(bns)) & (F.col("_k.tid") >= F.lit(btid))
+        )
+        bucket = bucket + ge.cast("int")
+    lab = F.element_at(F.array(*[F.lit(x) for x in labels]), F.col("bucket"))
+    return base.select("id", "score", bucket.alias("bucket"), "_k").select(
+        "id", "score", "bucket", lab.alias("label")
+    )

@@ -254,6 +254,44 @@ def importance_resample(
     )
 
 
+def weighted_reservoir(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: list[str] | None = None,
+    hash: str = "xxhash64",
+    seed: int = 7,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, P(row in sample) ∝ weight:
+    the Efraimidis–Spirakis A-ES reservoir, deterministic.
+
+    Each row draws u ∈ (0,1) from its hash coin and ranks by
+    key = ln(u)/w (equivalent to maximizing u^{1/w}; the classic
+    one-pass weighted reservoir). Unlike :func:`importance_resample`
+    (Gumbel over exp(weight) — a softmax draw), this samples ∝ the RAW
+    weight, the contract for "sample documents proportionally to token
+    count / quality score". Rows with w ≤ 0 or NULL can never be drawn
+    and are filtered up front (pushdown-friendly).
+
+    Scale shape: no RNG state, no shuffle of losers — the global top-k
+    compiles to TakeOrderedAndProject (bounded k rows per partition,
+    k·partitions at the driver), identical under any partitioning. The
+    key is rounded to 8 decimals with a key-column tiebreak so the drawn
+    subset is stable across engines for the value oracle.
+    """
+    key_cols = key_cols or ["id"]
+    w = F.col(weight_col).cast("double")
+    u = (_coin32(key_cols, hash, seed) + F.lit(0.5)) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / w, 8)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_rkey", key)
+        .orderBy(F.col("_rkey").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(k)
+        .drop("_rkey")
+    )
+
+
 def temperature_rates(
     df: DataFrame,
     group_col: str,

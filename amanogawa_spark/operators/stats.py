@@ -60,6 +60,33 @@ def exact_quantiles(
     )
 
 
+def powerlaw_alpha(df: DataFrame, col: str, xmin: float = 1.0) -> DataFrame:
+    """(xmin, n_tail, alpha): Hill/Clauset MLE of a power-law tail
+    exponent — α = 1 + n / Σ ln(xᵢ/xmin) over xᵢ ≥ xmin.
+
+    The standard web-graph profiling statistic: degree distributions of
+    crawl graphs are power-law-ish with α ≈ 2.1 (in-degree), and the
+    fitted exponent drives capacity planning (how bad is the hub skew →
+    what salt factor / how many stripes a hub vertex needs). One
+    map-side-combined aggregate over the column — profiling a 10^12-row
+    degree table costs one shuffle of ONE row per partition. Continuous
+    MLE (Clauset-Shalizi-Newman 2009 eq. 3.1); for integer degrees it is
+    the standard upper-bound approximation, exact enough for skew
+    triage.
+    """
+    x = F.col(col).cast("double")
+    tail = df.filter(x.isNotNull() & (x >= F.lit(float(xmin))))
+    agg = tail.agg(
+        F.count("*").alias("n_tail"),
+        F.sum(F.log(x / F.lit(float(xmin)))).alias("_logsum"),
+    )
+    return agg.select(
+        F.lit(float(xmin)).alias("xmin"),
+        "n_tail",
+        (F.lit(1.0) + F.col("n_tail") / F.col("_logsum")).alias("alpha"),
+    )
+
+
 def numeric_histogram(
     df: DataFrame, col: str, lo: float, hi: float, bins: int
 ) -> DataFrame:

@@ -2397,6 +2397,243 @@ def q_bpe_local_merges(spark, sf_dir):
     )
 
 
+def q_spam_mass3(spark, sf_dir):
+    """TrustRank + relative spam mass (Gyöngyi et al. VLDB'04/'06): 3 fixed
+    iterations for both the uniform and the trust-seeded walk, trusted
+    seeds = id % 100 == 0; mass = (pr − tr)/pr on the unrounded scores."""
+    from amanogawa_spark.graph.trustrank import spam_mass, trustrank
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    trusted = v.filter(F.col("id") % 100 == 0)
+    pr = pagerank_fixed_iterations(v, e, iterations=3)
+    tr = trustrank(v, e, trusted, tol=-1.0, max_iter=3)
+    return spam_mass(pr, tr.ranks).select(
+        "id",
+        F.round("pr", 8).alias("pr_r"),
+        F.round("tr", 8).alias("tr_r"),
+        F.round("spam_mass", 8).alias("spam_mass_r"),
+    )
+
+
+def _spam_mass_sql(iters: int = 3) -> str:
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "outdeg AS MATERIALIZED (SELECT src_id AS id, CAST(COUNT(*) AS DOUBLE) AS od "
+        "FROM edges GROUP BY src_id)",
+        "seeds AS MATERIALIZED (SELECT id FROM verts WHERE id % 100 = 0)",
+        "sn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds)",
+        "sv AS MATERIALIZED (SELECT v.id, CASE WHEN s.id IS NOT NULL THEN "
+        "1.0/(SELECT ns FROM sn) ELSE 0.0 END AS s FROM verts v "
+        "LEFT JOIN seeds s ON v.id = s.id)",
+        "p0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS pr FROM verts)",
+        "t0 AS MATERIALIZED (SELECT id, s AS tr FROM sv)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = k - 1, k
+        parts.append(
+            f"dp{c} AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS dm FROM p{p} r "
+            f"LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"cp{c} AS MATERIALIZED (SELECT e.dst_id AS id, SUM(r.pr / o.od) AS mass "
+            f"FROM edges e JOIN p{p} r ON e.src_id = r.id "
+            f"JOIN outdeg o ON e.src_id = o.id GROUP BY e.dst_id)"
+        )
+        parts.append(
+            f"p{c} AS MATERIALIZED (SELECT v.id, 0.15/(SELECT n FROM nn) "
+            f"+ 0.85*(COALESCE(c.mass, 0.0) + (SELECT dm FROM dp{c})/(SELECT n FROM nn)) AS pr "
+            f"FROM verts v LEFT JOIN cp{c} c ON v.id = c.id)"
+        )
+        parts.append(
+            f"dt{c} AS MATERIALIZED (SELECT COALESCE(SUM(r.tr), 0.0) AS dm FROM t{p} r "
+            f"LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"ct{c} AS MATERIALIZED (SELECT e.dst_id AS id, SUM(r.tr / o.od) AS mass "
+            f"FROM edges e JOIN t{p} r ON e.src_id = r.id "
+            f"JOIN outdeg o ON e.src_id = o.id GROUP BY e.dst_id)"
+        )
+        parts.append(
+            f"t{c} AS MATERIALIZED (SELECT sv.id, sv.s * (0.15 + 0.85*(SELECT dm FROM dt{c})) "
+            f"+ 0.85*COALESCE(c.mass, 0.0) AS tr FROM sv "
+            f"LEFT JOIN ct{c} c ON sv.id = c.id)"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return body + (
+        f"\nSELECT p.id, ROUND(p.pr, 8) AS pr_r, ROUND(t.tr, 8) AS tr_r, "
+        f"ROUND(CASE WHEN p.pr > 0 THEN (p.pr - t.tr) / p.pr ELSE 0.0 END, 8) "
+        f"AS spam_mass_r FROM p{iters} p JOIN t{iters} t ON p.id = t.id"
+    )
+
+
+def _synth_url(c):
+    """Deterministic crawl-style url per vertex id — mixed case, default
+    port, www prefix, query strings — identical string expression on both
+    engines (same trick as q_url_parse)."""
+    k = (c % 23).cast("string")
+    return (
+        F.when(
+            c % 3 == 0,
+            F.concat(F.lit("HTTP://WWW.Host"), k, F.lit(".COM:80/p/"), c.cast("string")),
+        )
+        .when(c % 3 == 1, F.concat(F.lit("https://blog.host"), k, F.lit(".net/a?x=1")))
+        .otherwise(F.concat(F.lit("http://host"), k, F.lit(".org/"), c.cast("string")))
+    )
+
+
+_SYNTH_URL_SQL = (
+    "CASE WHEN {i} % 3 = 0 THEN 'HTTP://WWW.Host' || ({i} % 23) || '.COM:80/p/' || {i} "
+    "WHEN {i} % 3 = 1 THEN 'https://blog.host' || ({i} % 23) || '.net/a?x=1' "
+    "ELSE 'http://host' || ({i} % 23) || '.org/' || {i} END"
+)
+_HOST_SQL = (
+    "lower(regexp_extract({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
+)
+
+
+def _synth_url_edges(spark, sf_dir):
+    e = derived_edges(spark, sf_dir)
+    return e.select(
+        _synth_url(F.col("src_id")).alias("src_url"),
+        _synth_url(F.col("dst_id")).alias("dst_url"),
+    )
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level contraction of a url edge table (graph/host.py): page
+    links rolled up to (src_host, dst_host, weight), intra-host dropped —
+    host parsing exercises case folding + default-port/userinfo strip."""
+    from amanogawa_spark.graph.host import host_graph
+
+    return host_graph(_synth_url_edges(spark, sf_dir))
+
+
+_HOST_EDGES_SQL = (
+    f"u AS MATERIALIZED (SELECT {_SYNTH_URL_SQL.format(i='src_id')} AS src_url, "
+    f"{_SYNTH_URL_SQL.format(i='dst_id')} AS dst_url FROM edges),\n"
+    f"hp AS MATERIALIZED (SELECT {_HOST_SQL.format(u='src_url')} AS src_host, "
+    f"{_HOST_SQL.format(u='dst_url')} AS dst_host FROM u),\n"
+    "hedges AS MATERIALIZED (SELECT src_host, dst_host, COUNT(*) AS weight FROM hp "
+    "WHERE src_host <> dst_host AND src_host <> '' AND dst_host <> '' "
+    "GROUP BY src_host, dst_host)"
+)
+
+
+def q_host_rank3(spark, sf_dir):
+    """Weighted PageRank over the contracted host graph, 3 fixed
+    iterations — each host splits rank ∝ aggregated page-link counts;
+    vertex ids are host strings (no dictionary pass at 10^8 host scale)."""
+    from amanogawa_spark.graph.host import host_rank
+
+    r = host_rank(_synth_url_edges(spark, sf_dir), fixed_iterations=3)
+    return r.select(F.col("id").alias("host"), F.round("rank", 8).alias("pr_value"))
+
+
+def _host_rank_sql(iters: int = 3) -> str:
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _HOST_EDGES_SQL,
+        "hverts AS MATERIALIZED (SELECT DISTINCT id FROM ("
+        "SELECT src_host AS id FROM hedges UNION ALL SELECT dst_host AS id FROM hedges))",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hverts)",
+        "outw AS MATERIALIZED (SELECT src_host AS id, CAST(SUM(weight) AS DOUBLE) AS ow "
+        "FROM hedges GROUP BY src_host)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS pr FROM hverts)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = k - 1, k
+        parts.append(
+            f"d{c} AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS dm FROM r{p} r "
+            f"LEFT JOIN outw o ON r.id = o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"c{c} AS MATERIALIZED (SELECT e.dst_host AS id, "
+            f"SUM(r.pr * e.weight / o.ow) AS mass FROM hedges e "
+            f"JOIN r{p} r ON e.src_host = r.id JOIN outw o ON e.src_host = o.id "
+            f"GROUP BY e.dst_host)"
+        )
+        parts.append(
+            f"r{c} AS MATERIALIZED (SELECT v.id, 0.15/(SELECT n FROM nn) "
+            f"+ 0.85*(COALESCE(c.mass, 0.0) + (SELECT dm FROM d{c})/(SELECT n FROM nn)) AS pr "
+            f"FROM hverts v LEFT JOIN c{c} c ON v.id = c.id)"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return body + (
+        f"\nSELECT id AS host, ROUND(CAST(pr AS DOUBLE), 8) AS pr_value FROM r{iters}"
+    )
+
+
+def q_powerlaw_alpha(spark, sf_dir):
+    """Hill/Clauset MLE of the in-degree power-law exponent (xmin=2) —
+    the hub-skew profiling statistic (operators/stats.py)."""
+    from amanogawa_spark.operators.stats import powerlaw_alpha
+
+    deg = (
+        derived_edges(spark, sf_dir)
+        .groupBy("dst_id")
+        .agg(F.count("*").alias("indeg"))
+    )
+    return powerlaw_alpha(deg, "indeg", xmin=2.0).select(
+        "xmin", "n_tail", F.round("alpha", 8).alias("alpha_r")
+    )
+
+
+def q_weighted_reservoir(spark, sf_dir):
+    """Efraimidis–Spirakis A-ES weighted reservoir: top-60 documents drawn
+    ∝ raw weight (doc_id % 9 + 1) with deterministic md5 coins — the exact
+    drawn subset value-checks on both engines."""
+    from amanogawa_spark.operators.sampling import weighted_reservoir
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", ((F.col("doc_id") % 9) + 1).cast("double").alias("w"))
+    )
+    return weighted_reservoir(
+        docs, k=60, weight_col="w", key_cols=["doc_id"], hash="md5"
+    ).select("doc_id", "w")
+
+
+_WEIGHTED_RESERVOIR_SQL = """
+SELECT doc_id, w FROM (
+  SELECT doc_id, CAST(doc_id % 9 + 1 AS DOUBLE) AS w,
+    ROUND(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+             / 4294967296.0) / CAST(doc_id % 9 + 1 AS DOUBLE), 8) AS rkey
+  FROM documents)
+ORDER BY rkey DESC, doc_id ASC LIMIT 60"""
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity tertiles (head/middle/tail) over the corpus
+    unigram-LM score — exact NTILE(3) semantics WITHOUT the
+    single-partition window (boundary keys via the range-partitioned
+    ranker; assignment is a broadcast comparison)."""
+    from amanogawa_spark.operators.bow import unigram_logprob_scores
+    from amanogawa_spark.operators.quality import perplexity_buckets
+
+    scored = unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+    return perplexity_buckets(scored, "avg_logprob", "id", n_buckets=3).select(
+        "id", "bucket", "label"
+    )
+
+
+_PPL_BUCKETS_SQL = f"""
+WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents),
+tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base),
+tc AS (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok
+  WHERE length(term) > 0 GROUP BY id, term),
+vocab AS (SELECT term, SUM(cnt) AS tf FROM tc GROUP BY term),
+tot AS (SELECT SUM(tf) AS tt, CAST(COUNT(*) AS DOUBLE) AS vv FROM vocab),
+sc AS (SELECT id, ROUND(SUM(cnt * ln((tf + 1.0) / (tt + vv))) / SUM(cnt), 8) AS s
+  FROM tc JOIN vocab USING (term) CROSS JOIN tot GROUP BY id),
+nt AS (SELECT id, CAST(NTILE(3) OVER (ORDER BY s DESC, id ASC) AS INT) AS bucket FROM sc)
+SELECT id, bucket,
+  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS label
+FROM nt"""
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  The literal below is just the registry; the EFFECTIVE order is
 # computed by _rotation_order() at the bottom of this module — queries sort
@@ -2404,6 +2641,13 @@ def q_bpe_local_merges(spark, sf_dir):
 # tools/update_cert_ledger.py from CORRECTNESS_r*.json), so never-certified
 # queries always occupy the window and new additions queue automatically.
 QUERIES = {
+    # -- round-4 second-session additions --
+    "q_spam_mass3": q_spam_mass3,
+    "q_host_graph": q_host_graph,
+    "q_host_rank3": q_host_rank3,
+    "q_powerlaw_alpha": q_powerlaw_alpha,
+    "q_weighted_reservoir": q_weighted_reservoir,
+    "q_ppl_buckets": q_ppl_buckets,
     # -- 27 queries that never got a CORRECTNESS row (past the r2 cap) --
     "q_repetition_features": q_repetition_features,
     "q_hll_registers": q_hll_registers,
@@ -3395,6 +3639,21 @@ ORDER BY {cname} DESC, id_a ASC, id_b ASC LIMIT {k}"""
 
 
 ORACLE_SQL = {
+    "q_spam_mass3": _spam_mass_sql(3),
+    "q_host_graph": (
+        f"WITH {_EDGES_SQL.strip()},\n{_HOST_EDGES_SQL}\n"
+        "SELECT src_host, dst_host, weight FROM hedges"
+    ),
+    "q_host_rank3": _host_rank_sql(3),
+    "q_powerlaw_alpha": (
+        f"WITH {_EDGES_SQL.strip()}, "
+        "d AS (SELECT dst_id, CAST(COUNT(*) AS DOUBLE) AS indeg FROM edges GROUP BY dst_id), "
+        "t AS (SELECT COUNT(*) AS n_tail, SUM(ln(indeg / 2.0)) AS s FROM d WHERE indeg >= 2.0) "
+        "SELECT CAST(2.0 AS DOUBLE) AS xmin, CAST(n_tail AS BIGINT) AS n_tail, "
+        "ROUND(1.0 + n_tail / s, 8) AS alpha_r FROM t"
+    ),
+    "q_weighted_reservoir": _WEIGHTED_RESERVOIR_SQL,
+    "q_ppl_buckets": _PPL_BUCKETS_SQL,
     "q_mis1": _MIS1_SQL,
     "q_cocitation": _paired_through_sql("src_id", "dst_id", 50, 2, 200, "cocite"),
     "q_bibcoupling": _paired_through_sql("dst_id", "src_id", 50, 2, 200, "coupling"),
