@@ -2634,6 +2634,62 @@ SELECT id, bucket,
 FROM nt"""
 
 
+def q_push_ppr3(spark, sf_dir):
+    """Forward-push approximate PPR (Andersen–Chung–Lang, synchronous
+    rounds): 3 fixed rounds from seeds = id % 100 == 0, eps=1e-6 —
+    estimates + residuals; work ∝ frontier, not |E|·iters."""
+    from amanogawa_spark.graph.push import forward_push_ppr
+
+    e = derived_edges(spark, sf_dir)
+    seeds = derived_vertices(spark, sf_dir).filter(F.col("id") % 100 == 0)
+    out = forward_push_ppr(e, seeds, alpha=0.15, eps=1e-6, fixed_rounds=3)
+    return out.select(
+        "id",
+        F.round("ppr_est", 8).alias("ppr_est_r"),
+        F.round("residual", 8).alias("residual_r"),
+    )
+
+
+def _push_ppr_sql(rounds: int = 3, eps: float = 1e-6) -> str:
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
+        "outdeg AS MATERIALIZED (SELECT src_id AS id, CAST(COUNT(*) AS DOUBLE) AS od "
+        "FROM edges GROUP BY src_id)",
+        "seeds AS MATERIALIZED (SELECT id FROM verts WHERE id % 100 = 0)",
+        "sn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds)",
+        "sv AS MATERIALIZED (SELECT id, 1.0/(SELECT ns FROM sn) AS s FROM seeds)",
+        "s0 AS MATERIALIZED (SELECT id, 0.0 AS p, s AS r FROM sv)",
+    ]
+    for k in range(rounds):
+        c = k + 1
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT id, p, r FROM s{k} WHERE r > {eps!r})"
+        )
+        parts.append(
+            f"dm{k} AS MATERIALIZED (SELECT COALESCE(SUM(a.r), 0.0) AS dm "
+            f"FROM a{k} a LEFT JOIN outdeg o ON a.id = o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"s{c} AS MATERIALIZED (SELECT id, ROUND(SUM(p), 12) AS p, "
+            f"ROUND(SUM(r), 12) AS r FROM ("
+            f"SELECT id, p + 0.15*r AS p, 0.0 AS r FROM a{k} "
+            f"UNION ALL SELECT id, p, r FROM s{k} WHERE NOT r > {eps!r} "
+            f"UNION ALL SELECT id, 0.0 AS p, dr AS r FROM ("
+            f"SELECT e.dst_id AS id, SUM(0.85*a.r/o.od) AS dr FROM edges e "
+            f"JOIN a{k} a ON e.src_id = a.id JOIN outdeg o ON a.id = o.id "
+            f"GROUP BY e.dst_id) "
+            f"UNION ALL SELECT sv.id, 0.0 AS p, "
+            f"0.85*(SELECT dm FROM dm{k})*sv.s AS r FROM sv"
+            f") GROUP BY id)"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return body + (
+        f"\nSELECT id, ROUND(p, 8) AS ppr_est_r, ROUND(r, 8) AS residual_r "
+        f"FROM s{rounds}"
+    )
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  The literal below is just the registry; the EFFECTIVE order is
 # computed by _rotation_order() at the bottom of this module — queries sort
@@ -2643,6 +2699,7 @@ FROM nt"""
 QUERIES = {
     # -- round-4 second-session additions --
     "q_spam_mass3": q_spam_mass3,
+    "q_push_ppr3": q_push_ppr3,
     "q_host_graph": q_host_graph,
     "q_host_rank3": q_host_rank3,
     "q_powerlaw_alpha": q_powerlaw_alpha,
@@ -3640,6 +3697,7 @@ ORDER BY {cname} DESC, id_a ASC, id_b ASC LIMIT {k}"""
 
 ORACLE_SQL = {
     "q_spam_mass3": _spam_mass_sql(3),
+    "q_push_ppr3": _push_ppr_sql(3),
     "q_host_graph": (
         f"WITH {_EDGES_SQL.strip()},\n{_HOST_EDGES_SQL}\n"
         "SELECT src_host, dst_host, weight FROM hedges"
