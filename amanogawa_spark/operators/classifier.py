@@ -72,3 +72,99 @@ def classifier_filter(
         .select(F.col("id").alias(id_col))
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def classifier_train(
+    df: DataFrame,
+    labels: DataFrame,
+    rounds: int = 10,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "whitespace",
+    min_df: int = 1,
+) -> tuple[DataFrame, float]:
+    """Train the fastText-style linear head in-engine: full-batch logistic
+    regression by synchronous gradient descent → ((term, weight), bias).
+
+    Model matches :func:`linear_classifier_scores` exactly:
+    logit_i = b + Σ_t x_it·w_t with x_it = tf_it / n_i (mean of term
+    vectors); loss = mean BCE against ``labels`` (id, label ∈ {0,1}).
+
+    Scale shape — broadcast the MODEL, aggregate the GRADIENTS (the
+    data-parallel recipe): the normalized (id, term, x) rows and (id, y)
+    labels are built ONCE and persisted; each round is (a) one broadcast
+    join of the vocab-sized weight table + map-side-combined per-doc
+    logit aggregate, (b) one per-term gradient aggregate, (c) a
+    vocab-sized driver collect to step the weights. The corpus text never
+    reshuffles; per-round driver traffic is O(vocab) — cap it with
+    ``min_df`` (production: also a top-k vocab cap). Gradients, errors,
+    and weights round to 12 decimals per round so the trajectory is
+    deterministic under any partitioning and engine-portable for the
+    DuckDB oracle (same contract as graph/push.py).
+
+    Full-batch GD (not SGD): deterministic, embarrassingly data-parallel,
+    and for a convex model with a capped vocab the round count is small;
+    minibatch SGD would serialize on the driver without converging
+    meaningfully faster at this model size.
+    """
+    tc = term_counts(df, id_col=id_col, text_col=text_col, tokenizer=tokenizer)
+    vocab = (
+        tc.groupBy("term")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("term")
+    )
+    tc = tc.join(F.broadcast(vocab), "term")
+    n_tok = tc.groupBy("id").agg(F.sum("cnt").alias("n"))
+    x = (
+        tc.join(n_tok, "id")
+        .select("id", "term", (F.col("cnt") / F.col("n")).alias("x"))
+        .join(
+            labels.select(
+                F.col(id_col).alias("id"), F.col("label").cast("double").alias("y")
+            ),
+            "id",
+        )
+        .persist()
+    )
+    n_docs = x.select("id").distinct().count()
+    if n_docs == 0:
+        raise ValueError("classifier_train: no labeled documents with tokens")
+    spark = df.sparkSession
+    w: dict[str, float] = {r["term"]: 0.0 for r in vocab.collect()}
+    b = 0.0
+    for _ in range(rounds):
+        wdf = F.broadcast(
+            spark.createDataFrame(list(w.items()), "term string, w double")
+        )
+        err = (
+            x.join(wdf, "term", "left")
+            .groupBy("id", "y")
+            .agg(F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))).alias("xw"))
+            .select(
+                "id",
+                F.round(
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.lit(b) + F.col("xw"))))
+                    - F.col("y"),
+                    12,
+                ).alias("e"),
+            )
+        )
+        grads = (
+            x.join(err, "id")
+            .groupBy("term")
+            .agg(F.round(F.sum(F.col("e") * F.col("x")) / n_docs, 12).alias("g"))
+        )
+        gb = err.agg(
+            F.round(F.coalesce(F.sum("e"), F.lit(0.0)) / n_docs, 12).alias("gb")
+        ).collect()[0]["gb"]
+        for r in grads.collect():
+            w[r["term"]] = round(w[r["term"]] - lr * r["g"], 12)
+        b = round(b - lr * gb, 12)
+    x.unpersist()
+    weights = spark.createDataFrame(
+        sorted(w.items()), "term string, weight double"
+    )
+    return weights, b

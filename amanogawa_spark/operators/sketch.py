@@ -175,3 +175,54 @@ def cms_query(
         .groupBy(col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
     )
+
+
+def hll_registers_by(
+    df: DataFrame, group_col: str, col: str, p: int = 12
+) -> DataFrame:
+    """(group, bucket, rho) — one HLL register table PER GROUP (e.g. a
+    sketch of distinct URLs per host). One map-side-combined aggregate;
+    at most m=2^p rows per group regardless of group size, so hub groups
+    cost the same as tiny ones. Mergeable across shards with
+    union + groupBy(group, bucket) max(rho)."""
+    tail_bits = 32 - p
+    h = _h32_md5(F.col(col))
+    bucket = F.shiftright(h, tail_bits)
+    tail = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            bucket.alias("bucket"),
+            _rho(tail, tail_bits).alias("r"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("r").cast("long").alias("rho"))
+    )
+
+
+def hll_distinct_by(
+    df: DataFrame, group_col: str, col: str, p: int = 12
+) -> DataFrame:
+    """(group, estimate) — approximate COUNT(DISTINCT col) GROUP BY
+    group_col in ONE pass with bounded memory per group.
+
+    The exact groupBy(grp).agg(countDistinct(col)) shuffles every
+    distinct (grp, col) pair; this shuffles ≤ 2^p register rows per
+    group — the profiling shape for "distinct pages per host" over
+    10^12 rows. Same raw-HLL + linear-counting estimator as
+    :func:`hll_estimate`, applied per group."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers_by(df, group_col, col, p)
+    agg = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_present"),
+        F.count("*").alias("v_present"),
+    )
+    s = F.col("s_present") + (F.lit(m) - F.col("v_present"))
+    zeros = F.lit(m) - F.col("v_present")
+    raw = F.lit(alpha * m * m) / s
+    corrected = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(F.col("grp").alias(group_col), corrected.alias("estimate"))

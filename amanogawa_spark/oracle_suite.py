@@ -2690,6 +2690,109 @@ def _push_ppr_sql(rounds: int = 3, eps: float = 1e-6) -> str:
     )
 
 
+def q_classifier_train3(spark, sf_dir):
+    """In-engine logistic-regression training of the fastText-style quality
+    head (operators/classifier.py classifier_train): 3 full-batch GD
+    rounds, labels = doc_id % 2, docs < 250, min_df=3 — learned term
+    weights + bias row, 12-dec portable trajectory."""
+    from amanogawa_spark.operators.classifier import classifier_train
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    labels = docs.select("doc_id", (F.col("doc_id") % 2).alias("label"))
+    weights, bias = classifier_train(
+        docs, labels, rounds=3, lr=0.5, min_df=3
+    )
+    out = weights.select("term", F.round("weight", 8).alias("w_r"))
+    brow = spark.createDataFrame([("__bias__", round(bias, 8))], "term string, w_r double")
+    return out.unionAll(brow)
+
+
+def _classifier_train_sql(rounds: int = 3, lr: float = 0.5, min_df: int = 3) -> str:
+    parts = [
+        f"WITH base AS MATERIALIZED (SELECT doc_id AS id, {_NORM} AS norm, "
+        f"CAST(doc_id % 2 AS DOUBLE) AS y FROM documents WHERE doc_id < 250)",
+        "tok AS MATERIALIZED (SELECT id, y, unnest(string_split(norm, ' ')) AS term FROM base)",
+        "tc AS MATERIALIZED (SELECT id, y, term, CAST(COUNT(*) AS DOUBLE) AS cnt "
+        "FROM tok WHERE length(term) > 0 GROUP BY id, y, term)",
+        f"vocab AS MATERIALIZED (SELECT term FROM tc GROUP BY term "
+        f"HAVING COUNT(DISTINCT id) >= {min_df})",
+        "tcv AS MATERIALIZED (SELECT tc.* FROM tc JOIN vocab USING (term))",
+        "ntok AS MATERIALIZED (SELECT id, SUM(cnt) AS n FROM tcv GROUP BY id)",
+        "x AS MATERIALIZED (SELECT t.id, t.y, t.term, t.cnt / n.n AS x "
+        "FROM tcv t JOIN ntok n ON t.id = n.id)",
+        "nd AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT id) AS DOUBLE) AS n FROM x)",
+        "w0 AS MATERIALIZED (SELECT term, 0.0 AS w FROM vocab)",
+        "b0 AS MATERIALIZED (SELECT 0.0 AS b)",
+    ]
+    for k in range(rounds):
+        c = k + 1
+        parts.append(
+            f"e{k} AS MATERIALIZED (SELECT id, y, ROUND(1.0/(1.0 + exp(-((SELECT b FROM b{k}) "
+            f"+ SUM(x.x * COALESCE(w.w, 0.0))))) - y, 12) AS e "
+            f"FROM x LEFT JOIN w{k} w USING (term) GROUP BY id, y)"
+        )
+        parts.append(
+            f"gb{k} AS MATERIALIZED (SELECT ROUND(COALESCE(SUM(e), 0.0)/(SELECT n FROM nd), 12) "
+            f"AS gb FROM e{k})"
+        )
+        parts.append(
+            f"g{k} AS MATERIALIZED (SELECT x.term, ROUND(SUM(e.e * x.x)/(SELECT n FROM nd), 12) "
+            f"AS g FROM x JOIN e{k} e ON x.id = e.id GROUP BY x.term)"
+        )
+        parts.append(
+            f"w{c} AS MATERIALIZED (SELECT w.term, ROUND(w.w - {lr!r}*COALESCE(g.g, 0.0), 12) "
+            f"AS w FROM w{k} w LEFT JOIN g{k} g USING (term))"
+        )
+        parts.append(
+            f"b{c} AS MATERIALIZED (SELECT ROUND((SELECT b FROM b{k}) "
+            f"- {lr!r}*(SELECT gb FROM gb{k}), 12) AS b)"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return body + (
+        f"\nSELECT term, ROUND(w, 8) AS w_r FROM w{rounds} "
+        f"UNION ALL SELECT '__bias__' AS term, ROUND(b, 8) AS w_r FROM b{rounds}"
+    )
+
+
+def q_hll_by_source(spark, sf_dir):
+    """Grouped HLL: approximate distinct doc_ids per source in one pass
+    with ≤2^p register rows per group (operators/sketch.py
+    hll_distinct_by) — the 'distinct pages per host' profiling shape."""
+    from amanogawa_spark.operators.sketch import hll_distinct_by
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct_by(docs, "source", "doc_id", p=12).select(
+        "source", F.round("estimate", 6).alias("estimate_r")
+    )
+
+
+def _hll_by_sql(p: int = 12, round_to: int = 6) -> str:
+    m = 1 << p
+    tail_bits = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rho_case = "CASE " + " ".join(
+        f"WHEN tail >= {1 << (tail_bits - k)} THEN {k}"
+        for k in range(1, tail_bits + 1)
+    ) + f" ELSE {tail_bits + 1} END"
+    return (
+        "WITH h AS (SELECT source, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h32 FROM documents), "
+        f"bt AS (SELECT source, h32 >> {tail_bits} AS bucket, "
+        f"h32 & {(1 << tail_bits) - 1} AS tail FROM h), "
+        f"r AS (SELECT source, bucket, {rho_case} AS r FROM bt), "
+        "regs AS (SELECT source, bucket, CAST(MAX(r) AS BIGINT) AS rho "
+        "FROM r GROUP BY source, bucket), "
+        "a AS (SELECT source, SUM(POWER(2.0, -rho)) AS s_present, "
+        "COUNT(*) AS v_present FROM regs GROUP BY source) "
+        f"SELECT source, ROUND(CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} "
+        f"/ (s_present + ({m} - v_present)) <= 2.5 * {m} "
+        f"AND ({m} - v_present) > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / ({m} - v_present)) "
+        f"ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} "
+        f"/ (s_present + ({m} - v_present)) END, {round_to}) AS estimate_r FROM a"
+    )
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  The literal below is just the registry; the EFFECTIVE order is
 # computed by _rotation_order() at the bottom of this module — queries sort
@@ -2700,6 +2803,8 @@ QUERIES = {
     # -- round-4 second-session additions --
     "q_spam_mass3": q_spam_mass3,
     "q_push_ppr3": q_push_ppr3,
+    "q_classifier_train3": q_classifier_train3,
+    "q_hll_by_source": q_hll_by_source,
     "q_host_graph": q_host_graph,
     "q_host_rank3": q_host_rank3,
     "q_powerlaw_alpha": q_powerlaw_alpha,
@@ -3698,6 +3803,8 @@ ORDER BY {cname} DESC, id_a ASC, id_b ASC LIMIT {k}"""
 ORACLE_SQL = {
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
+    "q_classifier_train3": _classifier_train_sql(3),
+    "q_hll_by_source": _hll_by_sql(12),
     "q_host_graph": (
         f"WITH {_EDGES_SQL.strip()},\n{_HOST_EDGES_SQL}\n"
         "SELECT src_host, dst_host, weight FROM hedges"

@@ -5,6 +5,8 @@ from __future__ import annotations
 import math
 import random
 
+from pyspark.sql import functions as F
+
 from amanogawa_spark.operators.stats import exact_quantiles, numeric_histogram
 
 
@@ -60,3 +62,23 @@ def test_exact_quantiles_leaves_no_pinned_cache(spark):
     assert got == {0.0: 0.0, 0.5: 249.0, 1.0: 499.0}
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before
+
+
+def test_hll_distinct_by_accuracy_and_invariance(spark):
+    from amanogawa_spark.operators.sketch import hll_distinct_by
+
+    rows = [(f"g{i % 3}", i % (200 * (1 + i % 3))) for i in range(6000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    est = {r["grp"]: r["estimate"] for r in hll_distinct_by(df, "grp", "v").collect()}
+    exact = {
+        r["grp"]: r["n"]
+        for r in df.groupBy("grp").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.05, (g, est[g], exact[g])
+    est2 = {
+        r["grp"]: r["estimate"]
+        for r in hll_distinct_by(df.repartition(13), "grp", "v").collect()
+    }
+    assert est == est2
