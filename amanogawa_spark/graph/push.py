@@ -54,7 +54,6 @@ def forward_push_ppr(
     driver action in the loop (the oracle-friendly variant); otherwise
     rounds stop when no residual exceeds ``eps`` or at ``max_rounds``.
     """
-    spark = edges.sparkSession
     out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(
         F.count("*").alias("od")
     )
@@ -119,12 +118,15 @@ def forward_push_ppr(
         # not depend on last-ulp summation order — 1e-12/round is far
         # below any useful eps, and it makes the whole trajectory
         # engine-portable (the oracle mirrors the same rounding)
+        # eager checkpoint EVERY round: the round references `state`
+        # 3-4 times (probe, active, inactive), so an unmaterialized
+        # lineage would fan out ~4x per round; one small job per round
+        # truncates it, and superseded checkpoint storage is released by
+        # the context cleaner when the reference drops
         state = u.groupBy("id").agg(
             F.round(F.sum("p"), 12).alias("p"),
             F.round(F.sum("r"), 12).alias("r"),
-        )
-        if (rnd + 1) % 3 == 0:
-            state = state.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
 
     return state.select(
         "id", F.col("p").alias("ppr_est"), F.col("r").alias("residual")

@@ -297,6 +297,17 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     seed_ids = [r["id"] for r in vertices.orderBy("id").limit(8).collect()]
     results["sssp_bfs8"] = _timed(lambda: bfs_levels(edges, seed_ids).count())
 
+    # forward-push approximate PPR from 8 seeds: work ∝ touched frontier,
+    # not |E|·iters — the per-seed-query path that avoids the full rank loop
+    from amanogawa_spark.graph.push import forward_push_ppr
+
+    seeds_df = vertices.orderBy("id").limit(8).select("id")
+
+    def _push():
+        forward_push_ppr(edges, seeds_df, alpha=0.15, eps=1e-5, max_rounds=20).count()
+
+    results["push_ppr_8seeds"] = _timed_med("push_ppr_8seeds", _push)
+
     # DSIR importance scoring over the distributed scale corpus (~100k docs
     # at sf0.1): two LM aggregates + one broadcast-ratio scoring join —
     # the corpus shuffles only its own (id, bucket) aggregate
