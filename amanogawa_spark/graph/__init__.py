@@ -30,6 +30,8 @@ from amanogawa_spark.graph.landmarks import (
 from amanogawa_spark.graph.salsa import salsa
 from amanogawa_spark.graph.trustrank import spam_mass, spam_mass_scores, trustrank
 from amanogawa_spark.graph.host import host_graph, host_rank, host_vertices
+from amanogawa_spark.graph.build import degree_assortativity, reciprocity
+from amanogawa_spark.graph.metrics import avg_neighbor_degree, rich_club
 from amanogawa_spark.graph.matching import contract_matching, maximal_matching
 from amanogawa_spark.graph.partition import (
     edge_cut,
@@ -83,4 +85,8 @@ __all__ = [
     "multilevel_partition",
     "edge_cut",
     "triangle_count",
+    "reciprocity",
+    "degree_assortativity",
+    "avg_neighbor_degree",
+    "rich_club",
 ]

@@ -247,7 +247,14 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     out-degree and destination in-degree across directed edges. Negative
     on bowtie web graphs (hubs point at low-in-degree leaves); a strong
     positive value flags a spam-farm-like core. Two degree aggregates +
-    two broadcast-size joins + one correlation aggregate."""
+    two broadcast-size joins + one moment-sum aggregate.
+
+    Pearson's r is assembled from the closed-form moment sums
+    (n, Σx, Σy, Σx², Σy², Σxy) rather than ``F.corr`` — Spark 4's builtin
+    raises ANSI DIVIDE_BY_ZERO when either degree sequence has zero
+    variance (e.g. every destination has in-degree 1); the explicit
+    ``try_divide`` form returns NULL there instead of failing the job.
+    """
     e = (
         edges.select("src_id", "dst_id")
         .filter(F.col("src_id") != F.col("dst_id"))
@@ -255,8 +262,27 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
     out_d = e.groupBy(F.col("src_id")).agg(F.count("*").alias("od"))
     in_d = e.groupBy(F.col("dst_id")).agg(F.count("*").alias("idg"))
-    j = e.join(out_d, "src_id").join(in_d, "dst_id")
-    return j.agg(F.corr(F.col("od"), F.col("idg")).alias("assortativity"))
+    x = F.col("od").cast("double")
+    y = F.col("idg").cast("double")
+    sums = (
+        e.join(out_d, "src_id")
+        .join(in_d, "dst_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.try_divide(cov, F.sqrt(vx) * F.sqrt(vy)).alias("assortativity")
+    )
 
 
 def degree_histogram(edges: DataFrame, col: str = "dst_id") -> DataFrame:

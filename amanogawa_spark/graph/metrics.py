@@ -1,0 +1,119 @@
+"""Per-vertex and club-level mixing metrics for the directed link graph:
+average neighbour degree and the rich-club coefficient.
+
+Together with :func:`amanogawa_spark.graph.build.reciprocity` and
+:func:`amanogawa_spark.graph.build.degree_assortativity`, these are the
+standard summary statistics a webgraph study reports next to the degree
+histogram (Newman 2002/2003, Zhou & Mondragon 2004): whether hubs attach
+to hubs, and how densely the top-k degree vertices interlink. The
+reference engine stops at graph construction
+(``to_graph/to_graph.cpp:88-117``) and carries no analytics inventory
+(its §2.4 is empty), so — like k-core/HITS before — these extend the §2
+surface with operators a link-graph user needs on day one.
+
+Scale shape: both metrics are one or two hash-shuffles over the edge
+table followed by map-side-combined aggregates; nothing is collected.
+``avg_neighbor_degree`` is degree-attach + groupBy; ``rich_club`` filters
+the degree table to the >k club (tiny on power-law graphs) and
+semi-joins edges into it, so the numerator scan prunes to club-incident
+edges only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dedup(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+
+
+def avg_neighbor_degree(edges: DataFrame, top_k: int | None = None) -> DataFrame:
+    """Per-vertex average out-degree of out-neighbours (the knn(v) curve's
+    per-vertex form). Columns: ``id``, ``out_degree``, ``avg_nbr_out_deg``.
+
+    ``top_k`` keeps only the k highest-out-degree vertices (ties broken by
+    id) — the hub summary a crawl report wants — via a parallel
+    TakeOrderedAndProject, never a global single-partition sort.
+    """
+    e = _dedup(edges)
+    outd = e.groupBy("src_id").agg(F.count("*").alias("out_degree"))
+    nbr = (
+        e.join(
+            outd.select(
+                F.col("src_id").alias("dst_id"),
+                F.col("out_degree").alias("nbr_out"),
+            ),
+            "dst_id",
+        )
+        .groupBy("src_id")
+        .agg(F.round(F.avg("nbr_out"), 6).alias("avg_nbr_out_deg"))
+    )
+    res = (
+        outd.join(nbr, "src_id", "left")
+        .select(
+            F.col("src_id").alias("id"),
+            "out_degree",
+            F.coalesce("avg_nbr_out_deg", F.lit(0.0)).alias("avg_nbr_out_deg"),
+        )
+    )
+    if top_k is not None:
+        res = res.orderBy(F.desc("out_degree"), "id").limit(top_k)
+    return res
+
+
+def rich_club(edges: DataFrame, degrees_above: list[int]) -> DataFrame:
+    """Rich-club coefficient φ(k) at each threshold in ``degrees_above``:
+    among vertices with total degree > k, the fraction of ordered pairs
+    joined by a directed edge — φ(k) = E_club / (N_club · (N_club − 1)).
+
+    Columns: ``k``, ``n_club``, ``e_club``, ``phi``. The club member table
+    is tiny at any scale (degree thresholds prune hard on power-law
+    graphs); both the member count and the club-internal edge count are
+    semi-join-pruned aggregates, evaluated for all thresholds in one pass
+    each via a broadcast of the threshold list.
+    """
+    e = _dedup(edges)
+    deg = (
+        e.select(F.col("src_id").alias("id"))
+        .unionAll(e.select(F.col("dst_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    ks = F.array(*[F.lit(int(k)) for k in degrees_above])
+    # member (id, k) pairs for every threshold the vertex clears
+    members = deg.select(
+        "id", F.explode(F.filter(ks, lambda k: F.col("degree") > k)).alias("k")
+    )
+    n_club = members.groupBy("k").agg(F.count("*").alias("n_club"))
+    src_m = members.select(F.col("id").alias("src_id"), "k")
+    dst_m = members.select(F.col("id").alias("dst_id"), "k")
+    e_club = (
+        e.join(src_m, "src_id")
+        .join(dst_m, ["dst_id", "k"])
+        .groupBy("k")
+        .agg(F.count("*").alias("e_club"))
+    )
+    return (
+        n_club.join(e_club, "k", "left")
+        .select(
+            "k",
+            "n_club",
+            F.coalesce("e_club", F.lit(0)).alias("e_club"),
+            F.when(
+                F.col("n_club") > 1,
+                F.round(
+                    F.coalesce("e_club", F.lit(0))
+                    / (F.col("n_club") * (F.col("n_club") - F.lit(1))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("phi"),
+        )
+    )

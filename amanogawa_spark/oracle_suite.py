@@ -2793,6 +2793,52 @@ def _hll_by_sql(p: int = 12, round_to: int = 6) -> str:
     )
 
 
+def q_avg_nbr_degree(spark, sf_dir):
+    from amanogawa_spark.graph.metrics import avg_neighbor_degree
+
+    return avg_neighbor_degree(derived_edges(spark, sf_dir))
+
+
+def q_rich_club(spark, sf_dir):
+    from amanogawa_spark.graph.metrics import rich_club
+
+    return rich_club(derived_edges(spark, sf_dir), [40, 60, 70, 80])
+
+
+_RICH_CLUB_KS = "(VALUES (40), (60), (70), (80)) ks(k)"
+
+_METRICS_SQL = {
+    "q_avg_nbr_degree": (
+        f"WITH {_EDGES_SQL.strip()}, "
+        "outd AS (SELECT src_id, COUNT(*) AS out_degree "
+        "FROM edges GROUP BY src_id), "
+        "nbr AS (SELECT e.src_id, "
+        "ROUND(AVG(CAST(o.out_degree AS DOUBLE)), 6) AS avg_nbr_out_deg "
+        "FROM edges e JOIN outd o ON e.dst_id = o.src_id GROUP BY e.src_id) "
+        "SELECT d.src_id AS id, d.out_degree, "
+        "COALESCE(n.avg_nbr_out_deg, 0.0) AS avg_nbr_out_deg "
+        "FROM outd d LEFT JOIN nbr n ON d.src_id = n.src_id"
+    ),
+    "q_rich_club": (
+        f"WITH {_EDGES_SQL.strip()}, "
+        "deg AS (SELECT id, COUNT(*) AS degree FROM ("
+        "SELECT src_id AS id FROM edges "
+        "UNION ALL SELECT dst_id AS id FROM edges) GROUP BY id), "
+        f"members AS (SELECT d.id, ks.k FROM deg d, {_RICH_CLUB_KS} "
+        "WHERE d.degree > ks.k), "
+        "nc AS (SELECT k, COUNT(*) AS n_club FROM members GROUP BY k), "
+        "ec AS (SELECT s.k, COUNT(*) AS e_club FROM edges e "
+        "JOIN members s ON e.src_id = s.id "
+        "JOIN members t ON e.dst_id = t.id AND t.k = s.k GROUP BY s.k) "
+        "SELECT nc.k, nc.n_club, COALESCE(ec.e_club, 0) AS e_club, "
+        "CASE WHEN nc.n_club > 1 THEN "
+        "ROUND(COALESCE(ec.e_club, 0) / (nc.n_club * (nc.n_club - 1)), 6) "
+        "ELSE NULL END AS phi "
+        "FROM nc LEFT JOIN ec ON nc.k = ec.k"
+    ),
+}
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  The literal below is just the registry; the EFFECTIVE order is
 # computed by _rotation_order() at the bottom of this module — queries sort
@@ -2800,6 +2846,9 @@ def _hll_by_sql(p: int = 12, round_to: int = 6) -> str:
 # tools/update_cert_ledger.py from CORRECTNESS_r*.json), so never-certified
 # queries always occupy the window and new additions queue automatically.
 QUERIES = {
+    # -- round-4 third-session additions (mixing metrics) --
+    "q_avg_nbr_degree": q_avg_nbr_degree,
+    "q_rich_club": q_rich_club,
     # -- round-4 second-session additions --
     "q_spam_mass3": q_spam_mass3,
     "q_push_ppr3": q_push_ppr3,
@@ -4435,6 +4484,7 @@ FROM n3""",
     "q_blocked_pagerank5": _pagerank_sql(5),
     "q_community_partition": _community_partition_sql(2, 4),
     "q_bpe_local_merges": _bpe_local_merges_sql(),
+    **_METRICS_SQL,
 }
 
 
