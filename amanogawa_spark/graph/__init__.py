@@ -32,6 +32,11 @@ from amanogawa_spark.graph.trustrank import spam_mass, spam_mass_scores, trustra
 from amanogawa_spark.graph.host import host_graph, host_rank, host_vertices
 from amanogawa_spark.graph.build import degree_assortativity, reciprocity
 from amanogawa_spark.graph.metrics import avg_neighbor_degree, rich_club
+from amanogawa_spark.graph.bowtie import (
+    bowtie_decomposition,
+    bowtie_summary,
+    giant_scc,
+)
 from amanogawa_spark.graph.matching import contract_matching, maximal_matching
 from amanogawa_spark.graph.partition import (
     edge_cut,
@@ -81,6 +86,9 @@ __all__ = [
     "host_rank",
     "maximal_matching",
     "contract_matching",
+    "bowtie_decomposition",
+    "bowtie_summary",
+    "giant_scc",
     "spinner_partition",
     "multilevel_partition",
     "edge_cut",

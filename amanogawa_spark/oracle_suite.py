@@ -1303,6 +1303,32 @@ def q_scc(spark, sf_dir):
     return strongly_connected_components(v, e)
 
 
+def q_bowtie(spark, sf_dir):
+    """Broder bowtie macro-structure (CORE/IN/OUT/TUBE/TENDRIL_*/
+    DISCONNECTED) of the same sparsified digraph as ``q_scc``. Oracle:
+    recursive transitive closure → giant SCC → forward/backward closures
+    → core-free closures, CASE-classified — algorithm-independent."""
+    from amanogawa_spark.graph.bowtie import bowtie_decomposition
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = 800
+    e = (
+        li.select(
+            (F.col("l_orderkey") % m).alias("src_id"),
+            (F.col("l_partkey") % m).alias("dst_id"),
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .filter((F.col("src_id") * 3 + F.col("dst_id")) % 13 == 0)
+        .distinct()
+    )
+    v = (
+        e.select(F.col("src_id").alias("id"))
+        .unionAll(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    return bowtie_decomposition(v, e)
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Link prediction (common-neighbors / Adamic-Adar / Jaccard) — top 100
     non-adjacent pairs of the derived undirected graph, AA-desc ranked."""
@@ -2807,7 +2833,44 @@ def q_rich_club(spark, sf_dir):
 
 _RICH_CLUB_KS = "(VALUES (40), (60), (70), (80)) ks(k)"
 
+_BOWTIE_SQL = (
+    "WITH RECURSIVE edges AS ("
+    "SELECT DISTINCT l_orderkey % 800 AS src_id, l_partkey % 800 AS dst_id FROM lineitem "
+    "WHERE l_orderkey % 800 <> l_partkey % 800 "
+    "AND (l_orderkey % 800 * 3 + l_partkey % 800) % 13 = 0), "
+    "verts AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges "
+    "UNION ALL SELECT dst_id AS id FROM edges)), "
+    "reach(u, v) AS (SELECT src_id, dst_id FROM edges "
+    "UNION SELECT r.u, e.dst_id FROM reach r JOIN edges e ON r.v = e.src_id), "
+    "mutual AS (SELECT a.u AS id, a.v AS o FROM reach a "
+    "JOIN reach b ON a.u = b.v AND a.v = b.u), "
+    "scc AS (SELECT vt.id, LEAST(vt.id, COALESCE(MIN(m.o), vt.id)) AS scc "
+    "FROM verts vt LEFT JOIN mutual m ON m.id = vt.id GROUP BY vt.id), "
+    "giant AS (SELECT scc FROM (SELECT scc, COUNT(*) AS n FROM scc "
+    "GROUP BY scc ORDER BY n DESC, scc ASC LIMIT 1)), "
+    "core AS (SELECT id FROM scc JOIN giant USING (scc)), "
+    "fwd AS (SELECT id FROM core UNION SELECT r.v AS id FROM reach r JOIN core c ON r.u = c.id), "
+    "bwd AS (SELECT id FROM core UNION SELECT r.u AS id FROM reach r JOIN core c ON r.v = c.id), "
+    "inset AS (SELECT id FROM bwd WHERE id NOT IN (SELECT id FROM core)), "
+    "outset AS (SELECT id FROM fwd WHERE id NOT IN (SELECT id FROM core)), "
+    "e2 AS (SELECT src_id, dst_id FROM edges "
+    "WHERE src_id NOT IN (SELECT id FROM core) AND dst_id NOT IN (SELECT id FROM core)), "
+    "reach2(u, v) AS (SELECT src_id, dst_id FROM e2 "
+    "UNION SELECT r.u, e.dst_id FROM reach2 r JOIN e2 e ON r.v = e.src_id), "
+    "tf AS (SELECT id FROM inset UNION SELECT r.v AS id FROM reach2 r JOIN inset s ON r.u = s.id), "
+    "tb AS (SELECT id FROM outset UNION SELECT r.u AS id FROM reach2 r JOIN outset s ON r.v = s.id) "
+    "SELECT vt.id, CASE "
+    "WHEN vt.id IN (SELECT id FROM core) THEN 'CORE' "
+    "WHEN vt.id IN (SELECT id FROM inset) THEN 'IN' "
+    "WHEN vt.id IN (SELECT id FROM outset) THEN 'OUT' "
+    "WHEN vt.id IN (SELECT id FROM tf) AND vt.id IN (SELECT id FROM tb) THEN 'TUBE' "
+    "WHEN vt.id IN (SELECT id FROM tf) THEN 'TENDRIL_IN' "
+    "WHEN vt.id IN (SELECT id FROM tb) THEN 'TENDRIL_OUT' "
+    "ELSE 'DISCONNECTED' END AS region FROM verts vt"
+)
+
 _METRICS_SQL = {
+    "q_bowtie": _BOWTIE_SQL,
     "q_avg_nbr_degree": (
         f"WITH {_EDGES_SQL.strip()}, "
         "outd AS (SELECT src_id, COUNT(*) AS out_degree "
@@ -2847,6 +2910,7 @@ _METRICS_SQL = {
 # queries always occupy the window and new additions queue automatically.
 QUERIES = {
     # -- round-4 third-session additions (mixing metrics) --
+    "q_bowtie": q_bowtie,
     "q_avg_nbr_degree": q_avg_nbr_degree,
     "q_rich_club": q_rich_club,
     # -- round-4 second-session additions --
