@@ -38,6 +38,11 @@ from amanogawa_spark.graph.bowtie import (
     giant_scc,
 )
 from amanogawa_spark.graph.matching import contract_matching, maximal_matching
+from amanogawa_spark.graph.redirects import (
+    redirect_pointers,
+    resolve_redirects,
+    rewrite_edges,
+)
 from amanogawa_spark.graph.partition import (
     edge_cut,
     multilevel_partition,
@@ -89,6 +94,9 @@ __all__ = [
     "bowtie_decomposition",
     "bowtie_summary",
     "giant_scc",
+    "redirect_pointers",
+    "resolve_redirects",
+    "rewrite_edges",
     "spinner_partition",
     "multilevel_partition",
     "edge_cut",

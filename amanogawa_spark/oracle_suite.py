@@ -1329,6 +1329,39 @@ def q_bowtie(spark, sf_dir):
     return bowtie_decomposition(v, e)
 
 
+def _derived_redirects(spark, sf_dir, m: int = 500):
+    """Acyclic 'upward' redirect map (src → dst only when dst > src) —
+    every chain terminates, so hops/final are oracle-exact; cycle
+    handling is pinned by pytest on hand graphs instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % m).alias("src"),
+            (F.col("l_partkey") % m).alias("dst"),
+        )
+        .filter(F.col("dst") > F.col("src"))
+        .filter((F.col("src") * 7 + F.col("dst")) % 11 == 0)
+    )
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling: terminal target +
+    exact hop count per source. Oracle: recursive single-step walk."""
+    from amanogawa_spark.graph.redirects import resolve_redirects
+
+    return resolve_redirects(_derived_redirects(spark, sf_dir))
+
+
+def q_redirect_rewrite(spark, sf_dir):
+    """Edge canonicalization through the resolved redirect map: every
+    endpoint that is a redirect source is replaced by its terminal."""
+    from amanogawa_spark.graph.redirects import resolve_redirects, rewrite_edges
+
+    m = 500
+    res = resolve_redirects(_derived_redirects(spark, sf_dir, m))
+    return rewrite_edges(derived_edges(spark, sf_dir, m), res)
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Link prediction (common-neighbors / Adamic-Adar / Jaccard) — top 100
     non-adjacent pairs of the derived undirected graph, AA-desc ranked."""
@@ -2869,8 +2902,34 @@ _BOWTIE_SQL = (
     "ELSE 'DISCONNECTED' END AS region FROM verts vt"
 )
 
+_REDIRECT_PTR_SQL = (
+    "ptr AS (SELECT src, MIN(dst) AS dst FROM ("
+    "SELECT l_orderkey % 500 AS src, l_partkey % 500 AS dst FROM lineitem "
+    "WHERE l_partkey % 500 > l_orderkey % 500 "
+    "AND (l_orderkey % 500 * 7 + l_partkey % 500) % 11 = 0) GROUP BY src), "
+    "walk(src, cur, hops) AS ("
+    "SELECT src, dst, CAST(1 AS BIGINT) FROM ptr "
+    "UNION ALL SELECT w.src, p.dst, w.hops + 1 FROM walk w JOIN ptr p ON w.cur = p.src), "
+    "resolved AS (SELECT src, cur AS final, hops, FALSE AS is_cycle "
+    "FROM walk WHERE cur NOT IN (SELECT src FROM ptr))"
+)
+
 _METRICS_SQL = {
     "q_bowtie": _BOWTIE_SQL,
+    "q_redirect_resolve": (
+        f"WITH RECURSIVE {_REDIRECT_PTR_SQL} "
+        "SELECT src, final, hops, is_cycle FROM resolved"
+    ),
+    "q_redirect_rewrite": (
+        f"WITH RECURSIVE {_REDIRECT_PTR_SQL}, "
+        "edges AS (SELECT DISTINCT l_orderkey % 500 AS src_id, l_partkey % 500 AS dst_id "
+        "FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500) "
+        "SELECT DISTINCT COALESCE(rs.final, e.src_id) AS src_id, "
+        "COALESCE(rd.final, e.dst_id) AS dst_id "
+        "FROM edges e LEFT JOIN resolved rs ON e.src_id = rs.src "
+        "LEFT JOIN resolved rd ON e.dst_id = rd.src "
+        "WHERE COALESCE(rs.final, e.src_id) <> COALESCE(rd.final, e.dst_id)"
+    ),
     "q_avg_nbr_degree": (
         f"WITH {_EDGES_SQL.strip()}, "
         "outd AS (SELECT src_id, COUNT(*) AS out_degree "
@@ -2911,6 +2970,8 @@ _METRICS_SQL = {
 QUERIES = {
     # -- round-4 third-session additions (mixing metrics) --
     "q_bowtie": q_bowtie,
+    "q_redirect_resolve": q_redirect_resolve,
+    "q_redirect_rewrite": q_redirect_rewrite,
     "q_avg_nbr_degree": q_avg_nbr_degree,
     "q_rich_club": q_rich_club,
     # -- round-4 second-session additions --
