@@ -13,6 +13,11 @@ from amanogawa_spark.operators.sketch import (
     hll_distinct,
     hll_registers,
 )
+from amanogawa_spark.operators.boilerplate import (
+    boilerplate_chunks,
+    chunk_table,
+    remove_boilerplate,
+)
 from amanogawa_spark.operators.bpe import bpe_encode, bpe_train
 from amanogawa_spark.operators.retrieval import bm25_scores, posting_lists
 from amanogawa_spark.operators.semdedup import semdedup
@@ -35,6 +40,9 @@ __all__ = [
     "cms_registers",
     "hll_distinct",
     "hll_registers",
+    "boilerplate_chunks",
+    "chunk_table",
+    "remove_boilerplate",
     "bpe_train",
     "bpe_encode",
     "bm25_scores",
