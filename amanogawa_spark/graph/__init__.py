@@ -38,6 +38,7 @@ from amanogawa_spark.graph.bowtie import (
     giant_scc,
 )
 from amanogawa_spark.graph.matching import contract_matching, maximal_matching
+from amanogawa_spark.graph.sparsify import sparsify_stats, top_k_out_edges
 from amanogawa_spark.graph.redirects import (
     redirect_pointers,
     resolve_redirects,
@@ -97,6 +98,8 @@ __all__ = [
     "redirect_pointers",
     "resolve_redirects",
     "rewrite_edges",
+    "top_k_out_edges",
+    "sparsify_stats",
     "spinner_partition",
     "multilevel_partition",
     "edge_cut",

@@ -1382,6 +1382,33 @@ def q_remove_boilerplate(spark, sf_dir):
     )
 
 
+def _multi_edges(spark, sf_dir, m: int = M):
+    """Derived edge table WITH multiplicity (no distinct) — the weight
+    source for sparsification."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % m).alias("src_id"),
+        (F.col("l_partkey") % m).alias("dst_id"),
+    ).filter(F.col("src_id") != F.col("dst_id"))
+
+
+def q_sparsify_top3(spark, sf_dir):
+    """Out-degree-bounded sparsification: each source's 3 heaviest edges
+    by multi-edge count, deterministic tie-break."""
+    from amanogawa_spark.graph.sparsify import top_k_out_edges
+
+    return top_k_out_edges(_multi_edges(spark, sf_dir), k=3)
+
+
+def q_sparsify_stats(spark, sf_dir):
+    """What the k=3 sparsification bought: edge keep fraction and the
+    max-out-degree collapse."""
+    from amanogawa_spark.graph.sparsify import sparsify_stats, top_k_out_edges
+
+    e = _multi_edges(spark, sf_dir)
+    return sparsify_stats(e, top_k_out_edges(e, k=3))
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Link prediction (common-neighbors / Adamic-Adar / Jaccard) — top 100
     non-adjacent pairs of the derived undirected graph, AA-desc ranked."""
@@ -2950,8 +2977,32 @@ _BP_CHUNKS_SQL = (
     "WHERE df >= 2 AND CAST(df AS DOUBLE) / n_docs >= 0.05)"
 )
 
+_SPARSIFY_SQL = (
+    f"me AS (SELECT l_orderkey % {M} AS src_id, l_partkey % {M} AS dst_id "
+    f"FROM lineitem WHERE l_orderkey % {M} <> l_partkey % {M}), "
+    "w AS (SELECT src_id, dst_id, CAST(COUNT(*) AS DOUBLE) AS weight "
+    "FROM me GROUP BY src_id, dst_id), "
+    "ranked AS (SELECT src_id, dst_id, weight, CAST(ROW_NUMBER() OVER ("
+    "PARTITION BY src_id ORDER BY weight DESC, dst_id ASC) AS INT) AS rank FROM w), "
+    "kept AS (SELECT * FROM ranked WHERE rank <= 3)"
+)
+
 _METRICS_SQL = {
     "q_bowtie": _BOWTIE_SQL,
+    "q_sparsify_top3": (
+        f"WITH {_SPARSIFY_SQL} SELECT src_id, dst_id, weight, rank FROM kept"
+    ),
+    "q_sparsify_stats": (
+        f"WITH {_SPARSIFY_SQL}, "
+        "b AS (SELECT CAST(SUM(d) AS BIGINT) AS n_edges, "
+        "CAST(MAX(d) AS BIGINT) AS max_out_before FROM ("
+        "SELECT src_id, COUNT(*) AS d FROM me GROUP BY src_id)), "
+        "a AS (SELECT CAST(SUM(d) AS BIGINT) AS n_kept, "
+        "CAST(MAX(d) AS BIGINT) AS max_out_after FROM ("
+        "SELECT src_id, COUNT(*) AS d FROM kept GROUP BY src_id)) "
+        "SELECT n_edges, n_kept, ROUND(CAST(n_kept AS DOUBLE) / n_edges, 8) AS keep_frac, "
+        "max_out_before, max_out_after FROM b CROSS JOIN a"
+    ),
     "q_boilerplate_flags": (
         f"WITH {_BP_CHUNKS_SQL} "
         'SELECT grp AS "group", chunk_hash, df, n_docs, df_ratio FROM flagged'
@@ -3026,6 +3077,8 @@ QUERIES = {
     "q_redirect_rewrite": q_redirect_rewrite,
     "q_boilerplate_flags": q_boilerplate_flags,
     "q_remove_boilerplate": q_remove_boilerplate,
+    "q_sparsify_top3": q_sparsify_top3,
+    "q_sparsify_stats": q_sparsify_stats,
     "q_avg_nbr_degree": q_avg_nbr_degree,
     "q_rich_club": q_rich_club,
     # -- round-4 second-session additions --
