@@ -19,6 +19,7 @@ from amanogawa_spark.operators.boilerplate import (
     remove_boilerplate,
 )
 from amanogawa_spark.operators.bpe import bpe_encode, bpe_train
+from amanogawa_spark.operators.cooccur import cooccurrence_pairs, pmi_scores
 from amanogawa_spark.operators.retrieval import bm25_scores, posting_lists
 from amanogawa_spark.operators.semdedup import semdedup
 from amanogawa_spark.operators.pq import ivf_pq_topk, pq_adc_topk, pq_encode, pq_train
@@ -45,6 +46,8 @@ __all__ = [
     "remove_boilerplate",
     "bpe_train",
     "bpe_encode",
+    "cooccurrence_pairs",
+    "pmi_scores",
     "bm25_scores",
     "posting_lists",
     "semdedup",
