@@ -1418,6 +1418,34 @@ def q_pmi_pairs(spark, sf_dir):
     return pmi_scores(docs, window=2, min_count=3)
 
 
+def q_textrank3(spark, sf_dir):
+    """TextRank keyword scores: weighted PageRank (3 iterations) over the
+    symmetrized PMI co-occurrence word graph — the word graph's consumer
+    (Mihalcea & Tarau 2004 run on the engine's own PageRank kernel)."""
+    from amanogawa_spark.operators.cooccur import cooccurrence_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    p = cooccurrence_pairs(docs, window=2).filter(F.col("n_pair") >= 3)
+    e = p.select(
+        F.col("term_a").alias("src_id"),
+        F.col("term_b").alias("dst_id"),
+        F.col("n_pair").cast("double").alias("weight"),
+    ).unionAll(
+        p.select(
+            F.col("term_b").alias("src_id"),
+            F.col("term_a").alias("dst_id"),
+            F.col("n_pair").cast("double").alias("weight"),
+        )
+    )
+    v = (
+        e.select(F.col("src_id").alias("id"))
+        .unionAll(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    r = pagerank_fixed_iterations(v, e, iterations=3, weight_col="weight")
+    return r.select("id", F.round("rank", 8).alias("pr_value"))
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Link prediction (common-neighbors / Adamic-Adar / Jaccard) — top 100
     non-adjacent pairs of the derived undirected graph, AA-desc ranked."""
@@ -2996,8 +3024,57 @@ _SPARSIFY_SQL = (
     "kept AS (SELECT * FROM ranked WHERE rank <= 3)"
 )
 
+def _textrank_sql(iters: int, round_to: int = 8) -> str:
+    """Unrolled weighted power iteration over the symmetrized PMI word
+    graph (same numeric scheme as ``_pagerank_weighted_sql``; the graph
+    is symmetric so the dangling term is identically zero but is kept
+    for expression parity with the Spark kernel)."""
+    parts = [
+        f"WITH base AS MATERIALIZED (SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 200)",
+        "tok AS MATERIALIZED (SELECT doc_id, unnest(string_split(norm, ' ')) AS term, "
+        "generate_subscripts(string_split(norm, ' '), 1) AS pos FROM base)",
+        "prx AS MATERIALIZED (SELECT LEAST(a.term, b.term) AS term_a, GREATEST(a.term, b.term) AS term_b "
+        "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2 "
+        "WHERE a.term <> b.term)",
+        "pairs AS MATERIALIZED (SELECT term_a, term_b, COUNT(*) AS n_pair "
+        "FROM prx GROUP BY term_a, term_b HAVING COUNT(*) >= 3)",
+        "wedges AS MATERIALIZED (SELECT term_a AS src_id, term_b AS dst_id, "
+        "CAST(n_pair AS DOUBLE) AS weight FROM pairs "
+        "UNION ALL SELECT term_b, term_a, CAST(n_pair AS DOUBLE) FROM pairs)",
+        "wverts AS MATERIALIZED (SELECT DISTINCT id FROM ("
+        "SELECT src_id AS id FROM wedges UNION ALL SELECT dst_id AS id FROM wedges))",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wverts)",
+        "outw AS MATERIALIZED (SELECT src_id AS id, CAST(SUM(weight) AS DOUBLE) AS ow "
+        "FROM wedges GROUP BY src_id)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS pr FROM wverts)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = k - 1, k
+        parts.append(
+            f"d{c} AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS dm FROM r{p} r "
+            f"LEFT JOIN outw o ON r.id = o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"c{c} AS MATERIALIZED (SELECT e.dst_id AS id, "
+            f"SUM(r.pr * e.weight / o.ow) AS mass FROM wedges e "
+            f"JOIN r{p} r ON e.src_id = r.id JOIN outw o ON e.src_id = o.id "
+            f"GROUP BY e.dst_id)"
+        )
+        parts.append(
+            f"r{c} AS MATERIALIZED (SELECT v.id, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.mass, 0.0) "
+            f"+ (SELECT dm FROM d{c})/(SELECT n FROM nn)) AS pr FROM wverts v "
+            f"LEFT JOIN c{c} c ON v.id = c.id)"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return (
+        body
+        + f"\nSELECT id, ROUND(CAST(pr AS DOUBLE), {round_to}) AS pr_value FROM r{iters}"
+    )
+
+
 _METRICS_SQL = {
     "q_bowtie": _BOWTIE_SQL,
+    "q_textrank3": _textrank_sql(3),
     "q_sparsify_top3": (
         f"WITH {_SPARSIFY_SQL} SELECT src_id, dst_id, weight, rank FROM kept"
     ),
@@ -3107,6 +3184,7 @@ QUERIES = {
     "q_sparsify_top3": q_sparsify_top3,
     "q_sparsify_stats": q_sparsify_stats,
     "q_pmi_pairs": q_pmi_pairs,
+    "q_textrank3": q_textrank3,
     "q_avg_nbr_degree": q_avg_nbr_degree,
     "q_rich_club": q_rich_club,
     # -- round-4 second-session additions --

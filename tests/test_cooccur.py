@@ -71,3 +71,32 @@ def test_pair_generation_is_join_free(spark):
 def test_min_count_filters(spark):
     d = _docs(spark, ["a b", "a c"])
     assert pmi_scores(d, window=1, min_count=2).count() == 0
+
+
+def test_textrank_hub_term_ranks_first(spark):
+    # "hub" co-occurs with every other term; TextRank must rank it top
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.graph.pagerank import pagerank_fixed_iterations
+
+    d = _docs(spark, ["hub alpha", "hub beta", "hub gamma"] * 2)
+    p = cooccurrence_pairs(d, window=1).filter(F.col("n_pair") >= 2)
+    e = p.select(
+        F.col("term_a").alias("src_id"),
+        F.col("term_b").alias("dst_id"),
+        F.col("n_pair").cast("double").alias("weight"),
+    ).unionAll(
+        p.select(
+            F.col("term_b").alias("src_id"),
+            F.col("term_a").alias("dst_id"),
+            F.col("n_pair").cast("double").alias("weight"),
+        )
+    )
+    v = (
+        e.select(F.col("src_id").alias("id"))
+        .unionAll(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    ranks = pagerank_fixed_iterations(v, e, iterations=5, weight_col="weight")
+    top = ranks.orderBy(F.desc("rank")).first()
+    assert top["id"] == "hub"
