@@ -38,6 +38,7 @@ from amanogawa_spark.graph.bowtie import (
     giant_scc,
 )
 from amanogawa_spark.graph.matching import contract_matching, maximal_matching
+from amanogawa_spark.graph.rankcorr import rank_positions, spearman_rho, top_k_overlap
 from amanogawa_spark.graph.sparsify import sparsify_stats, top_k_out_edges
 from amanogawa_spark.graph.redirects import (
     redirect_pointers,
@@ -100,6 +101,9 @@ __all__ = [
     "rewrite_edges",
     "top_k_out_edges",
     "sparsify_stats",
+    "rank_positions",
+    "spearman_rho",
+    "top_k_overlap",
     "spinner_partition",
     "multilevel_partition",
     "edge_cut",

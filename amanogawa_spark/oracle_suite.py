@@ -1446,6 +1446,35 @@ def q_textrank3(spark, sf_dir):
     return r.select("id", F.round("rank", 8).alias("pr_value"))
 
 
+def _degree_scores(spark, sf_dir):
+    e = derived_edges(spark, sf_dir)
+    ind = e.groupBy(F.col("dst_id").alias("id")).agg(
+        F.count("*").cast("double").alias("score")
+    )
+    outd = e.groupBy(F.col("src_id").alias("id")).agg(
+        F.count("*").cast("double").alias("score")
+    )
+    return ind, outd
+
+
+def q_rank_corr(spark, sf_dir):
+    """Spearman's ρ between the in-degree and out-degree orderings of the
+    derived graph (tie-broken, intersection-re-ranked)."""
+    from amanogawa_spark.graph.rankcorr import spearman_rho
+
+    ind, outd = _degree_scores(spark, sf_dir)
+    return spearman_rho(ind, outd)
+
+
+def q_topk_overlap(spark, sf_dir):
+    """Top-100 head agreement (Jaccard) between the in-degree and
+    out-degree orderings."""
+    from amanogawa_spark.graph.rankcorr import top_k_overlap
+
+    ind, outd = _degree_scores(spark, sf_dir)
+    return top_k_overlap(ind, outd, k=100)
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Link prediction (common-neighbors / Adamic-Adar / Jaccard) — top 100
     non-adjacent pairs of the derived undirected graph, AA-desc ranked."""
@@ -3072,9 +3101,39 @@ def _textrank_sql(iters: int, round_to: int = 8) -> str:
     )
 
 
+_DEG_SCORES_SQL = (
+    f"{_EDGES_SQL.strip()}, "
+    "ind AS (SELECT dst_id AS id, CAST(COUNT(*) AS DOUBLE) AS score FROM edges GROUP BY dst_id), "
+    "outd AS (SELECT src_id AS id, CAST(COUNT(*) AS DOUBLE) AS score FROM edges GROUP BY src_id)"
+)
+
 _METRICS_SQL = {
     "q_bowtie": _BOWTIE_SQL,
     "q_textrank3": _textrank_sql(3),
+    "q_rank_corr": (
+        f"WITH {_DEG_SCORES_SQL}, "
+        "common AS (SELECT ind.id, ind.score AS sa, outd.score AS sb "
+        "FROM ind JOIN outd ON ind.id = outd.id), "
+        "pos AS (SELECT id, "
+        "ROW_NUMBER() OVER (ORDER BY sa DESC, id ASC) - 1 AS pa, "
+        "ROW_NUMBER() OVER (ORDER BY sb DESC, id ASC) - 1 AS pb FROM common) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_common, "
+        "ROUND(1.0 - (6.0 * SUM(CAST((pa - pb) AS DOUBLE) * (pa - pb))) / "
+        "(CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1.0)), 8) AS rho "
+        "FROM pos"
+    ),
+    "q_topk_overlap": (
+        f"WITH {_DEG_SCORES_SQL}, "
+        "ta AS (SELECT id FROM (SELECT id, ROW_NUMBER() OVER ("
+        "ORDER BY score DESC, id ASC) AS rn FROM ind) WHERE rn <= 100), "
+        "tb AS (SELECT id FROM (SELECT id, ROW_NUMBER() OVER ("
+        "ORDER BY score DESC, id ASC) AS rn FROM outd) WHERE rn <= 100), "
+        "bth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM ta JOIN tb USING (id)), "
+        "uni AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_union FROM "
+        "(SELECT id FROM ta UNION ALL SELECT id FROM tb)) "
+        "SELECT CAST(100 AS INT) AS k, n_both, "
+        "ROUND(CAST(n_both AS DOUBLE) / n_union, 8) AS jaccard FROM bth CROSS JOIN uni"
+    ),
     "q_sparsify_top3": (
         f"WITH {_SPARSIFY_SQL} SELECT src_id, dst_id, weight, rank FROM kept"
     ),
@@ -3185,6 +3244,8 @@ QUERIES = {
     "q_sparsify_stats": q_sparsify_stats,
     "q_pmi_pairs": q_pmi_pairs,
     "q_textrank3": q_textrank3,
+    "q_rank_corr": q_rank_corr,
+    "q_topk_overlap": q_topk_overlap,
     "q_avg_nbr_degree": q_avg_nbr_degree,
     "q_rich_club": q_rich_club,
     # -- round-4 second-session additions --
