@@ -20,7 +20,12 @@ from amanogawa_spark.operators.boilerplate import (
 )
 from amanogawa_spark.operators.bpe import bpe_encode, bpe_train
 from amanogawa_spark.operators.cooccur import cooccurrence_pairs, pmi_scores
-from amanogawa_spark.operators.retrieval import bm25_scores, posting_lists
+from amanogawa_spark.operators.retrieval import (
+    bm25_scores,
+    phrase_search,
+    positional_postings,
+    posting_lists,
+)
 from amanogawa_spark.operators.semdedup import semdedup
 from amanogawa_spark.operators.pq import ivf_pq_topk, pq_adc_topk, pq_encode, pq_train
 from amanogawa_spark.operators.stats import exact_quantiles, numeric_histogram, powerlaw_alpha
@@ -48,6 +53,8 @@ __all__ = [
     "bpe_encode",
     "cooccurrence_pairs",
     "pmi_scores",
+    "phrase_search",
+    "positional_postings",
     "bm25_scores",
     "posting_lists",
     "semdedup",

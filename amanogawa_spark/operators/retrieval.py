@@ -164,3 +164,80 @@ def bm25_reference(
             if s > 0.0:
                 out[(qid, d)] = s
     return out
+
+
+def positional_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, doc_id, positions) — sorted 0-based token positions per
+    (term, doc).  The phrase-query index: one explode + one grouped
+    collect, postings arrays bounded by per-doc term frequency."""
+    toks = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    )
+    t = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term")
+    ).filter(F.length("term") > 0)
+    return t.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_occurrences) — documents containing the exact
+    consecutive token sequence, with the overlapping-occurrence count.
+
+    Classic positional-intersection: the phrase's k terms' position
+    arrays intersect after shifting term i's positions back by i; the
+    survivors are valid start positions.  A duplicated phrase term reuses
+    the same postings array at both offsets, which is exactly correct.
+
+    Scale shape: the ``isin(phrase terms)`` filter rides the token
+    explode inside the scan stage, so ONLY the phrase terms' postings
+    ever shuffle (one groupBy doc_id); the per-doc intersection is a
+    bounded array op.  The corpus never reshuffles on full text.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    toks = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    )
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term")
+        )
+        .filter(F.col("term").isin(list(set(terms))))
+    )
+    per = tok.groupBy("doc_id", "term").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    m = per.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("mm")
+    )
+    def _shifted(arr, off: int):
+        # NOTE: the lambda must be single-parameter — PySpark interprets a
+        # two-parameter transform lambda as (element, array_index) and
+        # would silently substitute the index for the shift
+        return F.transform(arr, lambda x: x - F.lit(off))
+
+    present = None
+    starts = None
+    for i, w in enumerate(terms):
+        arr = F.element_at(F.col("mm"), F.lit(w))
+        has = arr.isNotNull()
+        present = has if present is None else (present & has)
+        shifted = _shifted(arr, i)
+        starts = shifted if starts is None else F.array_intersect(starts, shifted)
+    return (
+        m.filter(present)
+        .select("doc_id", F.size(starts).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )

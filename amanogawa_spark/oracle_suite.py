@@ -1475,6 +1475,15 @@ def q_topk_overlap(spark, sf_dir):
     return top_k_overlap(ind, outd, k=100)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase query: docs containing the exact consecutive
+    token pair 'table table' (duplicate-term offsets exercise the
+    postings-reuse path) with overlapping-occurrence counts."""
+    from amanogawa_spark.operators.retrieval import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), "table table")
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Link prediction (common-neighbors / Adamic-Adar / Jaccard) — top 100
     non-adjacent pairs of the derived undirected graph, AA-desc ranked."""
@@ -3110,6 +3119,16 @@ _DEG_SCORES_SQL = (
 _METRICS_SQL = {
     "q_bowtie": _BOWTIE_SQL,
     "q_textrank3": _textrank_sql(3),
+    "q_phrase_search": (
+        f"WITH base AS (SELECT doc_id, {_NORM} AS norm FROM documents), "
+        "tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term, "
+        "generate_subscripts(string_split(norm, ' '), 1) AS pos FROM base), "
+        "st AS (SELECT t0.doc_id FROM tok t0 "
+        "JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 "
+        "AND t1.term = 'table' WHERE t0.term = 'table') "
+        "SELECT doc_id, CAST(COUNT(*) AS INT) AS n_occurrences "
+        "FROM st GROUP BY doc_id"
+    ),
     "q_rank_corr": (
         f"WITH {_DEG_SCORES_SQL}, "
         "common AS (SELECT ind.id, ind.score AS sa, outd.score AS sb "
@@ -3246,6 +3265,7 @@ QUERIES = {
     "q_textrank3": q_textrank3,
     "q_rank_corr": q_rank_corr,
     "q_topk_overlap": q_topk_overlap,
+    "q_phrase_search": q_phrase_search,
     "q_avg_nbr_degree": q_avg_nbr_degree,
     "q_rich_club": q_rich_club,
     # -- round-4 second-session additions --
