@@ -1484,6 +1484,44 @@ def q_phrase_search(spark, sf_dir):
     return phrase_search(_t(spark, sf_dir, "documents"), "table table")
 
 
+_ROBOTS_RULES = [
+    # hosts site0..site7: disallow /private/ but re-allow /private/public/
+    *[(f"site{i}.com", "/private/", False) for i in range(8)],
+    *[(f"site{i}.com", "/private/public/", True) for i in range(8)],
+    # site3 additionally disallows everything not overridden
+    ("site3.com", "/", False),
+]
+
+
+def _robots_urls(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 3 == 0, F.concat(F.lit("/private/page"), d.cast("string")))
+        .when(
+            d % 3 == 1, F.concat(F.lit("/private/public/page"), d.cast("string"))
+        )
+        .otherwise(F.concat(F.lit("/open/page"), d.cast("string")))
+    )
+    return docs.select(
+        F.concat(
+            F.lit("http://site"), (d % 10).cast("string"), F.lit(".com"), path
+        ).alias("url")
+    )
+
+
+def q_robots_decisions(spark, sf_dir):
+    """RFC 9309 longest-match robots decisions over synthesized crawl
+    URLs: /private/ disallowed, /private/public/ re-allowed, one host
+    with a catch-all disallow, two hosts with no rules at all."""
+    from amanogawa_spark.functions.robots import robots_decisions
+
+    spark_rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, pattern string, allow boolean"
+    )
+    return robots_decisions(_robots_urls(spark, sf_dir), spark_rules)
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Link prediction (common-neighbors / Adamic-Adar / Jaccard) — top 100
     non-adjacent pairs of the derived undirected graph, AA-desc ranked."""
@@ -3119,6 +3157,29 @@ _DEG_SCORES_SQL = (
 _METRICS_SQL = {
     "q_bowtie": _BOWTIE_SQL,
     "q_textrank3": _textrank_sql(3),
+    "q_robots_decisions": (
+        "WITH u AS (SELECT 'http://site' || (doc_id % 10) || '.com' || "
+        "CASE WHEN doc_id % 3 = 0 THEN '/private/page' || doc_id "
+        "WHEN doc_id % 3 = 1 THEN '/private/public/page' || doc_id "
+        "ELSE '/open/page' || doc_id END AS url, "
+        "'site' || (doc_id % 10) || '.com' AS host, "
+        "CASE WHEN doc_id % 3 = 0 THEN '/private/page' || doc_id "
+        "WHEN doc_id % 3 = 1 THEN '/private/public/page' || doc_id "
+        "ELSE '/open/page' || doc_id END AS path "
+        "FROM documents WHERE doc_id < 400), "
+        "rules AS (SELECT 'site' || i || '.com' AS host, '/private/' AS pattern, FALSE AS allow "
+        "FROM range(8) t(i) "
+        "UNION ALL SELECT 'site' || i || '.com', '/private/public/', TRUE FROM range(8) t(i) "
+        "UNION ALL SELECT 'site3.com', '/', FALSE), "
+        "m AS (SELECT u.url, r.pattern, r.allow, "
+        "r.pattern IS NOT NULL AND starts_with(u.path, r.pattern) AS hit, "
+        "ROW_NUMBER() OVER (PARTITION BY u.url ORDER BY "
+        "(r.pattern IS NOT NULL AND starts_with(u.path, r.pattern)) DESC, "
+        "length(r.pattern) DESC, r.allow DESC, r.pattern DESC) AS rn "
+        "FROM u LEFT JOIN rules r ON u.host = r.host) "
+        "SELECT url, CASE WHEN hit THEN allow ELSE TRUE END AS allowed, "
+        "CASE WHEN hit THEN pattern END AS rule_pattern FROM m WHERE rn = 1"
+    ),
     "q_phrase_search": (
         f"WITH base AS (SELECT doc_id, {_NORM} AS norm FROM documents), "
         "tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term, "
@@ -3266,6 +3327,7 @@ QUERIES = {
     "q_rank_corr": q_rank_corr,
     "q_topk_overlap": q_topk_overlap,
     "q_phrase_search": q_phrase_search,
+    "q_robots_decisions": q_robots_decisions,
     "q_avg_nbr_degree": q_avg_nbr_degree,
     "q_rich_club": q_rich_club,
     # -- round-4 second-session additions --

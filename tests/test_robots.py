@@ -1,0 +1,62 @@
+"""Robots-exclusion filtering (functions/robots.py): RFC 9309
+longest-match, allow-wins-ties, no-rules-means-allowed."""
+
+from __future__ import annotations
+
+from amanogawa_spark.functions.robots import robots_decisions, robots_filter
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], ["url"])
+
+
+def _rules(spark, rows):
+    return spark.createDataFrame(rows, ["host", "pattern", "allow"])
+
+
+def test_longest_match_wins(spark):
+    u = _urls(spark, ["http://a.com/private/public/x", "http://a.com/private/y"])
+    r = _rules(
+        spark,
+        [("a.com", "/private/", False), ("a.com", "/private/public/", True)],
+    )
+    got = {x["url"]: (x["allowed"], x["rule_pattern"]) for x in robots_decisions(u, r).collect()}
+    assert got["http://a.com/private/public/x"] == (True, "/private/public/")
+    assert got["http://a.com/private/y"] == (False, "/private/")
+
+
+def test_allow_wins_length_tie(spark):
+    u = _urls(spark, ["http://a.com/dir/x"])
+    r = _rules(spark, [("a.com", "/dir/", False), ("a.com", "/dir/", True)])
+    got = robots_decisions(u, r).collect()[0]
+    assert got["allowed"] is True
+
+
+def test_no_rules_host_allowed(spark):
+    u = _urls(spark, ["http://norules.com/anything"])
+    r = _rules(spark, [("other.com", "/", False)])
+    got = robots_decisions(u, r).collect()[0]
+    assert got["allowed"] is True and got["rule_pattern"] is None
+
+
+def test_catch_all_disallow(spark):
+    u = _urls(spark, ["http://b.com/x", "http://b.com/ok/y"])
+    r = _rules(spark, [("b.com", "/", False), ("b.com", "/ok/", True)])
+    got = {x["url"]: x["allowed"] for x in robots_decisions(u, r).collect()}
+    assert got == {"http://b.com/x": False, "http://b.com/ok/y": True}
+
+
+def test_filter_keeps_caller_columns(spark):
+    u = spark.createDataFrame(
+        [("http://a.com/private/x", 7), ("http://a.com/open/y", 8)],
+        ["url", "payload"],
+    )
+    r = _rules(spark, [("a.com", "/private/", False)])
+    rows = robots_filter(u, r).collect()
+    assert [(x["url"], x["payload"]) for x in rows] == [("http://a.com/open/y", 8)]
+
+
+def test_host_case_insensitive(spark):
+    u = _urls(spark, ["http://A.COM/private/x"])
+    r = _rules(spark, [("a.com", "/private/", False)])
+    assert robots_decisions(u, r).collect()[0]["allowed"] is False
