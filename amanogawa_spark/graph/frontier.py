@@ -86,3 +86,46 @@ def crawl_frontier(
     crawled = pages.select("url")
     pr = frontier_priorities(links, crawled, ranks_by_url)
     return polite_topk(pr, host_of(F.col("dst")), k=per_host)
+
+
+def politeness_schedule(
+    priorities: DataFrame,
+    host: Column,
+    default_delay: float = 1.0,
+    delays: DataFrame | None = None,
+) -> DataFrame:
+    """(dst, host, slot, fetch_at) — a polite fetch timetable: one fetch
+    per host at a time, spaced by the host's crawl delay.
+
+    ``priorities``: (dst, mass) from :func:`frontier_priorities`;
+    ``host``: expression deriving the host key from ``dst``;
+    ``delays``: optional (host, delay) seconds table (robots.txt
+    Crawl-delay per host), ``default_delay`` otherwise.
+
+    slot(u) = position of u in its host's queue (mass DESC, dst ASC —
+    deterministic), fetch_at = slot · delay.  ONE window keyed on host
+    (bounded by the host's frontier size) plus an optional broadcast
+    join against the per-host delay table; nothing global.
+    """
+    w = Window.partitionBy("host").orderBy(F.desc("mass"), F.asc("dst"))
+    base = priorities.select("dst", "mass", host.alias("host")).withColumn(
+        "slot", (F.row_number().over(w) - 1).cast("long")
+    )
+    if delays is None:
+        d = base.withColumn("_delay", F.lit(float(default_delay)))
+    else:
+        d = base.join(
+            F.broadcast(
+                delays.select(
+                    F.col("host"), F.col("delay").cast("double").alias("_delay")
+                )
+            ),
+            "host",
+            "left",
+        ).withColumn("_delay", F.coalesce("_delay", F.lit(float(default_delay))))
+    return d.select(
+        "dst",
+        "host",
+        "slot",
+        F.round(F.col("slot") * F.col("_delay"), 8).alias("fetch_at"),
+    )

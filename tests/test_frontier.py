@@ -78,3 +78,40 @@ def test_frontier_partial_ranks_default_to_uniform(spark):
     }
     # a: rank .8 / outdeg 1 -> x ; b: default 1.0 / outdeg 2 -> x and y
     assert got == {"x": pytest.approx(1.3), "y": pytest.approx(0.5)}
+
+
+def test_politeness_schedule_slots_and_delays(spark):
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.graph.frontier import politeness_schedule
+
+    pri = spark.createDataFrame(
+        [(10, 5.0), (11, 3.0), (12, 9.0), (20, 1.0)], ["dst", "mass"]
+    )
+    delays = spark.createDataFrame([(1, 2.0)], ["host", "delay"])
+    # host = dst // 10 → {10,11,12} on host 1 (delay 2s), {20} on host 2
+    got = {
+        r["dst"]: (r["host"], r["slot"], r["fetch_at"])
+        for r in politeness_schedule(
+            pri, (F.col("dst") / 10).cast("long"), default_delay=0.5, delays=delays
+        ).collect()
+    }
+    # host 1 queue by mass desc: 12 (slot 0), 10 (slot 1), 11 (slot 2)
+    assert got[12] == (1, 0, 0.0)
+    assert got[10] == (1, 1, 2.0)
+    assert got[11] == (1, 2, 4.0)
+    # host 2 has no delay row → default 0.5; single url at slot 0
+    assert got[20] == (2, 0, 0.0)
+
+
+def test_politeness_schedule_tiebreak_by_dst(spark):
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.graph.frontier import politeness_schedule
+
+    pri = spark.createDataFrame([(3, 1.0), (1, 1.0), (2, 1.0)], ["dst", "mass"])
+    got = {
+        r["dst"]: r["slot"]
+        for r in politeness_schedule(pri, F.lit(0)).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
