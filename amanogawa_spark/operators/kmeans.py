@@ -69,17 +69,30 @@ def kmeans_centroids(
     max_iter: int = 10,
     tol: float = 1e-6,
     seed: int = 0,
+    init: str = "hash",
 ) -> DataFrame:
     """(cid int, cv array<double>) — Lloyd's k-means centroids.
 
     Empty clusters keep their previous centroid (standard Lloyd fallback).
     Stops when the max centroid L2 shift <= tol or after max_iter.
+
+    ``init``: 'hash' (default — seeded xxhash64-smallest rows) or
+    'min_id' (the k id-smallest rows; hash-free, so an external SQL
+    engine can reproduce the whole training run — the value-oracle
+    path).  Both compile to TakeOrderedAndProject, no global window.
     """
     v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    init_rows = seed_vectors(v, k, seed).collect()
+    if init == "min_id":
+        init_rows = (
+            v.orderBy(F.asc("id")).limit(k).select("id", "v", F.col("id").alias("_h"))
+        ).collect()
+    elif init == "hash":
+        init_rows = seed_vectors(v, k, seed).collect()
+    else:
+        raise ValueError(f"unknown init mode: {init!r}")
     centroids = [
         list(r["v"]) for r in sorted(init_rows, key=lambda r: (r["_h"], r["id"]))
     ][:k]

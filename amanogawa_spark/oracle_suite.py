@@ -1540,6 +1540,20 @@ def q_politeness_schedule(spark, sf_dir):
     )
 
 
+def q_kmeans_lloyd2(spark, sf_dir):
+    """Two full Lloyd iterations (k=4, hash-free min-id init) over the
+    embeddings table — value-certifies the k-means trainer itself, not
+    just its consumers (IVF/SemDeDup). Output is the centroid matrix in
+    (cid, pos, val) row form."""
+    from amanogawa_spark.operators.kmeans import kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c = kmeans_centroids(emb, k=4, max_iter=2, tol=0.0, init="min_id")
+    return c.select(
+        "cid", F.posexplode("cv").alias("pos", "val")
+    ).select("cid", "pos", F.round("val", 6).alias("val_r"))
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Link prediction (common-neighbors / Adamic-Adar / Jaccard) — top 100
     non-adjacent pairs of the derived undirected graph, AA-desc ranked."""
@@ -3175,6 +3189,32 @@ _DEG_SCORES_SQL = (
 _METRICS_SQL = {
     "q_bowtie": _BOWTIE_SQL,
     "q_textrank3": _textrank_sql(3),
+    "q_kmeans_lloyd2": (
+        "WITH v AS MATERIALIZED (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings), "
+        "vu AS MATERIALIZED (SELECT id, generate_subscripts(vv, 1) - 1 AS pos, "
+        "unnest(vv) AS val FROM v), "
+        "seeds AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id ASC) - 1 AS INT) AS cid "
+        "FROM (SELECT id FROM v ORDER BY id ASC LIMIT 4)), "
+        "c0 AS MATERIALIZED (SELECT s.cid, u.pos, u.val FROM seeds s JOIN vu u ON s.id = u.id), "
+        "d1 AS (SELECT u.id, c.cid, SUM((u.val - c.val) * (u.val - c.val)) AS d "
+        "FROM vu u JOIN c0 c USING (pos) GROUP BY u.id, c.cid), "
+        "a1 AS (SELECT id, cid FROM (SELECT id, cid, ROW_NUMBER() OVER ("
+        "PARTITION BY id ORDER BY d ASC, cid ASC) AS rn FROM d1) WHERE rn = 1), "
+        "m1 AS (SELECT a.cid, u.pos, SUM(u.val) / COUNT(*) AS val "
+        "FROM vu u JOIN a1 a USING (id) GROUP BY a.cid, u.pos), "
+        "c1 AS MATERIALIZED (SELECT c0.cid, c0.pos, COALESCE(m1.val, c0.val) AS val "
+        "FROM c0 LEFT JOIN m1 ON c0.cid = m1.cid AND c0.pos = m1.pos), "
+        "d2 AS (SELECT u.id, c.cid, SUM((u.val - c.val) * (u.val - c.val)) AS d "
+        "FROM vu u JOIN c1 c USING (pos) GROUP BY u.id, c.cid), "
+        "a2 AS (SELECT id, cid FROM (SELECT id, cid, ROW_NUMBER() OVER ("
+        "PARTITION BY id ORDER BY d ASC, cid ASC) AS rn FROM d2) WHERE rn = 1), "
+        "m2 AS (SELECT a.cid, u.pos, SUM(u.val) / COUNT(*) AS val "
+        "FROM vu u JOIN a2 a USING (id) GROUP BY a.cid, u.pos), "
+        "c2 AS (SELECT c1.cid, c1.pos, COALESCE(m2.val, c1.val) AS val "
+        "FROM c1 LEFT JOIN m2 ON c1.cid = m2.cid AND c1.pos = m2.pos) "
+        "SELECT cid, CAST(pos AS INT) AS pos, ROUND(val, 6) AS val_r FROM c2"
+    ),
     "q_politeness_schedule": (
         f"WITH {_EDGES_SQL.strip()}, "
         "pri AS (SELECT dst_id AS dst, CAST(COUNT(*) AS DOUBLE) AS mass "
@@ -3360,6 +3400,7 @@ QUERIES = {
     "q_phrase_search": q_phrase_search,
     "q_robots_decisions": q_robots_decisions,
     "q_politeness_schedule": q_politeness_schedule,
+    "q_kmeans_lloyd2": q_kmeans_lloyd2,
     "q_avg_nbr_degree": q_avg_nbr_degree,
     "q_rich_club": q_rich_club,
     # -- round-4 second-session additions --

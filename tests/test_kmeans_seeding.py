@@ -42,3 +42,32 @@ def test_seeds_are_the_k_hash_smallest_ids(spark):
         for r in v.select("id", F.xxhash64("id", F.lit(seed)).alias("_h")).collect()
     )[:k]
     assert got == want
+
+
+def test_min_id_init_deterministic_and_trains(spark):
+    import pyspark.sql.functions as F
+
+    from amanogawa_spark.operators.kmeans import kmeans_centroids
+
+    rows = [(i, [float(i % 5), float((i * 3) % 7)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = kmeans_centroids(df, k=3, max_iter=2, tol=0.0, init="min_id")
+    b = kmeans_centroids(
+        df.repartition(7), k=3, max_iter=2, tol=0.0, init="min_id"
+    )
+    va = sorted((r["cid"], [round(x, 9) for x in r["cv"]]) for r in a.collect())
+    vb = sorted((r["cid"], [round(x, 9) for x in r["cv"]]) for r in b.collect())
+    assert va == vb
+    assert len(va) == 3
+
+
+def test_unknown_init_rejected(spark):
+    import pytest
+
+    from amanogawa_spark.operators.kmeans import kmeans_centroids
+
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        kmeans_centroids(df, k=2, init="bogus")
