@@ -102,3 +102,60 @@ def normalize_url(url: Column | str) -> Column:
         c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"),
         F.regexp_replace(joined, r"/$", ""),
     ).otherwise(c)
+
+
+def path_prefixes(url: Column | str, max_depth: int = 3) -> Column:
+    """array<string> of the URL's path prefixes up to ``max_depth``
+    segments: '/a/b/c' → ['/a', '/a/b', '/a/b/c'].  Pure Catalyst
+    (split/slice/transform) — generated map-side inside the scan."""
+    p = path_of(url)
+    segs = F.filter(F.split(p, "/"), lambda s: F.length(s) > 0)
+    n = F.least(F.size(segs), F.lit(max_depth))
+    # guard n >= 1: F.sequence(1, 0) would generate a DESCENDING [1, 0]
+    # sequence, not an empty one
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda d: F.concat(F.lit("/"), F.array_join(F.slice(segs, 1, d), "/")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sitemap_rollup(
+    urls: "DataFrame",
+    url_col: str = "url",
+    weight_col: str | None = None,
+    max_depth: int = 3,
+) -> "DataFrame":
+    """(host, prefix, depth, n_urls, weight) — the site-tree view a crawl
+    operator reads: how many URLs (and how much score mass) live under
+    each path prefix of each host.  One explode + ONE map-side-combined
+    aggregate keyed on (host, prefix); no joins.
+
+    Empty-path URLs roll up under '/' at depth 0.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    u = urls.select(
+        host_of(F.col(url_col)).alias("host"),
+        F.explode_outer(
+            F.when(
+                F.size(path_prefixes(F.col(url_col), max_depth)) > 0,
+                path_prefixes(F.col(url_col), max_depth),
+            ).otherwise(F.array(F.lit("/")))
+        ).alias("prefix"),
+        w.alias("_w"),
+    )
+    return u.groupBy("host", "prefix").agg(
+        F.count("*").alias("n_urls"),
+        F.round(F.sum("_w"), 8).alias("weight"),
+    ).withColumn(
+        "depth",
+        F.when(F.col("prefix") == "/", F.lit(0)).otherwise(
+            F.size(F.filter(F.split("prefix", "/"), lambda s: F.length(s) > 0))
+        ).cast("int"),
+    ).select("host", "prefix", "depth", "n_urls", "weight")

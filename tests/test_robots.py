@@ -60,3 +60,32 @@ def test_host_case_insensitive(spark):
     u = _urls(spark, ["http://A.COM/private/x"])
     r = _rules(spark, [("a.com", "/private/", False)])
     assert robots_decisions(u, r).collect()[0]["allowed"] is False
+
+
+def test_path_prefixes_and_sitemap_rollup(spark):
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.functions.url import path_prefixes, sitemap_rollup
+
+    u = spark.createDataFrame(
+        [
+            ("http://a.com/x/y/z/deep", 2.0),
+            ("http://a.com/x/q", 1.0),
+            ("http://a.com", 5.0),
+            ("http://b.com/solo", 1.0),
+        ],
+        ["url", "score"],
+    )
+    # prefixes capped at depth 2
+    got = u.select(path_prefixes(F.col("url"), 2).alias("p")).collect()
+    assert got[0]["p"] == ["/x", "/x/y"]
+    assert got[2]["p"] == []  # empty path → no prefixes
+
+    roll = {
+        (r["host"], r["prefix"]): (r["depth"], r["n_urls"], r["weight"])
+        for r in sitemap_rollup(u, weight_col="score", max_depth=2).collect()
+    }
+    assert roll[("a.com", "/x")] == (1, 2, 3.0)
+    assert roll[("a.com", "/x/y")] == (2, 1, 2.0)
+    assert roll[("a.com", "/")] == (0, 1, 5.0)  # pathless url
+    assert roll[("b.com", "/solo")] == (1, 1, 1.0)
