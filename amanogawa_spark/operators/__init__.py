@@ -28,7 +28,12 @@ from amanogawa_spark.operators.retrieval import (
 )
 from amanogawa_spark.operators.semdedup import semdedup
 from amanogawa_spark.operators.pq import ivf_pq_topk, pq_adc_topk, pq_encode, pq_train
-from amanogawa_spark.operators.stats import exact_quantiles, numeric_histogram, powerlaw_alpha
+from amanogawa_spark.operators.stats import (
+    exact_quantiles,
+    grouped_quantiles,
+    numeric_histogram,
+    powerlaw_alpha,
+)
 
 __all__ = [
     "branch_columns",
@@ -63,6 +68,7 @@ __all__ = [
     "pq_adc_topk",
     "ivf_pq_topk",
     "exact_quantiles",
+    "grouped_quantiles",
     "powerlaw_alpha",
     "numeric_histogram",
 ]

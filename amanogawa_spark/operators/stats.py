@@ -20,6 +20,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from amanogawa_spark.graph.build import dense_rank_ids
 
@@ -113,4 +114,41 @@ def numeric_histogram(
             (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi_edge"),
             "cnt",
         )
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    qs: list[float],
+) -> DataFrame:
+    """(group, q, value) — exact per-group lower order statistics: value
+    at rank ``floor(q·(n_g−1))`` of each group's sorted column.
+
+    The per-HOST profiling companion to :func:`exact_quantiles` (which is
+    global and two-pass): here each group's rows are bounded (documents
+    per host ≪ corpus), so ONE window keyed on the group ranks in
+    parallel across groups, a per-group count joins in, and the |qs|
+    target ranks select the answers.  NULLs excluded per group.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    vals = df.select(
+        F.col(group_col).alias("group"), F.col(col).cast("double").alias("x")
+    ).filter(F.col("x").isNotNull())
+    w = Window.partitionBy("group").orderBy(F.asc("x"))
+    ranked = vals.withColumn("rk", (F.row_number().over(w) - 1).cast("long"))
+    counts = vals.groupBy("group").agg(F.count("*").alias("_n"))
+    targets = counts.select(
+        "group",
+        F.explode(F.array(*[F.lit(float(q)) for q in sorted(qs)])).alias("q"),
+        "_n",
+    ).select(
+        "group",
+        "q",
+        F.floor(F.col("q") * (F.col("_n") - 1)).cast("long").alias("rk"),
+    )
+    return targets.join(ranked, ["group", "rk"]).select(
+        "group", "q", F.col("x").alias("value")
     )

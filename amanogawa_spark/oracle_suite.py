@@ -1562,6 +1562,16 @@ def q_sitemap_rollup(spark, sf_dir):
     return sitemap_rollup(_robots_urls(spark, sf_dir), max_depth=2)
 
 
+def q_grouped_quantiles(spark, sf_dir):
+    """Per-source exact quartiles of document length — the host-level
+    quality-profile statistic."""
+    from amanogawa_spark.operators.stats import grouped_quantiles
+
+    return grouped_quantiles(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", [0.0, 0.25, 0.5, 0.75, 1.0]
+    )
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Link prediction (common-neighbors / Adamic-Adar / Jaccard) — top 100
     non-adjacent pairs of the derived undirected graph, AA-desc ranked."""
@@ -3197,6 +3207,18 @@ _DEG_SCORES_SQL = (
 _METRICS_SQL = {
     "q_bowtie": _BOWTIE_SQL,
     "q_textrank3": _textrank_sql(3),
+    "q_grouped_quantiles": (
+        "WITH vals AS (SELECT source AS grp, CAST(n_chars AS DOUBLE) AS x "
+        "FROM documents WHERE n_chars IS NOT NULL), "
+        "ranked AS (SELECT grp, x, ROW_NUMBER() OVER ("
+        "PARTITION BY grp ORDER BY x ASC) - 1 AS rk FROM vals), "
+        "cnts AS (SELECT grp, COUNT(*) AS n FROM vals GROUP BY grp), "
+        "qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.0), (0.25), (0.5), (0.75), (1.0)) t(q)), "
+        "tg AS (SELECT grp, q, CAST(FLOOR(q * (n - 1)) AS BIGINT) AS rk "
+        "FROM cnts CROSS JOIN qs) "
+        'SELECT tg.grp AS "group", tg.q, r.x AS value '
+        "FROM tg JOIN ranked r ON tg.grp = r.grp AND tg.rk = r.rk"
+    ),
     "q_sitemap_rollup": (
         "WITH u AS (SELECT 'site' || (doc_id % 10) || '.com' AS host, "
         "CASE WHEN doc_id % 3 = 0 THEN '/private/page' || doc_id "
@@ -3427,6 +3449,7 @@ QUERIES = {
     "q_politeness_schedule": q_politeness_schedule,
     "q_kmeans_lloyd2": q_kmeans_lloyd2,
     "q_sitemap_rollup": q_sitemap_rollup,
+    "q_grouped_quantiles": q_grouped_quantiles,
     "q_avg_nbr_degree": q_avg_nbr_degree,
     "q_rich_club": q_rich_club,
     # -- round-4 second-session additions --

@@ -82,3 +82,38 @@ def test_hll_distinct_by_accuracy_and_invariance(spark):
         for r in hll_distinct_by(df.repartition(13), "grp", "v").collect()
     }
     assert est == est2
+
+
+def test_grouped_quantiles_hand_values(spark):
+    import pytest as _pytest
+
+    from amanogawa_spark.operators.stats import grouped_quantiles
+
+    rows = [("a", v) for v in [10, 20, 30, 40, 50]] + [("b", v) for v in [7, 9]]
+    df = spark.createDataFrame(rows, ["source", "n"])
+    got = {
+        (r["group"], r["q"]): r["value"]
+        for r in grouped_quantiles(df, "source", "n", [0.0, 0.5, 1.0]).collect()
+    }
+    assert got[("a", 0.0)] == 10.0
+    assert got[("a", 0.5)] == 30.0
+    assert got[("a", 1.0)] == 50.0
+    # group b: n=2 → q=0.5 rank floor(0.5*1)=0 → 7 (lower interpolation)
+    assert got[("b", 0.5)] == 7.0
+    assert got[("b", 1.0)] == 9.0
+
+    with _pytest.raises(ValueError):
+        grouped_quantiles(df, "source", "n", [])
+
+
+def test_grouped_quantiles_null_exclusion(spark):
+    from amanogawa_spark.operators.stats import grouped_quantiles
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 4), ("a", 2)], ["source", "n"]
+    )
+    got = {
+        r["q"]: r["value"]
+        for r in grouped_quantiles(df, "source", "n", [0.0, 1.0]).collect()
+    }
+    assert got == {0.0: 2.0, 1.0: 4.0}
