@@ -27,6 +27,7 @@ from amanogawa_spark.operators.retrieval import (
     posting_lists,
 )
 from amanogawa_spark.operators.semdedup import semdedup
+from amanogawa_spark.operators.snapshots import content_churn, moved_content
 from amanogawa_spark.operators.pq import ivf_pq_topk, pq_adc_topk, pq_encode, pq_train
 from amanogawa_spark.operators.stats import (
     exact_quantiles,
@@ -60,6 +61,8 @@ __all__ = [
     "pmi_scores",
     "phrase_search",
     "positional_postings",
+    "content_churn",
+    "moved_content",
     "bm25_scores",
     "posting_lists",
     "semdedup",

@@ -1572,6 +1572,45 @@ def q_grouped_quantiles(spark, sf_dir):
     )
 
 
+def _snapshot_pair(spark, sf_dir):
+    """Two synthetic crawl snapshots over the documents table: ~1/7 of
+    pages move host, ~1/11 disappear, ids 400-449 are new content."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url_a = F.concat(
+        F.lit("http://site"), (d % 10).cast("string"), F.lit(".com/page"), d.cast("string")
+    )
+    url_moved = F.concat(
+        F.lit("http://moved"), (d % 5).cast("string"), F.lit(".org/p"), d.cast("string")
+    )
+    old = docs.filter(d < 400).select(url_a.alias("url"), "text")
+    new = (
+        docs.filter((d < 450) & (d % 11 != 3))
+        .select(
+            F.when(d % 7 == 0, url_moved).otherwise(url_a).alias("url"), "text"
+        )
+    )
+    return old, new
+
+
+def q_content_churn(spark, sf_dir):
+    """Fingerprint-level churn between two crawl snapshots: unchanged /
+    moved / added / removed content counts."""
+    from amanogawa_spark.operators.snapshots import content_churn
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return content_churn(old, new, hash_fn="md5")
+
+
+def q_moved_content(spark, sf_dir):
+    """Inferred content migrations: (fingerprint, old_url, new_url) pairs
+    for content that survives at a different address."""
+    from amanogawa_spark.operators.snapshots import moved_content
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return moved_content(old, new, hash_fn="md5")
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Link prediction (common-neighbors / Adamic-Adar / Jaccard) — top 100
     non-adjacent pairs of the derived undirected graph, AA-desc ranked."""
@@ -3207,6 +3246,41 @@ _DEG_SCORES_SQL = (
 _METRICS_SQL = {
     "q_bowtie": _BOWTIE_SQL,
     "q_textrank3": _textrank_sql(3),
+    "q_content_churn": (
+        f"WITH nrm AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents), "
+        "old AS (SELECT DISTINCT fp, 'http://site' || (doc_id % 10) || '.com/page' || doc_id AS url "
+        "FROM nrm WHERE doc_id < 400), "
+        "nw AS (SELECT DISTINCT fp, CASE WHEN doc_id % 7 = 0 "
+        "THEN 'http://moved' || (doc_id % 5) || '.org/p' || doc_id "
+        "ELSE 'http://site' || (doc_id % 10) || '.com/page' || doc_id END AS url "
+        "FROM nrm WHERE doc_id < 450 AND doc_id % 11 <> 3), "
+        "ofp AS (SELECT DISTINCT fp FROM old), nfp AS (SELECT DISTINCT fp FROM nw), "
+        "same_addr AS (SELECT DISTINCT o.fp FROM old o JOIN nw n ON o.fp = n.fp AND o.url = n.url), "
+        "bth AS (SELECT fp FROM ofp WHERE fp IN (SELECT fp FROM nfp)) "
+        "SELECT CAST((SELECT COUNT(*) FROM bth WHERE fp IN (SELECT fp FROM same_addr)) AS BIGINT) AS n_unchanged, "
+        "CAST((SELECT COUNT(*) FROM bth WHERE fp NOT IN (SELECT fp FROM same_addr)) AS BIGINT) AS n_moved, "
+        "CAST((SELECT COUNT(*) FROM nfp WHERE fp NOT IN (SELECT fp FROM ofp)) AS BIGINT) AS n_added, "
+        "CAST((SELECT COUNT(*) FROM ofp WHERE fp NOT IN (SELECT fp FROM nfp)) AS BIGINT) AS n_removed"
+    ),
+    "q_moved_content": (
+        f"WITH nrm AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents), "
+        "old AS (SELECT DISTINCT fp, 'http://site' || (doc_id % 10) || '.com/page' || doc_id AS url "
+        "FROM nrm WHERE doc_id < 400), "
+        "nw AS (SELECT DISTINCT fp, CASE WHEN doc_id % 7 = 0 "
+        "THEN 'http://moved' || (doc_id % 5) || '.org/p' || doc_id "
+        "ELSE 'http://site' || (doc_id % 10) || '.com/page' || doc_id END AS url "
+        "FROM nrm WHERE doc_id < 450 AND doc_id % 11 <> 3), "
+        "same_addr AS (SELECT DISTINCT o.fp FROM old o JOIN nw n ON o.fp = n.fp AND o.url = n.url), "
+        "gone AS (SELECT o.* FROM old o ANTI JOIN nw n ON o.fp = n.fp AND o.url = n.url "
+        "WHERE o.fp NOT IN (SELECT fp FROM same_addr)), "
+        "fresh AS (SELECT n.* FROM nw n ANTI JOIN old o ON n.fp = o.fp AND n.url = o.url "
+        "WHERE n.fp NOT IN (SELECT fp FROM same_addr)), "
+        "gc AS (SELECT fp FROM gone GROUP BY fp HAVING COUNT(*) <= 4), "
+        "fc AS (SELECT fp FROM fresh GROUP BY fp HAVING COUNT(*) <= 4) "
+        "SELECT g.fp, g.url AS old_url, f.url AS new_url "
+        "FROM gone g JOIN fresh f ON g.fp = f.fp "
+        "WHERE g.fp IN (SELECT fp FROM gc) AND g.fp IN (SELECT fp FROM fc)"
+    ),
     "q_grouped_quantiles": (
         "WITH vals AS (SELECT source AS grp, CAST(n_chars AS DOUBLE) AS x "
         "FROM documents WHERE n_chars IS NOT NULL), "
@@ -3450,6 +3524,8 @@ QUERIES = {
     "q_kmeans_lloyd2": q_kmeans_lloyd2,
     "q_sitemap_rollup": q_sitemap_rollup,
     "q_grouped_quantiles": q_grouped_quantiles,
+    "q_content_churn": q_content_churn,
+    "q_moved_content": q_moved_content,
     "q_avg_nbr_degree": q_avg_nbr_degree,
     "q_rich_club": q_rich_club,
     # -- round-4 second-session additions --
