@@ -1,0 +1,240 @@
+"""Incremental PageRank: update converged ranks from a recrawl edge diff.
+
+A production web graph is recrawled continuously; between snapshots only
+a tiny fraction of pages change their out-links (``graph/diff.py``
+measures exactly that churn). Recomputing PageRank from scratch does
+O(|E|) work per iteration; the published alternative (Ohsaka, Maehara,
+Kawarabayashi, "Efficient PageRank Tracking in Evolving Networks",
+KDD 2015 — itself a residual-push formulation in the Andersen-Chung-Lang
+family, cf. ``graph/push.py``) repairs the old solution with work
+proportional to the CHANGED NEIGHBORHOOD instead.
+
+Derivation (linear, so the repair is exact up to the stop threshold):
+with teleport ``(1-d)·u`` (u = uniform 1/n) and the dangling-mass
+redistribution operator ``M x = d·(Pᵀx + dang(x)·u)`` the two snapshots
+satisfy ``π_old = (1-d)u + M_old π_old`` and ``π_new = (1-d)u + M_new π_new``,
+hence
+
+    π_new − π_old = (I − M_new)⁻¹ ρ₀,   ρ₀ = (M_new − M_old) π_old.
+
+``ρ₀`` is supported ONLY on the out-neighborhoods of vertices whose edge
+set changed (plus a scalar·uniform component from dangling-status
+flips) — |diff|-sized, not |E|-sized. The geometric expansion
+``Σ_k M_new^k ρ₀`` is evaluated with the sparse part pushed through the
+edge table round by round (each round multiplies the mass by d, so
+convergence is geometric) while every uniform component ever spawned
+(dangling pushes) is folded ANALYTICALLY through the closed form
+
+    (I − M_new)⁻¹ u = π_new / (1-d)
+    ⇒ π_new = (π_old + S) / (1 − C/(1-d))
+
+where ``S`` is the accumulated sparse mass and ``C`` the accumulated
+uniform coefficient. No O(n) uniform vector is ever materialized.
+
+Scale shape per round: the residual lives in a skinny (id, r) frame that
+starts |diff|-neighborhood-sized; one shuffle_hash join against the new
+edge table + one map-side-combined aggregate onto dst; one 2-scalar
+driver action (L1 + dangling mass) over the residual only. A recrawl
+that touches 0.1% of a 10^12-page graph costs ~0.1%-neighborhood × ~40
+rounds instead of |E| × ~60 iterations.
+
+Contract: both snapshots share one vertex universe (``old_ranks`` rows).
+Newly discovered pages need a rank row first — extend ``old_ranks`` with
+mass 0 and let the repair pull them up, or fall back to
+``pagerank(..., initial_ranks=old_ranks)`` when the universe itself
+changes materially (teleport mass shifts by Δn/n, which this repair
+does not model).
+
+Reference anchor: the reference engine has no incremental path — its
+convergence driver (iterate.h:21-63) always restarts; this operator is
+the engine-side addition the north rule's resumable-recrawl story needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from amanogawa_spark.graph.diff import edge_diff
+from amanogawa_spark.graph.pagerank import PageRankResult
+
+
+def _out_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("src_id").alias("id")).agg(
+        F.count("*").cast("double").alias("od")
+    )
+
+
+def incremental_pagerank(
+    old_ranks: DataFrame,
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_rounds: int = 200,
+    fixed_rounds: int | None = None,
+) -> PageRankResult:
+    """Repair ``old_ranks`` (id, rank) to the new edge snapshot.
+
+    ``tol``: stop when the repair's remaining L1 error is ≤ tol — the
+    loop runs until the sparse residual's L1 falls below
+    ``tol·(1-d)/d`` (the truncated tail is bounded by |σ|₁·d/(1-d)).
+
+    ``fixed_rounds``: run exactly that many push rounds with NO driver
+    action inside the loop and NO uniform-component tracking — the
+    engine-portable variant the value oracle mirrors in SQL; correct as
+    given only when no vertex is dangling in either snapshot (otherwise
+    the C-fold is required — use the convergence mode).
+    """
+    d = float(damping)
+    diff = edge_diff(old_edges, new_edges)
+    changed = diff.select(F.col("src_id").alias("id")).distinct()
+
+    spark = old_ranks.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    od_old = _out_degrees(old_edges)
+    od_new = _out_degrees(new_edges).repartition(n_part, "id").persist()
+
+    # rank mass + degrees of the changed sources — |diff|-sized, so
+    # broadcast THOSE into both edge scans rather than shuffling either
+    # snapshot or materializing an O(V) broadcast
+    pi_c = old_ranks.join(F.broadcast(changed), "id").select(
+        F.col("id").alias("src_id"), F.col("rank").alias("pr")
+    )
+    od_new_c = od_new.join(
+        F.broadcast(changed), "id"
+    ).withColumnRenamed("id", "src_id")
+    od_old_c = od_old.join(
+        F.broadcast(changed), "id"
+    ).withColumnRenamed("id", "src_id")
+    new_side = (
+        new_edges.join(F.broadcast(pi_c), "src_id")
+        .join(F.broadcast(od_new_c), "src_id")
+        .select(
+            F.col("dst_id").alias("id"),
+            (F.lit(d) * F.col("pr") / F.col("od")).alias("r"),
+        )
+    )
+    old_side = (
+        old_edges.join(F.broadcast(pi_c), "src_id")
+        .join(F.broadcast(od_old_c), "src_id")
+        .select(
+            F.col("dst_id").alias("id"),
+            (-F.lit(d) * F.col("pr") / F.col("od")).alias("r"),
+        )
+    )
+    # sigma_0: sparse part of (M_new - M_old) pi_old; 12-dec rounding makes
+    # the whole trajectory engine-portable (same convention as push.py)
+    state = (
+        new_side.unionAll(old_side)
+        .groupBy("id")
+        .agg(F.round(F.sum("r"), 12).alias("r"))
+        .filter(F.col("r") != 0.0)
+        .select("id", F.lit(0.0).alias("p"), "r")
+        .localCheckpoint(eager=True)
+    )
+
+    history: list[dict] = []
+    c_acc = 0.0
+    if fixed_rounds is None:
+        # uniform coefficient of rho_0: dangling-status flips among the
+        # changed sources re-aim d·pi_old(u) of uniform spray
+        flip = (
+            changed.join(old_ranks, "id")
+            .join(od_old.withColumnRenamed("od", "od_o"), "id", "left")
+            .join(od_new.withColumnRenamed("od", "od_n"), "id", "left")
+            .select(
+                (
+                    F.col("rank")
+                    * (
+                        F.col("od_n").isNull().cast("double")
+                        - F.col("od_o").isNull().cast("double")
+                    )
+                ).alias("c")
+            )
+            .agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("c"))
+            .collect()[0]["c"]
+        )
+        c_acc = d * float(flip)
+
+    # degree-annotated edge table, built ONCE and reused every push round
+    # (the same one-time join pagerank() makes; partitioned on the join
+    # key so each round shuffles only the frontier-sized residual side)
+    edges_od = (
+        new_edges.select("src_id", "dst_id")
+        .join(od_new.withColumnRenamed("id", "src_id"), "src_id")
+        .repartition(n_part, "src_id")
+        .persist()
+    )
+
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    stop_l1 = tol * (1.0 - d) / d
+    delta = float("inf")
+    it = 0
+    for it in range(1, rounds + 1):
+        if fixed_rounds is None:
+            # ONE action over the skinny residual: L1 + dangling mass
+            stats = (
+                state.join(od_new, "id", "left")
+                .agg(
+                    F.coalesce(F.sum(F.abs(F.col("r"))), F.lit(0.0)).alias("l1"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("od").isNull(), F.col("r"))),
+                        F.lit(0.0),
+                    ).alias("dm"),
+                )
+                .collect()[0]
+            )
+            delta = float(stats["l1"])
+            c_acc += d * float(stats["dm"])
+            history.append({"round": it - 1, "residual_l1": delta})
+            if delta <= stop_l1:
+                it -= 1
+                break
+        pushed = (
+            edges_od.join(
+                state.select(F.col("id").alias("src_id"), "r")
+                .hint("shuffle_hash"),
+                "src_id",
+            )
+            .select(
+                F.col("dst_id").alias("id"),
+                (F.lit(d) * F.col("r") / F.col("od")).alias("dr"),
+            )
+        )
+        nxt = (
+            state.select("id", (F.col("p") + F.col("r")).alias("p"), F.lit(0.0).alias("r"))
+            .unionAll(
+                pushed.select("id", F.lit(0.0).alias("p"), F.col("dr").alias("r"))
+            )
+            .groupBy("id")
+            .agg(
+                F.round(F.sum("p"), 12).alias("p"),
+                F.round(F.sum("r"), 12).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        state.unpersist()
+        state = nxt
+
+    if fixed_rounds is not None:
+        delta = float(
+            state.agg(
+                F.coalesce(F.sum(F.abs(F.col("r"))), F.lit(0.0)).alias("l1")
+            ).collect()[0]["l1"]
+        )
+
+    scale = 1.0 / (1.0 - c_acc / (1.0 - d))
+    repaired = (
+        old_ranks.join(state.select("id", (F.col("p") + F.col("r")).alias("s")), "id", "left")
+        .select(
+            "id",
+            (
+                (F.col("rank") + F.coalesce(F.col("s"), F.lit(0.0)))
+                * F.lit(scale)
+            ).alias("rank"),
+        )
+    )
+    od_new.unpersist()
+    edges_od.unpersist()
+    return PageRankResult(ranks=repaired, iterations=it, delta=delta, history=history)
