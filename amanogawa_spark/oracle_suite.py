@@ -3499,6 +3499,100 @@ _METRICS_SQL = {
 }
 
 
+def q_incr_pagerank4(spark, sf_dir):
+    """Incremental PageRank repair (graph/incremental.py) on a circulant
+    graph recrawl: old edges i->{i+1,i+7,i+13} mod 400; the recrawl
+    replaces i+13 with 2i+5 for i%7==0 and adds i+29 for i%11==0 (both
+    snapshots dangling-free by construction, so the fixed-rounds
+    engine-portable mode is exact). Prior ranks are a synthetic
+    deterministic vector; 4 push rounds; the oracle mirrors the whole
+    sparse-residual trajectory."""
+    from amanogawa_spark.graph.incremental import incremental_pagerank
+
+    m = 400
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < m)
+        .select(F.col("doc_id").alias("i"))
+    )
+
+    def edge(expr):
+        return ids.select(F.col("i").alias("src_id"), (expr % m).alias("dst_id"))
+
+    old = (
+        edge(F.col("i") + 1)
+        .unionAll(edge(F.col("i") + 7))
+        .unionAll(edge(F.col("i") + 13))
+    )
+    e3new = ids.select(
+        F.col("i").alias("src_id"),
+        F.when(F.col("i") % 7 == 0, (F.col("i") * 2 + 5) % m)
+        .otherwise((F.col("i") + 13) % m)
+        .alias("dst_id"),
+    )
+    added = ids.filter(F.col("i") % 11 == 0).select(
+        F.col("i").alias("src_id"), ((F.col("i") + 29) % m).alias("dst_id")
+    )
+    new = (
+        edge(F.col("i") + 1)
+        .unionAll(edge(F.col("i") + 7))
+        .unionAll(e3new)
+        .unionAll(added)
+    )
+    pi_old = ids.select(
+        F.col("i").alias("id"),
+        ((F.lit(1.0) + (F.col("i") % 10)) / F.lit(2200.0)).alias("rank"),
+    )
+    res = incremental_pagerank(pi_old, old, new, fixed_rounds=4)
+    return res.ranks.select("id", F.round("rank", 8).alias("rank_r"))
+
+
+def _incr_pagerank_sql(rounds: int = 4, m: int = 400) -> str:
+    d = "0.85"
+    parts = [
+        f"WITH ids AS MATERIALIZED (SELECT doc_id AS i FROM documents WHERE doc_id < {m})",
+        f"olde AS MATERIALIZED (SELECT i AS src_id, (i+1)%{m} AS dst_id FROM ids "
+        f"UNION ALL SELECT i, (i+7)%{m} FROM ids "
+        f"UNION ALL SELECT i, (i+13)%{m} FROM ids)",
+        f"newe AS MATERIALIZED (SELECT i AS src_id, (i+1)%{m} AS dst_id FROM ids "
+        f"UNION ALL SELECT i, (i+7)%{m} FROM ids "
+        f"UNION ALL SELECT i, CASE WHEN i%7=0 THEN (i*2+5)%{m} ELSE (i+13)%{m} END FROM ids "
+        f"UNION ALL SELECT i, (i+29)%{m} FROM ids WHERE i%11=0)",
+        "pi AS MATERIALIZED (SELECT i AS id, (1.0 + (i%10))/2200.0 AS rank FROM ids)",
+        "dif AS (SELECT src_id FROM ("
+        "SELECT src_id, dst_id, -1 AS mm FROM (SELECT DISTINCT src_id, dst_id FROM olde) "
+        "UNION ALL SELECT src_id, dst_id, 1 FROM (SELECT DISTINCT src_id, dst_id FROM newe)"
+        ") GROUP BY src_id, dst_id HAVING SUM(mm) <> 0)",
+        "chg AS MATERIALIZED (SELECT DISTINCT src_id AS id FROM dif)",
+        "odo AS MATERIALIZED (SELECT src_id, CAST(COUNT(*) AS DOUBLE) AS od FROM olde GROUP BY src_id)",
+        "odn AS MATERIALIZED (SELECT src_id, CAST(COUNT(*) AS DOUBLE) AS od FROM newe GROUP BY src_id)",
+        f"s0 AS MATERIALIZED (SELECT id, 0.0 AS p, r FROM ("
+        f"SELECT dst_id AS id, ROUND(SUM(r), 12) AS r FROM ("
+        f"SELECT e.dst_id, {d}*pi.rank/o.od AS r FROM newe e "
+        f"JOIN chg c ON e.src_id = c.id JOIN pi ON pi.id = e.src_id "
+        f"JOIN odn o ON o.src_id = e.src_id "
+        f"UNION ALL SELECT e.dst_id, -{d}*pi.rank/o.od FROM olde e "
+        f"JOIN chg c ON e.src_id = c.id JOIN pi ON pi.id = e.src_id "
+        f"JOIN odo o ON o.src_id = e.src_id"
+        f") GROUP BY dst_id) WHERE r <> 0.0)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT id, ROUND(SUM(p), 12) AS p, "
+            f"ROUND(SUM(r), 12) AS r FROM ("
+            f"SELECT id, p + r AS p, 0.0 AS r FROM s{k-1} "
+            f"UNION ALL SELECT e.dst_id AS id, 0.0, {d}*s.r/o.od "
+            f"FROM newe e JOIN s{k-1} s ON e.src_id = s.id "
+            f"JOIN odn o ON o.src_id = e.src_id"
+            f") GROUP BY id)"
+        )
+    body = ",\n".join(parts)
+    return body + (
+        f"\nSELECT pi.id, ROUND(pi.rank + COALESCE(s.p + s.r, 0.0), 8) AS rank_r "
+        f"FROM pi LEFT JOIN s{rounds} s ON pi.id = s.id"
+    )
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  The literal below is just the registry; the EFFECTIVE order is
 # computed by _rotation_order() at the bottom of this module — queries sort
@@ -3670,6 +3764,7 @@ QUERIES = {
     "q_matching1": q_matching1,
     # -- new in round 4 (never certified -> the rotation queues them first) --
     "q_blocked_pagerank5": q_blocked_pagerank5,
+    "q_incr_pagerank4": q_incr_pagerank4,
     "q_community_partition": q_community_partition,
     "q_bpe_local_merges": q_bpe_local_merges,
 }
@@ -5161,6 +5256,7 @@ FROM n3""",
     "q_matching1": _MATCHING1_SQL,
     # -- new in round 4 --
     "q_blocked_pagerank5": _pagerank_sql(5),
+    "q_incr_pagerank4": _incr_pagerank_sql(4),
     "q_community_partition": _community_partition_sql(2, 4),
     "q_bpe_local_merges": _bpe_local_merges_sql(),
     **_METRICS_SQL,
