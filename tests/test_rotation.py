@@ -26,15 +26,21 @@ def _ledger():
 
 
 def test_never_certified_queries_lead_the_window():
+    """No certified query may occupy a window slot while a never-certified
+    one waits. (When more than DRIVER_CAP queries await certification the
+    window is 100% never-certified and the rest queue for the next round —
+    that is the rotation working, not a violation.)"""
     from amanogawa_spark.oracle_suite import QUERIES
 
     ledger = _ledger()
     names = list(QUERIES)
-    window = set(names[:DRIVER_CAP])
+    window = names[:DRIVER_CAP]
     never = [n for n in names if n not in ledger]
     assert never, "sanity: some queries should be awaiting certification"
-    missing = [n for n in never if n not in window]
-    assert not missing, f"never-certified queries outside the driver cap: {missing}"
+    in_window = min(len(never), DRIVER_CAP)
+    assert all(n not in ledger for n in window[:in_window]), (
+        "a certified query outranks a never-certified one in the window"
+    )
 
 
 def test_order_is_least_recently_certified_first():
