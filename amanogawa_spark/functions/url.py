@@ -159,3 +159,32 @@ def sitemap_rollup(
             F.size(F.filter(F.split("prefix", "/"), lambda s: F.length(s) > 0))
         ).cast("int"),
     ).select("host", "prefix", "depth", "n_urls", "weight")
+
+
+def surt_key(url: Column | str) -> Column:
+    """Sort-friendly URI Reordering Transform key (the Heritrix/
+    OpenWayback/Common-Crawl index convention, public): reversed host
+    labels joined by ',', then ')' and the lowercased path and query —
+    ``https://www.example.com/A/b?q=1`` → ``com,example)/a/b?q=1``.
+
+    Why an engine needs it: a RANGE partition on the SURT key co-locates
+    a registered domain with all its subdomains in contiguous partitions
+    (plain host strings scatter ``a.example.com`` and ``b.example.com``
+    lexically).  That is the cheap, dictionary-free version of the
+    locality the clustered edge layout (graph/layout.py) buys — intra-
+    domain links, the web's majority, stop crossing partition borders.
+    Pure Catalyst string expressions; ``www.`` and the port are dropped,
+    non-URL strings map to ''.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_replace(host_of(c), r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(path_of(c))
+    q = F.lower(F.regexp_extract(c, r"\?([^#]*)", 1))
+    key = F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(host != "", key).otherwise(F.lit(""))

@@ -328,3 +328,57 @@ def temperature_rates(
     return {
         g: min(1.0, shares[g] * total * frac / counts[g]) for g in sorted(counts)
     }
+
+
+def host_disjoint_split(
+    df: DataFrame,
+    url_col: str = "url",
+    weights: dict[str, float] | None = None,
+    hash: str = "xxhash64",
+    seed: int = 42,
+) -> DataFrame:
+    """Append (rdom, split): a leak-free train/valid/test assignment —
+    every page of a registered domain lands in the SAME split.
+
+    Random per-PAGE splits leak: mirrors, templated variants, and
+    boilerplate-sharing pages within a site straddle the train/eval
+    boundary and inflate eval scores. Splitting on the eTLD+1 coin keeps
+    whole sites together (the standard web-corpus hygiene rule). The
+    assignment is a pure hash of the registered domain — no RNG state,
+    stable across reruns, partitionings, and cluster sizes, and a pure
+    map-side projection (no shuffle, no dictionary).
+
+    ``weights`` insertion order defines the coin's interval order
+    (default {'train': .9, 'valid': .05, 'test': .05}); they must sum
+    to ~1. ``hash='md5'`` is the engine-portable flavour the value
+    oracle mirrors; xxhash64 is the cheaper JVM default.
+    """
+    from amanogawa_spark.functions.url import registered_domain
+
+    weights = weights or {"train": 0.90, "valid": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    dom = registered_domain(F.col(url_col))
+    if hash == "md5":
+        h32 = F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat_ws("~", F.lit(str(seed)), dom), "UTF-8")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h32 = F.xxhash64(F.lit(str(seed)), dom).bitwiseAND(F.lit((1 << 32) - 1))
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    names = list(weights)
+    expr = F.lit(names[-1])  # last bucket absorbs the tail
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        conds.append((cum, name))
+    for bound, name in reversed(conds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("rdom", dom).withColumn("split", expr)

@@ -3499,6 +3499,97 @@ _METRICS_SQL = {
 }
 
 
+def _synth_urls(spark, sf_dir):
+    """The q_url_parse URL fixture: 300 deterministic crawl-style URLs."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    url = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("HTTP://User@WWW.Site"),
+                (d % 37).cast("string"),
+                F.lit(".COM:80/a/b/p"),
+                d.cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("https://news.site"),
+                (d % 37).cast("string"),
+                F.lit(".co.uk/x/y?q=1#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://site"), (d % 37).cast("string"), F.lit(".org"))
+        )
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URLS_SQL = (
+    "u AS (SELECT doc_id, CASE "
+    "WHEN doc_id % 3 = 0 THEN 'HTTP://User@WWW.Site' || (doc_id % 37) || '.COM:80/a/b/p' || doc_id || '/' "
+    "WHEN doc_id % 3 = 1 THEN 'https://news.site' || (doc_id % 37) || '.co.uk/x/y?q=1#frag' "
+    "ELSE 'http://site' || (doc_id % 37) || '.org' END AS url "
+    "FROM documents WHERE doc_id < 300)"
+)
+
+
+def q_surt_keys(spark, sf_dir):
+    """SURT sort keys (functions/url.py surt_key) over the synthesized
+    crawl URLs — the range-partition locality key: reversed host labels
+    co-locate a domain and its subdomains lexically."""
+    from amanogawa_spark.functions.url import surt_key
+
+    return _synth_urls(spark, sf_dir).select(
+        "doc_id", surt_key(F.col("url")).alias("surt")
+    )
+
+
+def q_host_split(spark, sf_dir):
+    """Leak-free train/valid/test assignment (operators/sampling.py
+    host_disjoint_split, md5 flavour): every page of a registered domain
+    lands in one split; the coin is a pure domain hash."""
+    from amanogawa_spark.operators.sampling import host_disjoint_split
+
+    urls = _synth_urls(spark, sf_dir)
+    return host_disjoint_split(urls, "url", hash="md5").select(
+        "doc_id", "rdom", "split"
+    )
+
+
+_SURT_SQL = (
+    f"WITH {_URLS_SQL}, "
+    "h AS (SELECT doc_id, "
+    "lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host, "
+    "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path, "
+    "lower(regexp_extract(url, '\\?([^#]*)', 1)) AS q FROM u), "
+    "s AS (SELECT doc_id, host, regexp_replace(host, '^www\\.', '') AS h2, path, q FROM h) "
+    "SELECT doc_id, CASE WHEN host <> '' THEN "
+    "array_to_string(list_reverse(string_split(h2, '.')), ',') || ')' || lower(path) || "
+    "CASE WHEN q <> '' THEN '?' || q ELSE '' END ELSE '' END AS surt FROM s"
+)
+
+_HOST_SPLIT_SQL = (
+    f"WITH {_URLS_SQL}, "
+    "h AS (SELECT doc_id, "
+    "lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host FROM u), "
+    "p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h), "
+    "r AS (SELECT doc_id, CASE "
+    "WHEN len(parts) >= 3 AND parts[-2] IN ('co','com','net','org','ac','gov','edu') "
+    "THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1] "
+    "WHEN len(parts) >= 3 THEN parts[-2] || '.' || parts[-1] "
+    "ELSE host END AS rdom FROM p), "
+    "c AS (SELECT doc_id, rdom, "
+    "((('0x' || substr(md5('42~' || rdom), 1, 8))::BIGINT) + 0.5) / 4294967296.0 AS coin FROM r) "
+    "SELECT doc_id, rdom, CASE WHEN coin < 0.9 THEN 'train' "
+    "WHEN coin < (0.9 + 0.05) THEN 'valid' ELSE 'test' END AS split FROM c"
+)
+
+
 def q_incr_pagerank4(spark, sf_dir):
     """Incremental PageRank repair (graph/incremental.py) on a circulant
     graph recrawl: old edges i->{i+1,i+7,i+13} mod 400; the recrawl
@@ -3765,6 +3856,8 @@ QUERIES = {
     # -- new in round 4 (never certified -> the rotation queues them first) --
     "q_blocked_pagerank5": q_blocked_pagerank5,
     "q_incr_pagerank4": q_incr_pagerank4,
+    "q_surt_keys": q_surt_keys,
+    "q_host_split": q_host_split,
     "q_community_partition": q_community_partition,
     "q_bpe_local_merges": q_bpe_local_merges,
 }
@@ -5257,6 +5350,8 @@ FROM n3""",
     # -- new in round 4 --
     "q_blocked_pagerank5": _pagerank_sql(5),
     "q_incr_pagerank4": _incr_pagerank_sql(4),
+    "q_surt_keys": _SURT_SQL,
+    "q_host_split": _HOST_SPLIT_SQL,
     "q_community_partition": _community_partition_sql(2, 4),
     "q_bpe_local_merges": _bpe_local_merges_sql(),
     **_METRICS_SQL,
