@@ -73,6 +73,7 @@ def incremental_pagerank(
     tol: float = 1e-6,
     max_rounds: int = 200,
     fixed_rounds: int | None = None,
+    check_every: int = 4,
 ) -> PageRankResult:
     """Repair ``old_ranks`` (id, rank) to the new edge snapshot.
 
@@ -80,11 +81,18 @@ def incremental_pagerank(
     loop runs until the sparse residual's L1 falls below
     ``tol·(1-d)/d`` (the truncated tail is bounded by |σ|₁·d/(1-d)).
 
+    ``check_every``: rounds between convergence-check driver actions.
+    The dangling-mass coefficient needs NO action at all: dangling
+    residual routes in-plan to a sentinel accumulator row (id = −1,
+    which requires real vertex ids ≥ 0), so the only barrier is the L1
+    probe — k rounds share one. Overshoot is ≤ k−1 rounds, all of them
+    accuracy-improving.
+
     ``fixed_rounds``: run exactly that many push rounds with NO driver
-    action inside the loop and NO uniform-component tracking — the
-    engine-portable variant the value oracle mirrors in SQL; correct as
-    given only when no vertex is dangling in either snapshot (otherwise
-    the C-fold is required — use the convergence mode).
+    action inside the loop — the engine-portable variant the value
+    oracle mirrors in SQL (the sentinel C-fold still applies, so
+    dangling snapshots are handled; the mirror itself targets a
+    dangling-free fixture where C = 0).
     """
     d = float(damping)
     diff = edge_diff(old_edges, new_edges)
@@ -135,27 +143,25 @@ def incremental_pagerank(
     )
 
     history: list[dict] = []
-    c_acc = 0.0
-    if fixed_rounds is None:
-        # uniform coefficient of rho_0: dangling-status flips among the
-        # changed sources re-aim d·pi_old(u) of uniform spray
-        flip = (
-            changed.join(old_ranks, "id")
-            .join(od_old.withColumnRenamed("od", "od_o"), "id", "left")
-            .join(od_new.withColumnRenamed("od", "od_n"), "id", "left")
-            .select(
-                (
-                    F.col("rank")
-                    * (
-                        F.col("od_n").isNull().cast("double")
-                        - F.col("od_o").isNull().cast("double")
-                    )
-                ).alias("c")
-            )
-            .agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("c"))
-            .collect()[0]["c"]
+    # uniform coefficient of rho_0: dangling-status flips among the
+    # changed sources re-aim d·pi_old(u) of uniform spray
+    flip = (
+        changed.join(old_ranks, "id")
+        .join(od_old.withColumnRenamed("od", "od_o"), "id", "left")
+        .join(od_new.withColumnRenamed("od", "od_n"), "id", "left")
+        .select(
+            (
+                F.col("rank")
+                * (
+                    F.col("od_n").isNull().cast("double")
+                    - F.col("od_o").isNull().cast("double")
+                )
+            ).alias("c")
         )
-        c_acc = d * float(flip)
+        .agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("c"))
+        .collect()[0]["c"]
+    )
+    c_acc = d * float(flip)
 
     # degree-annotated edge table, built ONCE and reused every push round
     # (the same one-time join pagerank() makes; partitioned on the join
@@ -172,21 +178,14 @@ def incremental_pagerank(
     delta = float("inf")
     it = 0
     for it in range(1, rounds + 1):
-        if fixed_rounds is None:
-            # ONE action over the skinny residual: L1 + dangling mass
-            stats = (
-                state.join(od_new, "id", "left")
-                .agg(
-                    F.coalesce(F.sum(F.abs(F.col("r"))), F.lit(0.0)).alias("l1"),
-                    F.coalesce(
-                        F.sum(F.when(F.col("od").isNull(), F.col("r"))),
-                        F.lit(0.0),
-                    ).alias("dm"),
-                )
-                .collect()[0]
+        if fixed_rounds is None and (it - 1) % check_every == 0:
+            # the ONLY in-loop driver barrier: k rounds share one L1 probe
+            # over the skinny residual (lazy checkpoints materialize here)
+            delta = float(
+                state.filter(F.col("id") >= 0)
+                .agg(F.coalesce(F.sum(F.abs(F.col("r"))), F.lit(0.0)).alias("l1"))
+                .collect()[0]["l1"]
             )
-            delta = float(stats["l1"])
-            c_acc += d * float(stats["dm"])
             history.append({"round": it - 1, "residual_l1": delta})
             if delta <= stop_l1:
                 it -= 1
@@ -202,31 +201,50 @@ def incremental_pagerank(
                 (F.lit(d) * F.col("r") / F.col("od")).alias("dr"),
             )
         )
+        # dangling residual re-aims d·r of uniform spray: accumulate the
+        # coefficient in-plan on the sentinel row instead of a per-round
+        # scalar action (1-row aggregate; empty residual yields p = 0)
+        dang_sent = (
+            state.join(od_new, "id", "left")
+            .filter(F.col("od").isNull() & (F.col("id") >= 0))
+            .agg(F.coalesce(F.sum(F.lit(d) * F.col("r")), F.lit(0.0)).alias("p"))
+            .select(
+                F.lit(-1).cast("long").alias("id"), "p", F.lit(0.0).alias("r")
+            )
+        )
         nxt = (
             state.select("id", (F.col("p") + F.col("r")).alias("p"), F.lit(0.0).alias("r"))
             .unionAll(
                 pushed.select("id", F.lit(0.0).alias("p"), F.col("dr").alias("r"))
             )
+            .unionAll(dang_sent)
             .groupBy("id")
             .agg(
                 F.round(F.sum("p"), 12).alias("p"),
                 F.round(F.sum("r"), 12).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: truncates the logical plan NOW, computes at the next
+            # probe — k rounds roll into one job instead of k barriers
+            .localCheckpoint(eager=False)
         )
-        state.unpersist()
         state = nxt
 
-    if fixed_rounds is not None:
-        delta = float(
-            state.agg(
-                F.coalesce(F.sum(F.abs(F.col("r"))), F.lit(0.0)).alias("l1")
-            ).collect()[0]["l1"]
-        )
+    # one closing action: remaining-residual L1 + the sentinel coefficient
+    fin = state.select(
+        F.sum(F.when(F.col("id") >= 0, F.abs(F.col("r")))).alias("l1"),
+        F.sum(F.when(F.col("id") < 0, F.col("p"))).alias("c"),
+    ).collect()[0]
+    delta = float(fin["l1"] or 0.0)
+    c_acc += float(fin["c"] or 0.0)
 
     scale = 1.0 / (1.0 - c_acc / (1.0 - d))
     repaired = (
-        old_ranks.join(state.select("id", (F.col("p") + F.col("r")).alias("s")), "id", "left")
+        old_ranks.join(
+            state.filter(F.col("id") >= 0)
+            .select("id", (F.col("p") + F.col("r")).alias("s")),
+            "id",
+            "left",
+        )
         .select(
             "id",
             (
