@@ -33,10 +33,13 @@ uniform coefficient. No O(n) uniform vector is ever materialized.
 
 Scale shape per round: the residual lives in a skinny (id, r) frame that
 starts |diff|-neighborhood-sized; one shuffle_hash join against the new
-edge table + one map-side-combined aggregate onto dst; one 2-scalar
-driver action (L1 + dangling mass) over the residual only. A recrawl
-that touches 0.1% of a 10^12-page graph costs ~0.1%-neighborhood × ~40
-rounds instead of |E| × ~60 iterations.
+edge table + one map-side-combined aggregate onto dst, all in-plan —
+the dangling coefficient accumulates on a sentinel row, so the only
+driver barrier is the convergence probe every ``check_every`` rounds
+over lazy localCheckpoints. A recrawl that touches 0.1% of a 10^12-page
+graph costs ~0.1%-neighborhood × ~40 rounds instead of |E| × ~60
+iterations (sandbox: repair 32 s vs 43 s cold on a graph SMALL enough
+that barriers, not data, dominate — the scale gap only widens).
 
 Contract: both snapshots share one vertex universe (``old_ranks`` rows).
 Newly discovered pages need a rank row first — extend ``old_ranks`` with
@@ -56,6 +59,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from amanogawa_spark.graph.diff import edge_diff
+from amanogawa_spark.graph.iter_conf import iteration_conf
 from amanogawa_spark.graph.pagerank import PageRankResult
 
 
@@ -177,59 +181,63 @@ def incremental_pagerank(
     stop_l1 = tol * (1.0 - d) / d
     delta = float("inf")
     it = 0
-    for it in range(1, rounds + 1):
-        if fixed_rounds is None and (it - 1) % check_every == 0:
-            # the ONLY in-loop driver barrier: k rounds share one L1 probe
-            # over the skinny residual (lazy checkpoints materialize here)
-            delta = float(
-                state.filter(F.col("id") >= 0)
-                .agg(F.coalesce(F.sum(F.abs(F.col("r"))), F.lit(0.0)).alias("l1"))
-                .collect()[0]["l1"]
+    # AQE off for the loop: pinned plans, explicit shuffle_hash hints,
+    # fixed partitioning (see graph/iter_conf.py for the measured basis)
+    with iteration_conf(spark):
+        for it in range(1, rounds + 1):
+            if fixed_rounds is None and (it - 1) % check_every == 0:
+                # the ONLY in-loop driver barrier: k rounds share one L1 probe
+                # over the skinny residual (lazy checkpoints materialize here)
+                delta = float(
+                    state.filter(F.col("id") >= 0)
+                    .agg(F.coalesce(F.sum(F.abs(F.col("r"))), F.lit(0.0)).alias("l1"))
+                    .collect()[0]["l1"]
+                )
+                history.append({"round": it - 1, "residual_l1": delta})
+                if delta <= stop_l1:
+                    it -= 1
+                    break
+            pushed = (
+                edges_od.join(
+                    state.select(F.col("id").alias("src_id"), "r")
+                    .hint("shuffle_hash"),
+                    "src_id",
+                )
+                .select(
+                    F.col("dst_id").alias("id"),
+                    (F.lit(d) * F.col("r") / F.col("od")).alias("dr"),
+                )
             )
-            history.append({"round": it - 1, "residual_l1": delta})
-            if delta <= stop_l1:
-                it -= 1
-                break
-        pushed = (
-            edges_od.join(
-                state.select(F.col("id").alias("src_id"), "r")
-                .hint("shuffle_hash"),
-                "src_id",
+            # dangling residual re-aims d·r of uniform spray: accumulate the
+            # coefficient in-plan on the sentinel row instead of a per-round
+            # scalar action (1-row aggregate; empty residual yields p = 0)
+            dang_sent = (
+                state.join(od_new, "id", "left")
+                .filter(F.col("od").isNull() & (F.col("id") >= 0))
+                .agg(F.coalesce(F.sum(F.lit(d) * F.col("r")), F.lit(0.0)).alias("p"))
+                .select(
+                    F.lit(-1).cast("long").alias("id"), "p", F.lit(0.0).alias("r")
+                )
             )
-            .select(
-                F.col("dst_id").alias("id"),
-                (F.lit(d) * F.col("r") / F.col("od")).alias("dr"),
+            nxt = (
+                state.select("id", (F.col("p") + F.col("r")).alias("p"), F.lit(0.0).alias("r"))
+                .unionAll(
+                    pushed.select("id", F.lit(0.0).alias("p"), F.col("dr").alias("r"))
+                )
+                .unionAll(dang_sent)
+                .groupBy("id")
+                .agg(
+                    F.round(F.sum("p"), 12).alias("p"),
+                    F.round(F.sum("r"), 12).alias("r"),
+                )
+                # lazy: truncates the logical plan NOW, computes at the next
+                # probe — k rounds roll into one job instead of k barriers
+                .localCheckpoint(eager=False)
             )
-        )
-        # dangling residual re-aims d·r of uniform spray: accumulate the
-        # coefficient in-plan on the sentinel row instead of a per-round
-        # scalar action (1-row aggregate; empty residual yields p = 0)
-        dang_sent = (
-            state.join(od_new, "id", "left")
-            .filter(F.col("od").isNull() & (F.col("id") >= 0))
-            .agg(F.coalesce(F.sum(F.lit(d) * F.col("r")), F.lit(0.0)).alias("p"))
-            .select(
-                F.lit(-1).cast("long").alias("id"), "p", F.lit(0.0).alias("r")
-            )
-        )
-        nxt = (
-            state.select("id", (F.col("p") + F.col("r")).alias("p"), F.lit(0.0).alias("r"))
-            .unionAll(
-                pushed.select("id", F.lit(0.0).alias("p"), F.col("dr").alias("r"))
-            )
-            .unionAll(dang_sent)
-            .groupBy("id")
-            .agg(
-                F.round(F.sum("p"), 12).alias("p"),
-                F.round(F.sum("r"), 12).alias("r"),
-            )
-            # lazy: truncates the logical plan NOW, computes at the next
-            # probe — k rounds roll into one job instead of k barriers
-            .localCheckpoint(eager=False)
-        )
-        state = nxt
+            state = nxt
 
-    # one closing action: remaining-residual L1 + the sentinel coefficient
+        # one closing action: remaining-residual L1 + the sentinel coefficient
+
     fin = state.select(
         F.sum(F.when(F.col("id") >= 0, F.abs(F.col("r")))).alias("l1"),
         F.sum(F.when(F.col("id") < 0, F.col("p"))).alias("c"),

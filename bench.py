@@ -243,6 +243,47 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     results["pagerank_warm_restart"] = _timed(_pr_warm)
     results["pagerank_warm_iters"] = float(warm.get("warm_iters", -1))
 
+    # incremental repair (graph/incremental.py): ~1.5% deterministic edge
+    # churn, then residual-push repair from the converged vector vs a cold
+    # rerun on the churned snapshot — the recrawl-update operator's number
+    from amanogawa_spark.graph.incremental import incremental_pagerank
+
+    churned = (
+        edges.select("src_id", "dst_id")
+        .filter(F.pmod(F.xxhash64("src_id", "dst_id", F.lit(3)), F.lit(1000)) >= 10)
+        .unionAll(
+            edges.select(
+                F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+            ).filter(
+                F.pmod(F.xxhash64("dst_id", "src_id", F.lit(4)), F.lit(1000)) < 5
+            )
+        )
+        .persist()
+    )
+    churned.count()
+    incr = {}
+
+    def _pr_incr():
+        res = incremental_pagerank(
+            pr_res["ranks"], edges, churned, tol=1e-6
+        )
+        incr["rounds"] = res.iterations
+        res.ranks.agg(F.sum("rank")).collect()
+
+    results["pagerank_incr_repair"] = _timed(_pr_incr)
+    results["pagerank_incr_rounds"] = float(incr.get("rounds", -1))
+
+    def _pr_cold_churn():
+        pagerank(vertices, churned, tol=1e-6, max_iter=100)
+
+    results["pagerank_cold_after_churn"] = _timed(_pr_cold_churn)
+    results["incr_repair_speedup_metric"] = round(
+        results["pagerank_cold_after_churn"]
+        / max(results["pagerank_incr_repair"], 1e-9),
+        3,
+    )
+    churned.unpersist()
+
     # hash-deterministic walk corpus over the sparse bench graph
     from amanogawa_spark.graph.walks import random_walks
 
