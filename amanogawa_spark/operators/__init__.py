@@ -1,5 +1,10 @@
 from amanogawa_spark.operators.etl import branch_columns, key_join, row_filter
-from amanogawa_spark.operators.sampling import hash_sample, stratified_sample, weighted_reservoir
+from amanogawa_spark.operators.sampling import (
+    hash_sample,
+    host_disjoint_split,
+    stratified_sample,
+    weighted_reservoir,
+)
 from amanogawa_spark.operators.packing import pack_sequences
 from amanogawa_spark.operators.quality import (
     c4_line_filter,
@@ -41,6 +46,7 @@ __all__ = [
     "key_join",
     "row_filter",
     "hash_sample",
+    "host_disjoint_split",
     "weighted_reservoir",
     "stratified_sample",
     "pack_sequences",
