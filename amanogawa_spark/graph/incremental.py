@@ -264,3 +264,97 @@ def incremental_pagerank(
     od_new.unpersist()
     edges_od.unpersist()
     return PageRankResult(ranks=repaired, iterations=it, delta=delta, history=history)
+
+
+def incremental_components(
+    old_labels: DataFrame,
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(id, component): repair a min-id CC assignment after a recrawl diff
+    — deletion-tolerant, unlike the append-only warm start in
+    ``connected_components(initial=...)``.
+
+    Two facts bound the repair to churn-sized work:
+
+    - a REMOVED edge can only split the component it lived in, so the
+      star cascade reruns ONLY on the subgraph induced by components
+      that lost an edge (old components are closed under old edges —
+      nothing outside them can be affected by the split);
+    - an ADDED edge can only merge components, so after the splits are
+      repaired every added edge contracts to a (label_u, label_v) pair
+      and one CC pass over that |added|-sized contracted graph yields
+      the merge map.
+
+    Because every label is its component's minimum member id at each
+    stage, the composed result is EXACTLY the cold assignment on the
+    new snapshot (pytest pins equality, splits and merges included).
+
+    Same universe contract as :func:`incremental_pagerank`: vertices are
+    ``old_labels`` rows; extend it with (id, id) rows for newly
+    discovered pages first.
+    """
+    from amanogawa_spark.graph.components import connected_components
+
+    diff = edge_diff(old_edges, new_edges).persist()
+    removed = diff.filter(F.col("change") == "removed")
+    added = diff.filter(F.col("change") == "added")
+
+    # components that lost an edge; their member vertices
+    aff = (
+        removed.select(F.col("src_id").alias("id"))
+        .unionAll(removed.select(F.col("dst_id").alias("id")))
+        .distinct()
+        .join(old_labels, "id")
+        .select("component")
+        .distinct()
+    )
+    vaff = old_labels.join(aff, "component").select("id").persist()
+
+    # rerun the star cascade on the induced subgraph (both endpoints
+    # inside an affected component) — churn-sized, not |E|-sized
+    e_in = new_edges.select("src_id", "dst_id").join(
+        vaff.withColumnRenamed("id", "src_id"), "src_id"
+    ).join(vaff.withColumnRenamed("id", "dst_id"), "dst_id")
+    sub = connected_components(vaff, e_in, max_rounds=max_rounds)
+
+    base = (
+        old_labels.join(aff, "component", "anti")
+        .select("id", "component")
+        .unionByName(sub)
+    )
+
+    # contract added edges to label pairs; CC over the tiny label graph
+    lab_u = base.select(
+        F.col("id").alias("src_id"), F.col("component").alias("lu")
+    )
+    lab_v = base.select(
+        F.col("id").alias("dst_id"), F.col("component").alias("lv")
+    )
+    contracted = (
+        added.select("src_id", "dst_id")
+        .join(lab_u, "src_id")
+        .join(lab_v, "dst_id")
+        .filter(F.col("lu") != F.col("lv"))
+        .select(F.col("lu").alias("src_id"), F.col("lv").alias("dst_id"))
+    )
+    cverts = (
+        contracted.select(F.col("src_id").alias("id"))
+        .unionAll(contracted.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    merge_map = connected_components(cverts, contracted, max_rounds=max_rounds).select(
+        F.col("id").alias("component"), F.col("component").alias("merged")
+    )
+
+    out = (
+        base.join(merge_map, "component", "left")
+        .select(
+            "id", F.coalesce("merged", F.col("component")).alias("component")
+        )
+        .localCheckpoint(eager=True)
+    )
+    diff.unpersist()
+    vaff.unpersist()
+    return out

@@ -3684,6 +3684,47 @@ def _incr_pagerank_sql(rounds: int = 4, m: int = 400) -> str:
     )
 
 
+def q_incr_cc(spark, sf_dir):
+    """Deletion-tolerant incremental connected components
+    (graph/incremental.py incremental_components): 15 chains of 20, the
+    recrawl splits every chain in half (remove i-(i+1) at i%20==9) and
+    merges every third chain head (add i-(i+60) at i%60==0). The oracle
+    is SEMANTIC, not a mirror: the repair provably equals a cold rerun,
+    so DuckDB computes plain min-label CC on the NEW snapshot."""
+    from amanogawa_spark.graph.components import connected_components
+    from amanogawa_spark.graph.incremental import incremental_components
+
+    m = 300
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < m)
+        .select(F.col("doc_id").alias("id"))
+    )
+    i = F.col("id")
+    old_e = ids.filter((i % 20 != 19) & (i + 1 < m)).select(
+        i.alias("src_id"), (i + 1).alias("dst_id")
+    )
+    new_e = old_e.filter(F.col("src_id") % 20 != 9).unionAll(
+        ids.filter((i % 60 == 0) & (i + 60 < m)).select(
+            i.alias("src_id"), (i + 60).alias("dst_id")
+        )
+    )
+    old_labels = connected_components(ids, old_e)
+    return incremental_components(old_labels, old_e, new_e)
+
+
+_INCR_CC_SQL = (
+    "WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300), "
+    "olde AS (SELECT id AS u, id + 1 AS v FROM ids WHERE id % 20 <> 19 AND id + 1 < 300), "
+    "newe AS (SELECT u, v FROM olde WHERE u % 20 <> 9 "
+    "UNION ALL SELECT id, id + 60 FROM ids WHERE id % 60 = 0 AND id + 60 < 300), "
+    "sym AS (SELECT u, v FROM newe UNION SELECT v, u FROM newe), "
+    "reach(id, lab) AS (SELECT id, id FROM ids "
+    "UNION SELECT s.u AS id, r.lab FROM sym s JOIN reach r ON s.v = r.id) "
+    "SELECT id, MIN(lab) AS component FROM reach GROUP BY id"
+)
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  The literal below is just the registry; the EFFECTIVE order is
 # computed by _rotation_order() at the bottom of this module — queries sort
@@ -3858,6 +3899,7 @@ QUERIES = {
     "q_incr_pagerank4": q_incr_pagerank4,
     "q_surt_keys": q_surt_keys,
     "q_host_split": q_host_split,
+    "q_incr_cc": q_incr_cc,
     "q_community_partition": q_community_partition,
     "q_bpe_local_merges": q_bpe_local_merges,
 }
@@ -5352,6 +5394,7 @@ FROM n3""",
     "q_incr_pagerank4": _incr_pagerank_sql(4),
     "q_surt_keys": _SURT_SQL,
     "q_host_split": _HOST_SPLIT_SQL,
+    "q_incr_cc": _INCR_CC_SQL,
     "q_community_partition": _community_partition_sql(2, 4),
     "q_bpe_local_merges": _bpe_local_merges_sql(),
     **_METRICS_SQL,

@@ -96,3 +96,44 @@ def test_fixed_rounds_partition_invariant(spark):
     # state rounds to 12 decimals per round; residual re-aggregation order
     # may wiggle the last retained digit, never more
     assert max(abs(ga[i] - gb[i]) for i in ga) < 1e-9
+
+
+def test_incremental_components_equals_cold_with_splits_and_merges(spark):
+    from amanogawa_spark.graph.components import connected_components
+    from amanogawa_spark.graph.incremental import incremental_components
+
+    # three chains + isolated vertices
+    old_pairs = (
+        [(i, i + 1) for i in range(0, 9)]          # chain 0..9 (one component)
+        + [(i, i + 1) for i in range(20, 29)]      # chain 20..29
+        + [(i, i + 1) for i in range(40, 49)]      # chain 40..49
+    )
+    # recrawl: split the first chain in the middle (remove 4-5), split the
+    # second chain twice (remove 23-24 and 26-27), merge chain-3's halves
+    # into chain-1's tail (add 49-9), and bridge two split fragments (24-26)
+    new_pairs = [
+        p for p in old_pairs if p not in {(4, 5), (23, 24), (26, 27)}
+    ] + [(49, 9), (24, 26)]
+    verts = spark.createDataFrame([(i,) for i in range(60)], "id long")
+    old_e = spark.createDataFrame(old_pairs, "src_id long, dst_id long")
+    new_e = spark.createDataFrame(new_pairs, "src_id long, dst_id long")
+
+    old = connected_components(verts, old_e)
+    cold = connected_components(verts, new_e)
+    inc = incremental_components(old, old_e, new_e)
+
+    got = sorted(tuple(r) for r in inc.collect())
+    want = sorted(tuple(r) for r in cold.collect())
+    assert got == want
+
+
+def test_incremental_components_no_removals_no_additions(spark):
+    from amanogawa_spark.graph.components import connected_components
+    from amanogawa_spark.graph.incremental import incremental_components
+
+    pairs = [(0, 1), (1, 2), (5, 6)]
+    verts = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    e = spark.createDataFrame(pairs, "src_id long, dst_id long")
+    old = connected_components(verts, e)
+    inc = incremental_components(old, e, e)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, old.collect()))
