@@ -21,7 +21,11 @@ from amanogawa_spark.graph.walks import node2vec_walks, random_walks
 from amanogawa_spark.graph.anchors import anchor_edges, anchor_top_terms
 from amanogawa_spark.graph.coloring import jp_coloring
 from amanogawa_spark.graph.diff import degree_deltas, diff_summary, edge_diff
-from amanogawa_spark.graph.incremental import incremental_components, incremental_pagerank
+from amanogawa_spark.graph.incremental import (
+    incremental_components,
+    incremental_pagerank,
+    incremental_triangles,
+)
 from amanogawa_spark.graph.frontier import crawl_frontier, frontier_priorities
 from amanogawa_spark.graph.landmarks import (
     estimate_distances,
@@ -62,6 +66,7 @@ __all__ = [
     "pagerank",
     "incremental_pagerank",
     "incremental_components",
+    "incremental_triangles",
     "katz_centrality",
     "connected_components",
     "connected_components_minlabel",

@@ -358,3 +358,102 @@ def incremental_components(
     diff.unpersist()
     vaff.unpersist()
     return out
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    """(a, b) with a < b, deduped, self-loops dropped — triangle semantics."""
+    return (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _triangles_touching(x: DataFrame, g: DataFrame) -> DataFrame:
+    """1-row (n): triangles of undirected graph ``g`` that contain at
+    least one edge of ``x`` (x ⊆ g, both canonical (a,b) a<b).
+
+    Inclusion–exclusion over how many x-edges a triangle contains:
+    N≥1 = Σ₁ − Σ₂ + Σ₃ with
+      Σ₁ = Σ_{e∈x} |common neighbours of e's endpoints in g|   (m·N_m)
+      Σ₂ = wedges of two x-edges closed by a g-edge             (C(m,2)·N_m)
+      Σ₃ = triangles entirely inside x                          (C(m,3)·N_m)
+    Everything is x-anchored: g's full edge set is only ever the probe
+    side of semi-join-shaped lookups, so the work follows the diff size
+    (plus the adjacency of the touched endpoints), not |g|.
+    """
+    from amanogawa_spark.graph.triangles import triangle_total
+
+    adj = g.select(F.col("a").alias("p"), F.col("b").alias("w")).unionAll(
+        g.select(F.col("b").alias("p"), F.col("a").alias("w"))
+    )
+    # sigma1: for each x-edge (a,b), |N(a) ∩ N(b)|
+    s1_df = (
+        x.join(adj.withColumnRenamed("p", "a"), "a")
+        .join(
+            adj.select(F.col("p").alias("b"), F.col("w").alias("w")),
+            ["b", "w"],
+            "semi",
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # sigma2: unordered pairs of x-edges sharing a pivot, third side in g
+    xadj = x.select(F.col("a").alias("p"), F.col("b").alias("w")).unionAll(
+        x.select(F.col("b").alias("p"), F.col("a").alias("w"))
+    )
+    s2_df = (
+        xadj.select("p", F.col("w").alias("x1"))
+        .join(xadj.select("p", F.col("w").alias("y1")), "p")
+        .filter(F.col("x1") < F.col("y1"))
+        .select(F.col("x1").alias("a"), F.col("y1").alias("b"))
+        .join(g, ["a", "b"], "semi")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    s3_df = triangle_total(
+        x.select(F.col("a").alias("src_id"), F.col("b").alias("dst_id"))
+    ).select(F.col("n_triangles").alias("n"))
+    s1 = s1_df.collect()[0]["n"]
+    s2 = s2_df.collect()[0]["n"]
+    s3 = s3_df.collect()[0]["n"]
+    spark = x.sparkSession
+    return spark.createDataFrame([(int(s1 - s2 + s3),)], "n long")
+
+
+def incremental_triangles(
+    old_total: int,
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+) -> DataFrame:
+    """1-row (n_old, delta, n_new): update a global triangle count from a
+    recrawl diff instead of re-enumerating every wedge.
+
+    With G∩ = old ∩ new (canonical undirected), added = new − G∩ and
+    removed = old − G∩:
+
+        T(new) − T(old) = [triangles of NEW containing an added edge]
+                        − [triangles of OLD containing a removed edge]
+
+    (both sides share the G∩-only triangles, which cancel). Each bracket
+    is the diff-anchored inclusion–exclusion count of
+    :func:`_triangles_touching` — work follows the churn and the touched
+    vertices' adjacency, never a full |E|-wedge enumeration. Exactness is
+    pinned by pytest against a cold ``triangle_total`` on the new
+    snapshot, overlapping-diff cases included.
+    """
+    und_old = _canonical_undirected(old_edges).persist()
+    und_new = _canonical_undirected(new_edges).persist()
+    added = und_new.join(und_old, ["a", "b"], "anti")
+    removed = und_old.join(und_new, ["a", "b"], "anti")
+    plus = _triangles_touching(added, und_new).collect()[0]["n"]
+    minus = _triangles_touching(removed, und_old).collect()[0]["n"]
+    und_old.unpersist()
+    und_new.unpersist()
+    delta = int(plus - minus)
+    spark = old_edges.sparkSession
+    return spark.createDataFrame(
+        [(int(old_total), delta, int(old_total) + delta)],
+        "n_old long, delta long, n_new long",
+    )

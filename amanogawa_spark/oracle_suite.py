@@ -3725,6 +3725,56 @@ _INCR_CC_SQL = (
 )
 
 
+def q_incr_triangles(spark, sf_dir):
+    """Incremental triangle-count update (graph/incremental.py
+    incremental_triangles) on a double-ring graph: recrawl removes the
+    (i, i+2) chord at i%5==0 and adds an (i, i+3) chord at i%4==0. The
+    oracle is SEMANTIC: DuckDB counts triangles on both snapshots
+    directly (a<b<c triple join); the Spark path computes the old total
+    cold and the delta from the diff-anchored inclusion–exclusion."""
+    from amanogawa_spark.graph.incremental import incremental_triangles
+    from amanogawa_spark.graph.triangles import triangle_total
+
+    m = 250
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < m)
+        .select(F.col("doc_id").alias("i"))
+    )
+    i = F.col("i")
+
+    def e(expr, flt=None):
+        d = ids if flt is None else ids.filter(flt)
+        return d.select(i.alias("src_id"), (expr % m).alias("dst_id"))
+
+    old = e(i + 1).unionAll(e(i + 2))
+    new = (
+        e(i + 1)
+        .unionAll(e(i + 2, i % 5 != 0))
+        .unionAll(e(i + 3, i % 4 == 0))
+    )
+    t_old = triangle_total(old).collect()[0]["n_triangles"]
+    return incremental_triangles(t_old, old, new)
+
+
+_INCR_TRI_SQL = (
+    "WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 250), "
+    "raw_old AS (SELECT i AS u, (i+1)%250 AS v FROM ids "
+    "UNION ALL SELECT i, (i+2)%250 FROM ids), "
+    "raw_new AS (SELECT i AS u, (i+1)%250 AS v FROM ids "
+    "UNION ALL SELECT i, (i+2)%250 FROM ids WHERE i%5 <> 0 "
+    "UNION ALL SELECT i, (i+3)%250 FROM ids WHERE i%4 = 0), "
+    "eo AS (SELECT DISTINCT LEAST(u,v) AS a, GREATEST(u,v) AS b FROM raw_old WHERE u <> v), "
+    "en AS (SELECT DISTINCT LEAST(u,v) AS a, GREATEST(u,v) AS b FROM raw_new WHERE u <> v), "
+    "t_o AS (SELECT COUNT(*) AS n FROM eo e1 JOIN eo e2 ON e1.b = e2.a "
+    "JOIN eo e3 ON e3.a = e1.a AND e3.b = e2.b), "
+    "t_n AS (SELECT COUNT(*) AS n FROM en e1 JOIN en e2 ON e1.b = e2.a "
+    "JOIN en e3 ON e3.a = e1.a AND e3.b = e2.b) "
+    "SELECT CAST(t_o.n AS BIGINT) AS n_old, CAST(t_n.n - t_o.n AS BIGINT) AS delta, "
+    "CAST(t_n.n AS BIGINT) AS n_new FROM t_o CROSS JOIN t_n"
+)
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  The literal below is just the registry; the EFFECTIVE order is
 # computed by _rotation_order() at the bottom of this module — queries sort
@@ -3900,6 +3950,7 @@ QUERIES = {
     "q_surt_keys": q_surt_keys,
     "q_host_split": q_host_split,
     "q_incr_cc": q_incr_cc,
+    "q_incr_triangles": q_incr_triangles,
     "q_community_partition": q_community_partition,
     "q_bpe_local_merges": q_bpe_local_merges,
 }
@@ -5395,6 +5446,7 @@ FROM n3""",
     "q_surt_keys": _SURT_SQL,
     "q_host_split": _HOST_SPLIT_SQL,
     "q_incr_cc": _INCR_CC_SQL,
+    "q_incr_triangles": _INCR_TRI_SQL,
     "q_community_partition": _community_partition_sql(2, 4),
     "q_bpe_local_merges": _bpe_local_merges_sql(),
     **_METRICS_SQL,

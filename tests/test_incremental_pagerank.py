@@ -137,3 +137,34 @@ def test_incremental_components_no_removals_no_additions(spark):
     old = connected_components(verts, e)
     inc = incremental_components(old, e, e)
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_incremental_triangles_matches_cold(spark):
+    import random as _random
+
+    from amanogawa_spark.graph.incremental import incremental_triangles
+    from amanogawa_spark.graph.triangles import triangle_total
+
+    rng = _random.Random(5)
+    n = 60
+    old_pairs = {tuple(sorted((rng.randrange(n), rng.randrange(n)))) for _ in range(260)}
+    old_pairs = {(a, b) for a, b in old_pairs if a != b}
+    new_pairs = {p for p in old_pairs if rng.random() > 0.15}
+    # additions engineered to overlap: a fully-added triangle, edges sharing
+    # wedges with each other, and edges closing existing wedges
+    new_pairs |= {(50, 51), (51, 52), (50, 52), (0, 51), (1, 51)}
+    while len(new_pairs) < len(old_pairs) + 10:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            new_pairs.add(tuple(sorted((a, b))))
+    old_e = spark.createDataFrame(sorted(old_pairs), "src_id long, dst_id long")
+    new_e = spark.createDataFrame(sorted(new_pairs), "src_id long, dst_id long")
+
+    t_old = triangle_total(old_e).collect()[0]["n_triangles"]
+    t_new_cold = triangle_total(new_e).collect()[0]["n_triangles"]
+    row = incremental_triangles(t_old, old_e, new_e).collect()[0]
+    assert row["n_old"] == t_old
+    assert row["n_new"] == t_new_cold, (row["delta"], t_new_cold - t_old)
+    # identity churn
+    same = incremental_triangles(t_old, old_e, old_e).collect()[0]
+    assert same["delta"] == 0 and same["n_new"] == t_old
