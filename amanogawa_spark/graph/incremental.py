@@ -81,9 +81,10 @@ def incremental_pagerank(
 ) -> PageRankResult:
     """Repair ``old_ranks`` (id, rank) to the new edge snapshot.
 
-    ``tol``: stop when the repair's remaining L1 error is ≤ tol — the
-    loop runs until the sparse residual's L1 falls below
-    ``tol·(1-d)/d`` (the truncated tail is bounded by |σ|₁·d/(1-d)).
+    ``tol``: stop when the sparse residual's L1 falls to ``tol`` — the
+    same effective accuracy as ``pagerank(tol=...)``'s successive-delta
+    test (both bound the true L1 error by ``tol·d/(1-d)``), so
+    repair-vs-cold comparisons at equal ``tol`` are apples-to-apples.
 
     ``check_every``: rounds between convergence-check driver actions.
     The dangling-mass coefficient needs NO action at all: dangling
@@ -178,7 +179,13 @@ def incremental_pagerank(
     )
 
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
-    stop_l1 = tol * (1.0 - d) / d
+    # stop when the residual L1 reaches tol — the SAME effective accuracy
+    # as pagerank()'s successive-delta test: both leave a true L1 error
+    # bounded by tol·d/(1-d) (cold: |r_k − r_{k-1}| ≤ tol ⇒ error ≤
+    # tol·d/(1-d); here: remaining tail ≤ |σ|₁·d/(1-d)). Holding the
+    # repair to a stricter stop than the cold path it replaces would
+    # just pad ~log(d/(1-d))/log(1/d) ≈ 11 rounds of false precision.
+    stop_l1 = tol
     delta = float("inf")
     it = 0
     # AQE off for the loop: pinned plans, explicit shuffle_hash hints,

@@ -52,8 +52,9 @@ def test_incremental_matches_cold_rerun(spark):
     assert set(got) == set(want)
     worst = max(abs(got[i] - want[i]) for i in got)
     assert worst < 1e-6, worst
-    # rank mass stays a probability vector through the analytic C-fold
-    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # rank mass stays a probability vector through the analytic C-fold,
+    # up to the documented stop bound tol*d/(1-d) = 5.67e-9 at tol=1e-9
+    assert abs(sum(got.values()) - 1.0) < 6e-9
 
 
 def test_no_change_is_identity_and_zero_rounds(spark):
