@@ -88,8 +88,9 @@ def incremental_pagerank(
 
     ``check_every``: rounds between convergence-check driver actions.
     The dangling-mass coefficient needs NO action at all: dangling
-    residual routes in-plan to a sentinel accumulator row (id = −1,
-    which requires real vertex ids ≥ 0), so the only barrier is the L1
+    residual routes in-plan to a sentinel accumulator row (NULL id —
+    groups with itself in aggregates, joins with nothing, and collides
+    with no id space, hash ids included), so the only barrier is the L1
     probe — k rounds share one. Overshoot is ≤ k−1 rounds, all of them
     accuracy-improving.
 
@@ -196,7 +197,7 @@ def incremental_pagerank(
                 # the ONLY in-loop driver barrier: k rounds share one L1 probe
                 # over the skinny residual (lazy checkpoints materialize here)
                 delta = float(
-                    state.filter(F.col("id") >= 0)
+                    state.filter(F.col("id").isNotNull())
                     .agg(F.coalesce(F.sum(F.abs(F.col("r"))), F.lit(0.0)).alias("l1"))
                     .collect()[0]["l1"]
                 )
@@ -220,10 +221,10 @@ def incremental_pagerank(
             # scalar action (1-row aggregate; empty residual yields p = 0)
             dang_sent = (
                 state.join(od_new, "id", "left")
-                .filter(F.col("od").isNull() & (F.col("id") >= 0))
+                .filter(F.col("od").isNull() & F.col("id").isNotNull())
                 .agg(F.coalesce(F.sum(F.lit(d) * F.col("r")), F.lit(0.0)).alias("p"))
                 .select(
-                    F.lit(-1).cast("long").alias("id"), "p", F.lit(0.0).alias("r")
+                    F.lit(None).cast("long").alias("id"), "p", F.lit(0.0).alias("r")
                 )
             )
             nxt = (
@@ -246,8 +247,8 @@ def incremental_pagerank(
         # one closing action: remaining-residual L1 + the sentinel coefficient
 
     fin = state.select(
-        F.sum(F.when(F.col("id") >= 0, F.abs(F.col("r")))).alias("l1"),
-        F.sum(F.when(F.col("id") < 0, F.col("p"))).alias("c"),
+        F.sum(F.when(F.col("id").isNotNull(), F.abs(F.col("r")))).alias("l1"),
+        F.sum(F.when(F.col("id").isNull(), F.col("p"))).alias("c"),
     ).collect()[0]
     delta = float(fin["l1"] or 0.0)
     c_acc += float(fin["c"] or 0.0)
@@ -255,7 +256,7 @@ def incremental_pagerank(
     scale = 1.0 / (1.0 - c_acc / (1.0 - d))
     repaired = (
         old_ranks.join(
-            state.filter(F.col("id") >= 0)
+            state.filter(F.col("id").isNotNull())
             .select("id", (F.col("p") + F.col("r")).alias("s")),
             "id",
             "left",

@@ -104,3 +104,100 @@ def resolve_id_edges(spark: SparkSession, store_dir: str) -> DataFrame:
     vsrc = v.select(F.col("url").alias("src_url"), F.col("id").alias("src_id"))
     vdst = v.select(F.col("url").alias("dst_url"), F.col("id").alias("dst_id"))
     return e.join(vsrc, "src_url").join(vdst, "dst_url").select("src_id", "dst_id").distinct()
+
+
+def append_recrawl(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    normalize: bool = False,
+) -> int:
+    """Recrawl-aware upsert: a re-crawled page REPLACES its out-link set.
+
+    ``_append_novel`` models pure discovery (append-only novelty) — a
+    link the page DROPPED between crawls lingers forever. This variant
+    writes each batch under a crawl generation (``edges_url_v/gen=k/``
+    plus a ``crawled_v/gen=k/`` manifest of which source urls the batch
+    covered) and :func:`resolve_current_edges` reads, per source url,
+    only the LATEST generation that crawled it — the Iceberg
+    upsert-by-partition semantic expressed over plain parquet, so the
+    sandbox stays dependency-free while the production swap-in is a
+    one-line MERGE INTO. The manifest is what makes a zero-out-link
+    recrawl erase stale links: edge rows alone cannot express "this
+    page now links to nothing".
+
+    Append-only writes, no rewrite; periodic compaction (rewrite each
+    url's current generation into gen=0) bounds read amplification at
+    real scale exactly as Iceberg snapshot expiry would. Returns the
+    generation number written.
+    """
+    if normalize:
+        from amanogawa_spark.functions.url import normalize_url
+
+        url_col = normalize_url(F.col("url"))
+    else:
+        url_col = F.col("url")
+
+    verts = batch.select(url_col.alias("url")).distinct().select(
+        "url", F.xxhash64("url").alias("id")
+    )
+    _append_novel(spark, verts, os.path.join(store_dir, "vertices"), ["url"])
+
+    cr_root = os.path.join(store_dir, "crawled_v")
+    gen = 0
+    if os.path.exists(cr_root):
+        gens = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(cr_root)
+            if d.startswith("gen=")
+        ]
+        gen = (max(gens) + 1) if gens else 0
+    edges = extract_edges_urls(batch, normalize=normalize).dropDuplicates(
+        ["src_url", "dst_url"]
+    )
+    edges.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "edges_url_v", f"gen={gen}")
+    )
+    batch.select(url_col.alias("url")).distinct().write.mode("overwrite").parquet(
+        os.path.join(cr_root, f"gen={gen}")
+    )
+    return gen
+
+
+def _gen_paths(root: str) -> list[str]:
+    return sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("gen=")
+    )
+
+
+def resolve_current_edges(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(src_id, dst_id) under replacement semantics: per source url, the
+    out-links of its latest crawl generation; targets never crawled are
+    dropped (same contract as :func:`resolve_id_edges`).
+
+    SNAPSHOT ISOLATION: the generation list is pinned at CALL time
+    (explicit paths, not a ``gen=*`` glob) — a frame returned here keeps
+    meaning the store as-of-now even after later ``append_recrawl``
+    writes, exactly like reading a fixed Iceberg snapshot id. Without
+    the pin, a before/after pair of views (the incremental-repair input)
+    silently converges to the same data wherever the cache is missed.
+    """
+    cr_root = os.path.join(store_dir, "crawled_v")
+    e_root = os.path.join(store_dir, "edges_url_v")
+    cr = spark.read.option("basePath", cr_root).parquet(*_gen_paths(cr_root))
+    cur = cr.groupBy("url").agg(F.max("gen").alias("gen")).withColumnRenamed(
+        "url", "src_url"
+    )
+    e = spark.read.option("basePath", e_root).parquet(*_gen_paths(e_root))
+    e_cur = e.join(cur, ["src_url", "gen"]).select("src_url", "dst_url")
+    v = spark.read.parquet(os.path.join(store_dir, "vertices"))
+    vsrc = v.select(F.col("url").alias("src_url"), F.col("id").alias("src_id"))
+    vdst = v.select(F.col("url").alias("dst_url"), F.col("id").alias("dst_id"))
+    return (
+        e_cur.join(vsrc, "src_url")
+        .join(vdst, "dst_url")
+        .select("src_id", "dst_id")
+        .distinct()
+    )
