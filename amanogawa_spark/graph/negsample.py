@@ -1,0 +1,204 @@
+"""Degree-weighted negative sampling for embedding training (SGNS/node2vec).
+
+Skip-gram-with-negative-sampling and every node2vec/DeepWalk trainer
+needs, per positive (src, dst) pair, ``m`` negatives drawn with
+P(v) ∝ degree(v)^0.75 (Mikolov et al. 2013's unigram^0.75 — on a graph
+the unigram frequency IS the degree). Single-node implementations build
+an alias table in RAM; at 10^12 vertices the table itself is cluster
+data, so the distributed formulation is inverse-CDF sampling over a
+range-partitioned cumulative weight table:
+
+1. integer vertex weights w_v = max(1, floor(deg_v^power · scale))
+   (integers make the cumsum exact, engine-portable, and drift-free);
+2. the GLOBAL cumulative offset of every vertex in id order via the
+   same two-pass range-partitioned cumsum as
+   :func:`~amanogawa_spark.operators.packing.pack_sequences` (per-range
+   sums are a |partitions|-row driver collect; the within-partition
+   window is parallel) — vertex v owns the interval [s_v, s_v + w_v);
+3. each (positive pair, j) derives a deterministic draw
+   u = hash(src, dst, j) mod W, and the owning vertex is found with a
+   BUCKETED equi-join: intervals explode to the fixed-width buckets
+   they overlap (a hub's wide interval spans many buckets — the skew
+   split is automatic), a draw hashes to exactly one bucket, and the
+   residual interval check is a post-join filter. No broadcast of the
+   weight table, no alias structure, no range-join: one equi-join whose
+   build side is ~(|V| + n_buckets) rows.
+
+Draws that land on the pair's own src or dst are rejected (standard
+practice), so a pair yields UP TO m negatives; with W ≫ deg_src+deg_dst
+the loss is negligible and exactly mirrored by the oracle.
+
+``hash='md5'`` is the engine-portable flavour (DuckDB reproduces every
+draw bit-for-bit — the value-oracle path); 'xxhash64' is the cheaper
+JVM default. Modulo bias over a 60-bit hash is < 2^-38 for any
+realistic W.
+
+Reference parity: the reference has no sampling/training surface
+(its pipeline ends at kNN-graph emission); engine addition for the
+training-data story, feeding :mod:`amanogawa_spark.graph.node2vec`
+walk corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+
+def _draw_hash(hash: str, seed: int):
+    if hash == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            "~",
+                            F.col("src_id").cast("string"),
+                            F.col("dst_id").cast("string"),
+                            F.col("sample_no").cast("string"),
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    return F.xxhash64("src_id", "dst_id", "sample_no", F.lit(seed))
+
+
+def degree_negative_samples(
+    edges: DataFrame,
+    m: int = 3,
+    power: float = 0.75,
+    scale: int = 16,
+    degree: str = "total",
+    hash: str = "xxhash64",
+    seed: int = 7,
+    num_partitions: int | None = None,
+    buckets_per_vertex: int = 2,
+    degree_edges: DataFrame | None = None,
+) -> DataFrame:
+    """(src_id, dst_id, sample_no, neg_id): up to ``m`` negatives per
+    positive edge, neg_id drawn with P ∝ degree^power, deterministic in
+    the input (no RNG state; reruns and repartitionings agree).
+
+    ``degree``: 'total' (in+out, the SGNS unigram analogue), 'in', or
+    'out'. ``scale`` quantizes the fractional powers onto integers —
+    larger = finer fidelity to the ^power law; 16 keeps relative
+    quantization error < 7% at deg=1 and < 0.1% by deg=100.
+    ``degree_edges``: optional edge table the noise distribution is
+    computed FROM (default: the positives themselves) — an SGNS trainer
+    typically samples positives per epoch but keeps the full-corpus
+    noise distribution.
+    """
+    if degree not in ("total", "in", "out"):
+        raise ValueError(f"degree must be total/in/out, got {degree!r}")
+    spark = edges.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    deg_edges = degree_edges if degree_edges is not None else edges
+    ends = []
+    if degree in ("total", "out"):
+        ends.append(deg_edges.select(F.col("src_id").alias("id")))
+    if degree in ("total", "in"):
+        ends.append(deg_edges.select(F.col("dst_id").alias("id")))
+    deg_src = ends[0] if len(ends) == 1 else ends[0].unionAll(ends[1])
+    weights = deg_src.groupBy("id").agg(
+        F.greatest(
+            F.lit(1),
+            F.floor(F.pow(F.count(F.lit(1)).cast("double"), F.lit(power)) * scale),
+        )
+        .cast("long")
+        .alias("w")
+    )
+
+    # two-pass global cumsum in id order (packing shape): range partitions,
+    # |partitions|-row offset collect, parallel within-partition window
+    ranged = (
+        weights.repartitionByRange(n_part, "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = {
+        r["_pid"]: (r["s"], r["c"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum("w").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    n_vertices = sum(c for _s, c in stats.values())
+    for pid in sorted(stats):
+        offsets[pid] = acc
+        acc += stats[pid][0]
+    total_w = acc
+    if total_w == 0:
+        ranged.unpersist()
+        return spark.createDataFrame(
+            [], "src_id long, dst_id long, sample_no int, neg_id long"
+        )
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "_pid int, _offset long",
+        )
+    )
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intervals = (
+        ranged.join(offset_df, "_pid")
+        .withColumn(
+            "s", F.coalesce(F.sum("w").over(win), F.lit(0)) + F.col("_offset")
+        )
+        .select("id", "s", "w")
+    )
+
+    # bucket width so the average vertex interval overlaps ~buckets_per_vertex
+    # buckets: draws then meet ~1 candidate vertex per bucket, and hub
+    # intervals split across width-proportionally many buckets (skew split)
+    bucket_w = max(1, total_w // max(1, n_vertices * buckets_per_vertex))
+    cands = intervals.select(
+        "id",
+        "s",
+        "w",
+        F.explode(
+            F.sequence(
+                (F.col("s") / bucket_w).cast("long"),
+                ((F.col("s") + F.col("w") - 1) / bucket_w).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+
+    draws = (
+        edges.select("src_id", "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sample_no"),
+        )
+        .withColumn("u", F.pmod(_draw_hash(hash, seed), F.lit(total_w)))
+        .withColumn("bucket", (F.col("u") / bucket_w).cast("long"))
+    )
+    out = (
+        draws.join(cands, "bucket")
+        .filter((F.col("s") <= F.col("u")) & (F.col("u") < F.col("s") + F.col("w")))
+        .filter((F.col("id") != F.col("src_id")) & (F.col("id") != F.col("dst_id")))
+        .select(
+            "src_id",
+            "dst_id",
+            F.col("sample_no").cast("int").alias("sample_no"),
+            F.col("id").alias("neg_id"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out

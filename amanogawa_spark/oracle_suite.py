@@ -3775,6 +3775,147 @@ _INCR_TRI_SQL = (
 )
 
 
+def q_neighbor_mean2(spark, sf_dir):
+    """2-layer GraphSAGE-style mean aggregation over a deterministic ring
+    graph on the embeddings table (each vertex links to (id+1)%n and
+    (id*7+3)%n)."""
+    from amanogawa_spark.graph.propagate import aggregate_neighbor_features
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ids = emb.select(F.col("vec_id").alias("i"))
+    edges = (
+        ids.select(F.col("i").alias("src_id"), ((F.col("i") + 1) % n).alias("dst_id"))
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src_id"),
+                ((F.col("i") * 7 + 3) % n).alias("dst_id"),
+            )
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+    feats = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    out = aggregate_neighbor_features(edges, feats, layers=2, agg="mean")
+    # element rows rather than an array column: the driver's value hasher
+    # compares scalar cells; every element is still value-checked
+    return out.select(
+        "id", F.posexplode("vec").alias("pos", "val"), "n_neighbors"
+    ).select("id", "pos", F.round("val", 6).alias("val"), "n_neighbors")
+
+
+_NEIGHBOR_MEAN_SQL = """
+WITH n AS (SELECT COUNT(*) AS c FROM embeddings),
+edges AS (
+  SELECT DISTINCT src_id, dst_id FROM (
+    SELECT vec_id AS src_id, (vec_id + 1) % (SELECT c FROM n) AS dst_id FROM embeddings
+    UNION ALL
+    SELECT vec_id, (vec_id * 7 + 3) % (SELECT c FROM n) FROM embeddings
+  ) WHERE src_id <> dst_id
+),
+f0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+x0 AS (SELECT id, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val FROM f0),
+a1 AS (SELECT e.dst_id AS id, x.pos, AVG(x.val) AS val, COUNT(DISTINCT e.src_id) AS nn
+       FROM edges e JOIN x0 x ON e.src_id = x.id GROUP BY e.dst_id, x.pos),
+v1 AS (SELECT id, array_agg(val ORDER BY pos) AS vec, MAX(nn) AS nn FROM a1 GROUP BY id),
+f1 AS (SELECT f.id, COALESCE(v.vec, f.vec) AS vec, COALESCE(v.nn, 0) AS nn
+       FROM f0 f LEFT JOIN v1 v ON f.id = v.id),
+x1 AS (SELECT id, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val FROM f1),
+a2 AS (SELECT e.dst_id AS id, x.pos, AVG(x.val) AS val, COUNT(DISTINCT e.src_id) AS nn
+       FROM edges e JOIN x1 x ON e.src_id = x.id GROUP BY e.dst_id, x.pos),
+v2 AS (SELECT id, array_agg(val ORDER BY pos) AS vec, MAX(nn) AS nn FROM a2 GROUP BY id),
+f2 AS (SELECT f.id, COALESCE(v.vec, f.vec) AS vec, COALESCE(v.nn, 0) AS nn
+       FROM f1 f LEFT JOIN v2 v ON f.id = v.id)
+SELECT id, CAST(pos - 1 AS INT) AS pos, ROUND(val, 6) AS val,
+       CAST(nn AS BIGINT) AS n_neighbors
+FROM (SELECT id, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val, nn FROM f2)
+"""
+
+
+def q_label_spread3(spark, sf_dir):
+    """Clamped label spreading, 3 rounds: seeds = derived vertices with
+    id % 17 == 0, label 'L' || (id % 3)."""
+    from amanogawa_spark.graph.labelspread import label_spreading
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    seeds = v.filter(F.col("id") % 17 == 0).select(
+        "id", F.concat(F.lit("L"), (F.col("id") % 3).cast("string")).alias("label")
+    )
+    return label_spreading(v, e, seeds, rounds=3)
+
+
+def _label_spread_sql(rounds: int = 3) -> str:
+    parts = [f"WITH {_EDGES_SQL.strip()}", _VERTS_SQL.strip()]
+    parts.append(
+        "sym AS (SELECT src_id AS u, dst_id AS v FROM edges "
+        "UNION SELECT dst_id AS u, src_id AS v FROM edges)"
+    )
+    parts.append(
+        "seeds AS (SELECT id, 'L' || CAST(id % 3 AS VARCHAR) AS lab "
+        "FROM verts WHERE id % 17 = 0)"
+    )
+    parts.append(
+        "l0 AS (SELECT v.id, s.lab, s.lab IS NOT NULL AS is_seed "
+        "FROM verts v LEFT JOIN seeds s ON v.id = s.id)"
+    )
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"cnt{k} AS (SELECT s.u AS id, l.lab AS lab, COUNT(*) AS freq "
+            f"FROM sym s JOIN l{p} l ON s.v = l.id "
+            f"WHERE l.lab IS NOT NULL GROUP BY s.u, l.lab)"
+        )
+        parts.append(
+            f"best{k} AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY freq DESC, lab ASC) AS rn FROM cnt{k}) "
+            f"WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{k} AS (SELECT l.id, CASE WHEN l.is_seed THEN l.lab "
+            f"ELSE COALESCE(b.lab, l.lab) END AS lab, l.is_seed "
+            f"FROM l{p} l LEFT JOIN best{k} b ON l.id = b.id)"
+        )
+    return (
+        parts[0] + ",\n" + ",\n".join(parts[1:])
+        + f"\nSELECT id, lab AS label, is_seed FROM l{rounds}"
+    )
+
+
+def q_neg_samples2(spark, sf_dir):
+    """Degree^0.75 negative sampling, m=2, engine-portable md5 draws."""
+    from amanogawa_spark.graph.negsample import degree_negative_samples
+
+    e = derived_edges(spark, sf_dir)
+    return degree_negative_samples(e, m=2, power=0.75, scale=16, hash="md5")
+
+
+_NEG_SAMPLES_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+deg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT src_id AS id FROM edges UNION ALL SELECT dst_id FROM edges
+  ) GROUP BY id
+),
+w AS (SELECT id, GREATEST(1, CAST(FLOOR(POWER(d, 0.75) * 16) AS BIGINT)) AS w FROM deg),
+cum AS (SELECT id, w, COALESCE(SUM(w) OVER (ORDER BY id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM w),
+tot AS (SELECT SUM(w) AS tw FROM w),
+draws AS (
+  SELECT e.src_id, e.dst_id, CAST(t.j AS INT) AS sample_no,
+         (('0x' || substr(md5(e.src_id || '~' || e.dst_id || '~' || t.j), 1, 15))::BIGINT)
+           % (SELECT tw FROM tot) AS u
+  FROM edges e, range(2) t(j)
+)
+SELECT d.src_id, d.dst_id, d.sample_no, c.id AS neg_id
+FROM draws d JOIN cum c ON c.s <= d.u AND d.u < c.s + c.w
+WHERE c.id <> d.src_id AND c.id <> d.dst_id
+"""
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  The literal below is just the registry; the EFFECTIVE order is
 # computed by _rotation_order() at the bottom of this module — queries sort
@@ -3783,6 +3924,9 @@ _INCR_TRI_SQL = (
 # queries always occupy the window and new additions queue automatically.
 QUERIES = {
     # -- round-4 third-session additions (mixing metrics) --
+    "q_neighbor_mean2": q_neighbor_mean2,
+    "q_label_spread3": q_label_spread3,
+    "q_neg_samples2": q_neg_samples2,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -4810,6 +4954,9 @@ ORDER BY {cname} DESC, id_a ASC, id_b ASC LIMIT {k}"""
 
 
 ORACLE_SQL = {
+    "q_neighbor_mean2": _NEIGHBOR_MEAN_SQL,
+    "q_label_spread3": _label_spread_sql(3),
+    "q_neg_samples2": _NEG_SAMPLES_SQL,
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),
