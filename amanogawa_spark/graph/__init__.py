@@ -17,7 +17,7 @@ from amanogawa_spark.graph.community import louvain, modularity
 from amanogawa_spark.graph.mis import luby_mis
 from amanogawa_spark.graph.scc import strongly_connected_components
 from amanogawa_spark.graph.sssp import bfs_levels, shortest_paths
-from amanogawa_spark.graph.walks import node2vec_walks, random_walks
+from amanogawa_spark.graph.walks import node2vec_walks, random_walks, skipgram_pairs
 from amanogawa_spark.graph.anchors import anchor_edges, anchor_top_terms
 from amanogawa_spark.graph.coloring import jp_coloring
 from amanogawa_spark.graph.diff import degree_deltas, diff_summary, edge_diff
@@ -86,6 +86,7 @@ __all__ = [
     "shortest_paths",
     "bfs_levels",
     "random_walks",
+    "skipgram_pairs",
     "node2vec_walks",
     "anchor_edges",
     "anchor_top_terms",

@@ -236,3 +236,51 @@ def node2vec_walks(
     for pt in parts[1:]:
         out = out.unionAll(pt)
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2, symmetric: bool = True
+) -> DataFrame:
+    """(center_id, context_id, rel_pos) skip-gram training pairs from a
+    walk corpus (:func:`random_walks` / :func:`node2vec_walks` output:
+    start_id, walk_no, step, vertex_id) — the positive-pair half of the
+    SGNS pipeline (negatives: :func:`~amanogawa_spark.graph.negsample.
+    degree_negative_samples`). Word2vec's sentence window applied to
+    walks, as in DeepWalk/node2vec.
+
+    Emits every ordered pair within ``window`` steps on the same walk
+    (multiplicities preserved — SGNS trains on the pair STREAM, so a
+    co-occurrence appearing in 3 walks is 3 training rows);
+    ``rel_pos = context_step - center_step`` (signed, never 0).
+    ``symmetric=False`` keeps only forward contexts (rel_pos > 0) —
+    half the rows, for trainers that mirror pairs themselves.
+
+    Spark shape: ONE self-equi-join on the walk key (start_id, walk_no)
+    with a bounded |step delta| filter — both sides shuffle on the same
+    key once, the join is walk-local, and output is ≤ 2·window rows per
+    walk step. No window function, no per-walk array materialization,
+    so a 10^11-row walk corpus streams through hash join partitions.
+    """
+    a = walks.select(
+        "start_id",
+        "walk_no",
+        F.col("step").alias("_i"),
+        F.col("vertex_id").alias("center_id"),
+    )
+    b = walks.select(
+        "start_id",
+        "walk_no",
+        F.col("step").alias("_j"),
+        F.col("vertex_id").alias("context_id"),
+    )
+    lo = -window if symmetric else 1
+    delta = F.col("_j") - F.col("_i")
+    return (
+        a.join(b, ["start_id", "walk_no"])
+        .filter((delta >= lo) & (delta <= window) & (delta != 0))
+        .select(
+            "center_id",
+            "context_id",
+            delta.cast("int").alias("rel_pos"),
+        )
+    )

@@ -3885,6 +3885,28 @@ def _label_spread_sql(rounds: int = 3) -> str:
     )
 
 
+def q_skipgram_pairs2(spark, sf_dir):
+    """Skip-gram (center, context) pairs, window 2, over the md5 walk
+    corpus of q_random_walks — the positive-pair half of SGNS."""
+    from amanogawa_spark.graph.walks import random_walks, skipgram_pairs
+
+    e = derived_edges(spark, sf_dir, m=200)
+    w = random_walks(e, walk_length=3, walks_per_vertex=2, hash="md5")
+    return skipgram_pairs(w, window=2)
+
+
+def _skipgram_sql(window: int = 2) -> str:
+    walks = _random_walks_sql(200, 3, 2)
+    return (
+        f"WITH walks AS (\n{walks}\n)\n"
+        "SELECT a.vertex_id AS center_id, b.vertex_id AS context_id, "
+        "CAST(b.step - a.step AS INT) AS rel_pos "
+        "FROM walks a JOIN walks b "
+        "ON a.start_id = b.start_id AND a.walk_no = b.walk_no "
+        f"WHERE a.step <> b.step AND ABS(b.step - a.step) <= {window}"
+    )
+
+
 def q_neg_samples2(spark, sf_dir):
     """Degree^0.75 negative sampling, m=2, engine-portable md5 draws."""
     from amanogawa_spark.graph.negsample import degree_negative_samples
@@ -3927,6 +3949,7 @@ QUERIES = {
     "q_neighbor_mean2": q_neighbor_mean2,
     "q_label_spread3": q_label_spread3,
     "q_neg_samples2": q_neg_samples2,
+    "q_skipgram_pairs2": q_skipgram_pairs2,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -4957,6 +4980,7 @@ ORACLE_SQL = {
     "q_neighbor_mean2": _NEIGHBOR_MEAN_SQL,
     "q_label_spread3": _label_spread_sql(3),
     "q_neg_samples2": _NEG_SAMPLES_SQL,
+    "q_skipgram_pairs2": _skipgram_sql(2),
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),

@@ -219,3 +219,38 @@ def test_negative_samples_bucket_join_is_not_cartesian(spark):
     out = degree_negative_samples(edges, m=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_skipgram_pairs_match_python_mirror(spark):
+    from amanogawa_spark.graph.walks import skipgram_pairs
+
+    walks = [
+        # (start_id, walk_no, step, vertex_id): one length-3 walk, one
+        # truncated (dangling) length-1 walk
+        (0, 0, 0, 10), (0, 0, 1, 11), (0, 0, 2, 12), (0, 0, 3, 13),
+        (5, 0, 0, 50), (5, 0, 1, 51),
+    ]
+    df = spark.createDataFrame(
+        walks, "start_id long, walk_no int, step int, vertex_id long"
+    )
+    got = sorted(map(tuple, skipgram_pairs(df, window=2).collect()))
+    want = []
+    for seq in ([10, 11, 12, 13], [50, 51]):
+        for i, c in enumerate(seq):
+            for j, x in enumerate(seq):
+                if i != j and abs(j - i) <= 2:
+                    want.append((c, x, j - i))
+    assert got == sorted(want)
+
+
+def test_skipgram_pairs_forward_only_halves(spark):
+    from amanogawa_spark.graph.walks import skipgram_pairs
+
+    walks = [(0, 0, s, 10 + s) for s in range(4)]
+    df = spark.createDataFrame(
+        walks, "start_id long, walk_no int, step int, vertex_id long"
+    )
+    both = skipgram_pairs(df, window=2).count()
+    fwd = skipgram_pairs(df, window=2, symmetric=False)
+    assert fwd.count() * 2 == both
+    assert all(r["rel_pos"] > 0 for r in fwd.collect())
