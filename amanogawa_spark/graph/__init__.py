@@ -55,12 +55,13 @@ from amanogawa_spark.graph.partition import (
     multilevel_partition,
     spinner_partition,
 )
-from amanogawa_spark.graph.propagate import aggregate_neighbor_features
+from amanogawa_spark.graph.propagate import aggregate_neighbor_features, sample_neighbors
 from amanogawa_spark.graph.labelspread import label_spreading
 from amanogawa_spark.graph.negsample import degree_negative_samples
 
 __all__ = [
     "aggregate_neighbor_features",
+    "sample_neighbors",
     "label_spreading",
     "degree_negative_samples",
     "build_edges",

@@ -173,3 +173,96 @@ def _sum_vectors_arrow(contrib: DataFrame, dim: int) -> DataFrame:
         return pd.DataFrame(row)
 
     return contrib.groupBy("id").applyInPandas(summed, schema=schema)
+
+
+def sample_neighbors(
+    edges: DataFrame,
+    roots: DataFrame,
+    fanouts: list[int],
+    direction: str = "out",
+    hash: str = "xxhash64",
+    seed: int = 7,
+) -> DataFrame:
+    """(root_id, hop, src_id, dst_id): bounded-fanout k-hop sampled
+    neighborhoods — the GraphSAGE minibatch block builder (Hamilton et
+    al. 2017 §3.1: cap each node's neighborhood at a fixed fanout per
+    layer so a minibatch's receptive field is O(Π fanouts), not
+    O(deg^k) — on a web graph an unsampled 2-hop neighborhood of a hub
+    is the whole graph).
+
+    ``roots``: (id) — the minibatch seed nodes. ``fanouts``: per-hop
+    caps, e.g. [10, 5]. Hop h's sampled edges are (src=frontier node,
+    dst=sampled neighbor); a node reached by several paths within one
+    root's block is expanded once per (root, node). Sampling is
+    hash-deterministic (no RNG state — reruns, repartitionings, and,
+    with ``hash='md5'``, the DuckDB oracle agree): neighbor v of node u
+    in root r's block at hop h ranks by hash(r, u, h, v), keep the
+    first ``fanouts[h-1]``.
+
+    Spark shape per hop: one equi-join (frontier ⋈ edges) + one
+    window top-k partitioned by (root, node) — groups are single-node
+    neighborhoods, so the window parallelizes across the frontier; the
+    frontier never exceeds |roots|·Π fanouts rows. No collect, no
+    per-root driver loop.
+    """
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be out/in, got {direction!r}")
+    from pyspark.sql.window import Window
+
+    if direction == "out":
+        pairs = edges.select(F.col("src_id").alias("_u"), F.col("dst_id").alias("_v"))
+    else:
+        pairs = edges.select(F.col("dst_id").alias("_u"), F.col("src_id").alias("_v"))
+    pairs = pairs.filter(F.col("_u") != F.col("_v"))
+
+    frontier = roots.select(
+        F.col("id").alias("root_id"), F.col("id").alias("_u")
+    ).distinct()
+    hops = []
+    cached = []
+    for h, f in enumerate(fanouts, start=1):
+        if hash == "md5":
+            score = F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "~",
+                        F.col("root_id").cast("string"),
+                        F.col("_u").cast("string"),
+                        F.lit(str(h)),
+                        F.col("_v").cast("string"),
+                    ),
+                    "UTF-8",
+                )
+            )
+        else:
+            score = F.xxhash64(
+                "root_id", "_u", F.lit(h), "_v", F.lit(seed)
+            ).cast("string")
+        w = (
+            Window.partitionBy("root_id", "_u")
+            .orderBy(score.asc(), F.col("_v").asc())
+        )
+        samp = (
+            frontier.join(pairs, "_u")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= f)
+            .select(
+                "root_id",
+                F.lit(h).cast("int").alias("hop"),
+                F.col("_u").alias("src_id"),
+                F.col("_v").alias("dst_id"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cached.append(samp)
+        hops.append(samp)
+        frontier = samp.select(
+            "root_id", F.col("dst_id").alias("_u")
+        ).distinct()
+    out = hops[0]
+    for hdf in hops[1:]:
+        out = out.unionAll(hdf)
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out

@@ -3885,6 +3885,43 @@ def _label_spread_sql(rounds: int = 3) -> str:
     )
 
 
+def q_neighbor_sample22(spark, sf_dir):
+    """GraphSAGE bounded-fanout 2-hop neighbor sampling (fanout 2 per hop,
+    md5-deterministic) from roots id % 29 == 0 on the 200-vertex derived
+    graph."""
+    from amanogawa_spark.graph.propagate import sample_neighbors
+
+    e = derived_edges(spark, sf_dir, m=200)
+    roots = derived_vertices(spark, sf_dir, m=200).filter(F.col("id") % 29 == 0)
+    return sample_neighbors(e, roots, fanouts=[2, 2], hash="md5")
+
+
+def _neighbor_sample_sql(m: int = 200, fanouts: tuple = (2, 2)) -> str:
+    parts = [
+        f"WITH edges AS (SELECT DISTINCT l_orderkey % {m} AS src_id, "
+        f"l_partkey % {m} AS dst_id FROM lineitem "
+        f"WHERE l_orderkey % {m} <> l_partkey % {m})",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges "
+        "UNION ALL SELECT dst_id FROM edges))",
+        "f0 AS (SELECT id AS root_id, id AS u FROM verts WHERE id % 29 = 0)",
+    ]
+    for h, f in enumerate(fanouts, start=1):
+        parts.append(
+            f"c{h} AS (SELECT fr.root_id, fr.u, e.dst_id AS v, ROW_NUMBER() OVER ("
+            f"PARTITION BY fr.root_id, fr.u ORDER BY "
+            f"md5(fr.root_id::VARCHAR || '~' || fr.u::VARCHAR || '~{h}~' || e.dst_id::VARCHAR) ASC, "
+            f"e.dst_id ASC) AS rn "
+            f"FROM f{h - 1} fr JOIN edges e ON fr.u = e.src_id AND e.dst_id <> fr.u)"
+        )
+        parts.append(f"s{h} AS (SELECT root_id, u, v FROM c{h} WHERE rn <= {f})")
+        parts.append(f"f{h} AS (SELECT DISTINCT root_id, v AS u FROM s{h})")
+    sel = " UNION ALL ".join(
+        f"SELECT root_id, CAST({h} AS INT) AS hop, u AS src_id, v AS dst_id FROM s{h}"
+        for h in range(1, len(fanouts) + 1)
+    )
+    return ",\n".join(parts) + "\n" + sel
+
+
 def q_skipgram_pairs2(spark, sf_dir):
     """Skip-gram (center, context) pairs, window 2, over the md5 walk
     corpus of q_random_walks — the positive-pair half of SGNS."""
@@ -3950,6 +3987,7 @@ QUERIES = {
     "q_label_spread3": q_label_spread3,
     "q_neg_samples2": q_neg_samples2,
     "q_skipgram_pairs2": q_skipgram_pairs2,
+    "q_neighbor_sample22": q_neighbor_sample22,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -4981,6 +5019,7 @@ ORACLE_SQL = {
     "q_label_spread3": _label_spread_sql(3),
     "q_neg_samples2": _NEG_SAMPLES_SQL,
     "q_skipgram_pairs2": _skipgram_sql(2),
+    "q_neighbor_sample22": _neighbor_sample_sql(200, (2, 2)),
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),

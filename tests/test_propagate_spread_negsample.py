@@ -254,3 +254,64 @@ def test_skipgram_pairs_forward_only_halves(spark):
     fwd = skipgram_pairs(df, window=2, symmetric=False)
     assert fwd.count() * 2 == both
     assert all(r["rel_pos"] > 0 for r in fwd.collect())
+
+
+def _chain_star(n=12):
+    # 0 -> 1..5 (hub), i -> i+1 chain for 5..10
+    e = [(0, i) for i in range(1, 6)]
+    e += [(i, i + 1) for i in range(5, 11)]
+    return e
+
+
+def test_sample_neighbors_respects_fanout_and_mirror(spark):
+    from amanogawa_spark.graph.propagate import sample_neighbors
+    import hashlib
+
+    edges = spark.createDataFrame(_chain_star(), "src_id long, dst_id long")
+    roots = spark.createDataFrame([(0,), (5,)], "id long")
+    got = sorted(
+        map(tuple, sample_neighbors(edges, roots, fanouts=[2, 2], hash="md5").collect())
+    )
+    # python mirror
+    adj = {}
+    for s, d in _chain_star():
+        adj.setdefault(s, []).append(d)
+    want = []
+    for r in (0, 5):
+        frontier = {r}
+        for h, f in ((1, 2), (2, 2)):
+            nxt = set()
+            for u in sorted(frontier):
+                cands = [v for v in adj.get(u, []) if v != u]
+                ranked = sorted(
+                    cands,
+                    key=lambda v: (
+                        hashlib.md5(f"{r}~{u}~{h}~{v}".encode()).hexdigest(),
+                        v,
+                    ),
+                )[:f]
+                for v in ranked:
+                    want.append((r, h, u, v))
+                    nxt.add(v)
+            frontier = nxt
+    assert got == sorted(want)
+    # fanout respected: no (root, hop, src) group exceeds 2
+    from collections import Counter
+
+    c = Counter((r, h, s) for (r, h, s, d) in got)
+    assert max(c.values()) <= 2
+
+
+def test_sample_neighbors_deterministic_across_repartition(spark):
+    from amanogawa_spark.graph.propagate import sample_neighbors
+
+    edges = spark.createDataFrame(_chain_star(), "src_id long, dst_id long")
+    roots = spark.createDataFrame([(0,), (5,)], "id long")
+    a = sorted(map(tuple, sample_neighbors(edges, roots, [2, 1], hash="md5").collect()))
+    b = sorted(
+        map(
+            tuple,
+            sample_neighbors(edges.repartition(5), roots, [2, 1], hash="md5").collect(),
+        )
+    )
+    assert a == b
