@@ -300,6 +300,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         lambda: node2vec_walks(edges, walk_length=4, p=2.0, q=0.5).count(),
     )
 
+    # SGNS training-pair pipeline over the walk corpus: skip-gram positives
+    # (walk-key self-join) + degree^0.75 negatives (inverse-CDF bucket join)
+    from amanogawa_spark.graph.negsample import degree_negative_samples
+    from amanogawa_spark.graph.walks import skipgram_pairs
+
+    def _sgns_pairs():
+        w = random_walks(edges, walk_length=4, walks_per_vertex=2)
+        pos = skipgram_pairs(w, window=2).select(
+            F.col("center_id").alias("src_id"), F.col("context_id").alias("dst_id")
+        )
+        neg = degree_negative_samples(pos, m=2, degree_edges=edges)
+        return pos.count() + neg.count()
+
+    results["sgns_pairs_scale"] = _timed_med("sgns_pairs_scale", _sgns_pairs)
+
     # directed condensation of the derived digraph (SCC peel to fixpoint)
     from amanogawa_spark.graph.scc import strongly_connected_components
     from amanogawa_spark.oracle_suite import derived_edges
