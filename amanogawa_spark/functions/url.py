@@ -188,3 +188,95 @@ def surt_key(url: Column | str) -> Column:
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
     return F.when(host != "", key).otherwise(F.lit(""))
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    wildcard_min_distinct: int = 10,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Induce per-host URL path templates — the crawler-trap / site-section
+    detector: positions whose segment cardinality explodes (ids, dates,
+    session tokens) generalize to ``*``, literal positions stay. Adds
+    ``host``, ``n_segs``, ``template`` to every input row; '/product/123'
+    and '/product/987' on one host both template to '/product/*', while
+    '/about' stays itself. Calendar traps, faceted-search blowups, and
+    session-id mirrors all collapse to one template whose URL count then
+    screams in the rollup (:func:`sitemap_rollup` shows mass by prefix;
+    this shows SHAPE).
+
+    Position classing: within (host, n_segs, position), the segment is a
+    wildcard iff its distinct-value count >= ``wildcard_min_distinct``.
+    Deterministic, exact (no sketches), and engine-portable.
+
+    Spark shape: one bounded explode (≤ ``max_depth`` rows per URL) into
+    two map-side-combinable aggregates (distinct segments, then counts),
+    then the O(hosts·depth²) class table — tiny next to the corpus —
+    joins back on (host, n_segs) and the template is a map-side
+    ``zip_with``. The URL table itself shuffles once (the join), never
+    re-groups per URL.
+    """
+    segs = F.slice(
+        F.filter(F.split(path_of(F.col(url_col)), "/"), lambda s: F.length(s) > 0),
+        1,
+        max_depth,
+    )
+    base = df.withColumn("host", host_of(F.col(url_col))).withColumn(
+        "_segs", segs
+    ).withColumn("n_segs", F.size("_segs").cast("int"))
+
+    exploded = base.select(
+        "host", "n_segs", F.posexplode("_segs").alias("pos", "seg")
+    )
+    ndist = (
+        exploded.distinct()
+        .groupBy("host", "n_segs", "pos")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    classes = (
+        ndist.withColumn("wild", F.col("n_distinct") >= wildcard_min_distinct)
+        .groupBy("host", "n_segs")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "wild"))),
+                lambda x: x["wild"],
+            ).alias("_wilds")
+        )
+    )
+    out = (
+        base.join(classes, ["host", "n_segs"], "left")
+        .withColumn(
+            "template",
+            F.when(F.col("n_segs") == 0, F.lit("/")).otherwise(
+                F.concat(
+                    F.lit("/"),
+                    F.array_join(
+                        F.zip_with(
+                            "_segs",
+                            "_wilds",
+                            lambda s, w: F.when(w, F.lit("*")).otherwise(s),
+                        ),
+                        "/",
+                    ),
+                )
+            ),
+        )
+        .drop("_segs", "_wilds")
+    )
+    return out
+
+
+def url_template_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    wildcard_min_distinct: int = 10,
+    max_depth: int = 8,
+) -> DataFrame:
+    """(host, template, n_urls) — the per-host template inventory, URL
+    count descending is the crawl-trap shortlist."""
+    return (
+        url_templates(df, url_col, wildcard_min_distinct, max_depth)
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )

@@ -662,3 +662,54 @@ def simhash_bands(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.band_value")
+
+
+def host_dup_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_urls: int = 20,
+    dup_ratio_threshold: float = 0.5,
+) -> DataFrame:
+    """(host, n_urls, n_distinct, dup_ratio, is_trap): per-host content
+    duplication profile — the crawl-trap / mirror-site detector that
+    complements :func:`~amanogawa_spark.functions.url.url_templates`
+    (template induction finds URL-SHAPE blowups; this finds hosts whose
+    many URLs serve few distinct documents: session-id mirrors, calendar
+    pages, soft-404 templates, print-view duplicates).
+
+    ``dup_ratio = 1 - n_distinct/n_urls`` over md5 fingerprints of
+    whitespace-normalized text; ``is_trap`` flags hosts with at least
+    ``min_urls`` URLs and ``dup_ratio >= dup_ratio_threshold``. A crawl
+    scheduler demotes flagged hosts; a curation pass drops them.
+
+    Spark shape: one (host, fingerprint) distinct (map-side combined)
+    feeding one per-host aggregate, plus one per-host URL count — no
+    joins against the corpus, no text reshuffle (only 16-byte
+    fingerprints move). Exact counts, so the DuckDB oracle matches
+    bit-for-bit.
+    """
+    from amanogawa_spark.functions.url import host_of
+
+    keyed = df.select(
+        host_of(F.col(url_col)).alias("host"),
+        F.md5(normalized_text(F.col(text_col))).alias("fp"),
+    )
+    urls = keyed.groupBy("host").agg(F.count(F.lit(1)).alias("n_urls"))
+    dfp = (
+        keyed.distinct()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return (
+        urls.join(dfp, "host")
+        .withColumn(
+            "dup_ratio",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_urls"), 6),
+        )
+        .withColumn(
+            "is_trap",
+            (F.col("n_urls") >= min_urls)
+            & (F.col("dup_ratio") >= dup_ratio_threshold),
+        )
+    )

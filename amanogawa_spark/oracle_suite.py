@@ -3885,6 +3885,95 @@ def _label_spread_sql(rounds: int = 3) -> str:
     )
 
 
+def q_url_templates(spark, sf_dir):
+    """Per-host URL template induction over synthetic crawl URLs: /product/<id>
+    (high-cardinality -> wildcard), /about (literal), /blog/<0-4>/post<id>
+    (literal middle, wildcard tail)."""
+    from amanogawa_spark.functions.url import url_template_stats
+
+    d = F.col("doc_id")
+    u = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://h"),
+            (d % 7).cast("string"),
+            F.lit(".com"),
+            F.when(d % 3 == 0, F.concat(F.lit("/product/"), d.cast("string")))
+            .when(d % 3 == 1, F.lit("/about"))
+            .otherwise(
+                F.concat(
+                    F.lit("/blog/"),
+                    (d % 5).cast("string"),
+                    F.lit("/post"),
+                    d.cast("string"),
+                )
+            ),
+        ).alias("url")
+    )
+    return url_template_stats(u, wildcard_min_distinct=10)
+
+
+_URL_TEMPLATES_SQL = """
+WITH u AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+    CASE WHEN doc_id % 3 = 0 THEN ['product', CAST(doc_id AS VARCHAR)]
+         WHEN doc_id % 3 = 1 THEN ['about']
+         ELSE ['blog', CAST(doc_id % 5 AS VARCHAR), 'post' || CAST(doc_id AS VARCHAR)]
+    END AS segs
+  FROM documents
+),
+e AS (SELECT doc_id, host, len(segs) AS n,
+             generate_subscripts(segs, 1) - 1 AS pos, unnest(segs) AS seg
+      FROM u),
+nd AS (SELECT host, n, pos, COUNT(DISTINCT seg) AS ndist
+       FROM e GROUP BY host, n, pos),
+t AS (SELECT e.doc_id, e.host,
+             '/' || string_agg(CASE WHEN nd.ndist >= 10 THEN '*' ELSE e.seg END,
+                               '/' ORDER BY e.pos) AS template
+      FROM e JOIN nd ON e.host = nd.host AND e.n = nd.n AND e.pos = nd.pos
+      GROUP BY e.doc_id, e.host)
+SELECT host, template, COUNT(*) AS n_urls FROM t GROUP BY host, template
+"""
+
+
+def q_host_dup_profile(spark, sf_dir):
+    """Per-host duplication profile: hosts 0-1 serve 3 near-identical trap
+    pages across all their URLs; the rest serve real document text."""
+    from amanogawa_spark.operators.dedup import host_dup_profile
+
+    d = F.col("doc_id")
+    synth = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://h"), (d % 7).cast("string"), F.lit(".com/p"), d.cast("string")
+        ).alias("url"),
+        F.when(
+            d % 7 < 2, F.concat(F.lit("trap page "), (d % 3).cast("string"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return host_dup_profile(synth, min_urls=20, dup_ratio_threshold=0.5)
+
+
+_HOST_DUP_SQL = f"""
+WITH s AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+         md5(lower(regexp_replace(trim(
+           CASE WHEN doc_id % 7 < 2 THEN 'trap page ' || CAST(doc_id % 3 AS VARCHAR)
+                ELSE text END), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+u AS (SELECT host, COUNT(*) AS n_urls FROM s GROUP BY host),
+d AS (SELECT host, COUNT(*) AS n_distinct
+      FROM (SELECT DISTINCT host, fp FROM s) GROUP BY host)
+SELECT u.host, u.n_urls, d.n_distinct,
+       ROUND(1.0 - CAST(d.n_distinct AS DOUBLE) / CAST(u.n_urls AS DOUBLE), 6) AS dup_ratio,
+       (u.n_urls >= 20 AND
+        ROUND(1.0 - CAST(d.n_distinct AS DOUBLE) / CAST(u.n_urls AS DOUBLE), 6) >= 0.5)
+         AS is_trap
+FROM u JOIN d ON u.host = d.host
+"""
+
+
 def q_neighbor_sample22(spark, sf_dir):
     """GraphSAGE bounded-fanout 2-hop neighbor sampling (fanout 2 per hop,
     md5-deterministic) from roots id % 29 == 0 on the 200-vertex derived
@@ -3988,6 +4077,8 @@ QUERIES = {
     "q_neg_samples2": q_neg_samples2,
     "q_skipgram_pairs2": q_skipgram_pairs2,
     "q_neighbor_sample22": q_neighbor_sample22,
+    "q_url_templates": q_url_templates,
+    "q_host_dup_profile": q_host_dup_profile,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -5020,6 +5111,8 @@ ORACLE_SQL = {
     "q_neg_samples2": _NEG_SAMPLES_SQL,
     "q_skipgram_pairs2": _skipgram_sql(2),
     "q_neighbor_sample22": _neighbor_sample_sql(200, (2, 2)),
+    "q_url_templates": _URL_TEMPLATES_SQL,
+    "q_host_dup_profile": _HOST_DUP_SQL,
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),

@@ -1,0 +1,54 @@
+"""URL template induction + per-host duplication profile (crawl-trap
+detectors): hand-value oracles on synthetic URL sets."""
+
+from __future__ import annotations
+
+from amanogawa_spark.functions.url import url_template_stats, url_templates
+from amanogawa_spark.operators.dedup import host_dup_profile
+
+
+def test_url_templates_wildcard_and_literal_positions(spark):
+    urls = (
+        [(f"http://a.com/product/{i}",) for i in range(15)]
+        + [("http://a.com/about",)] * 3
+        + [(f"http://a.com/blog/{i % 2}/x",) for i in range(12)]
+    )
+    df = spark.createDataFrame(urls, "url string")
+    got = {
+        (r["host"], r["template"]): r["n_urls"]
+        for r in url_template_stats(df, wildcard_min_distinct=10).collect()
+    }
+    # 15 distinct product ids >= 10 -> wildcard; 'about' literal;
+    # blog middle has 2 distinct (<10, literal) and tail 'x' 1 distinct
+    assert got[("a.com", "/product/*")] == 15
+    assert got[("a.com", "/about")] == 3
+    assert got[("a.com", "/blog/0/x")] == 6
+    assert got[("a.com", "/blog/1/x")] == 6
+    assert len(got) == 4
+
+
+def test_url_templates_rootless_and_per_host_isolation(spark):
+    urls = [("http://a.com/",), ("http://a.com",)] + [
+        (f"http://b.com/p/{i}",) for i in range(10)
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    rows = url_templates(df, wildcard_min_distinct=10).collect()
+    by_url = {r["url"]: (r["host"], r["template"], r["n_segs"]) for r in rows}
+    assert by_url["http://a.com/"] == ("a.com", "/", 0)
+    assert by_url["http://a.com"] == ("a.com", "/", 0)
+    # b.com's cardinality does not leak into a.com's classing
+    assert by_url["http://b.com/p/3"][1] == "/p/*"
+    assert len(rows) == len(urls)  # every input row kept
+
+
+def test_host_dup_profile_flags_trap_hosts(spark):
+    rows = [(f"http://trap.com/p{i}", "same page") for i in range(30)]
+    rows += [(f"http://ok.com/p{i}", f"unique text {i}") for i in range(30)]
+    rows += [(f"http://small.com/p{i}", "same page") for i in range(5)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["host"]: r for r in host_dup_profile(df, min_urls=20).collect()}
+    assert got["trap.com"]["is_trap"] and got["trap.com"]["n_distinct"] == 1
+    assert not got["ok.com"]["is_trap"] and got["ok.com"]["dup_ratio"] == 0.0
+    # duplicated but below min_urls: not flagged
+    assert not got["small.com"]["is_trap"]
+    assert got["trap.com"]["dup_ratio"] > 0.96
