@@ -99,3 +99,33 @@ def extract_anchors(html: pd.Series) -> pd.Series:
     stage with no shuffle.
     """
     return html.map(_anchors_of)
+
+
+# rel=canonical link element, both attribute orders
+_CANON_RE_A = re.compile(
+    rb'<link\s+[^>]*?rel=["\']canonical["\'][^>]*?href=["\']([^"\']+)["\']',
+    re.IGNORECASE,
+)
+_CANON_RE_B = re.compile(
+    rb'<link\s+[^>]*?href=["\']([^"\']+)["\'][^>]*?rel=["\']canonical["\']',
+    re.IGNORECASE,
+)
+
+
+def _canonical_of(html_bytes: bytes | None) -> str | None:
+    if html_bytes is None:
+        return None
+    m = _CANON_RE_A.search(html_bytes) or _CANON_RE_B.search(html_bytes)
+    if m is None:
+        return None
+    return m.group(1).decode("utf-8", "replace")
+
+
+@F.pandas_udf(T.StringType())
+def extract_canonical(html: pd.Series) -> pd.Series:
+    """binary html → the <link rel="canonical"> href (NULL when absent) —
+    the site-declared duplicate-cluster id, the web's native dedup signal
+    (print views, session-id mirrors, tracking-parameter variants all
+    declare the same canonical). Pure per-row, byte-stable, Arrow-batched;
+    scan-side map stage like extract_links/extract_text."""
+    return html.map(_canonical_of)

@@ -713,3 +713,53 @@ def host_dup_profile(
             & (F.col("dup_ratio") >= dup_ratio_threshold),
         )
     )
+
+
+def canonical_dedup(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, canonical_url, keep): dedup by the site-declared
+    ``<link rel="canonical">`` signal — the zero-similarity-computation
+    dedup pass that runs BEFORE MinHash/SimHash (print views, session-id
+    mirrors, and tracking-parameter variants all declare the same
+    canonical, so they collapse exactly with no shingling).
+
+    ``canonical_url``: the page's declared canonical (itself when none
+    declared — spec default). ``keep``: True iff the row is its group's
+    representative — the canonical target itself when that URL is in the
+    corpus, else the lexicographically smallest member (the canonical may
+    not have been crawled). Single-hop resolution (spec-compliant pages
+    point directly at the canonical; chains are a site bug).
+
+    Spark shape: the extraction is a scan-side Arrow map; grouping is one
+    distinct + one aggregate + two joins on ``canonical_url`` — HTML
+    bytes never shuffle, only (url, canonical_url) string pairs.
+    """
+    from amanogawa_spark.functions.html import extract_canonical
+
+    c = pages.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(extract_canonical(F.col(html_col)), F.col(url_col)).alias(
+            "canonical_url"
+        ),
+    )
+    present = (
+        c.select(F.col("url").alias("canonical_url"))
+        .distinct()
+        .withColumn("_in", F.lit(True))
+    )
+    g = c.join(present, "canonical_url", "left")
+    rep = g.groupBy("canonical_url").agg(
+        F.min("url").alias("_minu"),
+        F.max(F.coalesce(F.col("_in"), F.lit(False))).alias("_has"),
+    )
+    return (
+        g.join(rep, "canonical_url")
+        .withColumn(
+            "keep",
+            F.when(F.col("_has"), F.col("url") == F.col("canonical_url")).otherwise(
+                F.col("url") == F.col("_minu")
+            ),
+        )
+        .select("url", "canonical_url", "keep")
+    )

@@ -3885,6 +3885,58 @@ def _label_spread_sql(rounds: int = 3) -> str:
     )
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """rel=canonical dedup over synthetic pages: docs in triples
+    {3k, 3k+1, 3k+2} where the ±1/±2 members declare 3k's url canonical
+    and 3k declares none (self). The Spark side extracts the canonical
+    from CONSTRUCTED html bytes via the Arrow UDF; the oracle mirrors the
+    construction directly — extraction parity is value-checked."""
+    from amanogawa_spark.operators.dedup import canonical_dedup
+
+    d = F.col("doc_id")
+    base = d - d % 3
+    url = F.concat(
+        F.lit("http://s"), (d % 5).cast("string"), F.lit(".com/p"), d.cast("string")
+    )
+    base_url = F.concat(
+        F.lit("http://s"),
+        (base % 5).cast("string"),
+        F.lit(".com/p"),
+        base.cast("string"),
+    )
+    html = F.when(d % 3 == 0, F.lit("<html><p>x</p></html>")).otherwise(
+        F.concat(
+            F.lit('<html><link rel="canonical" href="'),
+            base_url,
+            F.lit('"/><p>x</p></html>'),
+        )
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    return canonical_dedup(pages)
+
+
+_CANONICAL_DEDUP_SQL = """
+WITH c AS (
+  SELECT 'http://s' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'http://s' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR)
+              ELSE 'http://s' || CAST((doc_id - doc_id % 3) % 5 AS VARCHAR)
+                   || '.com/p' || CAST(doc_id - doc_id % 3 AS VARCHAR) END AS canonical_url
+  FROM documents
+),
+present AS (SELECT DISTINCT url AS canonical_url, TRUE AS has FROM c),
+g AS (SELECT c.url, c.canonical_url, COALESCE(p.has, FALSE) AS has
+      FROM c LEFT JOIN present p ON c.canonical_url = p.canonical_url),
+rep AS (SELECT canonical_url, MIN(url) AS minu, MAX(has) AS has2
+        FROM g GROUP BY canonical_url)
+SELECT g.url, g.canonical_url,
+       CASE WHEN r.has2 THEN g.url = g.canonical_url ELSE g.url = r.minu END AS keep
+FROM g JOIN rep r ON g.canonical_url = r.canonical_url
+"""
+
+
 def q_url_templates(spark, sf_dir):
     """Per-host URL template induction over synthetic crawl URLs: /product/<id>
     (high-cardinality -> wildcard), /about (literal), /blog/<0-4>/post<id>
@@ -4079,6 +4131,7 @@ QUERIES = {
     "q_neighbor_sample22": q_neighbor_sample22,
     "q_url_templates": q_url_templates,
     "q_host_dup_profile": q_host_dup_profile,
+    "q_canonical_dedup": q_canonical_dedup,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -5113,6 +5166,7 @@ ORACLE_SQL = {
     "q_neighbor_sample22": _neighbor_sample_sql(200, (2, 2)),
     "q_url_templates": _URL_TEMPLATES_SQL,
     "q_host_dup_profile": _HOST_DUP_SQL,
+    "q_canonical_dedup": _CANONICAL_DEDUP_SQL,
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),

@@ -52,3 +52,49 @@ def test_host_dup_profile_flags_trap_hosts(spark):
     # duplicated but below min_urls: not flagged
     assert not got["small.com"]["is_trap"]
     assert got["trap.com"]["dup_ratio"] > 0.96
+
+
+def test_extract_canonical_attribute_orders_and_absence(spark):
+    from amanogawa_spark.functions.html import extract_canonical
+
+    rows = [
+        (1, b'<html><link rel="canonical" href="http://a.com/x"/></html>'),
+        (2, b"<html><link href='http://a.com/y' rel='canonical'/></html>"),
+        (3, b"<html><p>no canonical</p></html>"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    got = {r["id"]: r["c"] for r in df.select("id", extract_canonical("html").alias("c")).collect()}
+    assert got[1] == "http://a.com/x"
+    assert got[2] == "http://a.com/y"
+    assert got[3] is None and got[4] is None
+
+
+def test_canonical_dedup_groups_and_representatives(spark):
+    from amanogawa_spark.operators.dedup import canonical_dedup
+
+    def pg(url, canon=None):
+        h = (
+            f'<html><link rel="canonical" href="{canon}"/><p>b</p></html>'
+            if canon
+            else "<html><p>b</p></html>"
+        )
+        return (url, h.encode())
+
+    rows = [
+        pg("http://a.com/main"),                       # canonical target, crawled
+        pg("http://a.com/main?sid=1", "http://a.com/main"),
+        pg("http://a.com/print", "http://a.com/main"),
+        pg("http://b.com/p1", "http://b.com/missing"),  # canonical NOT crawled
+        pg("http://b.com/p2", "http://b.com/missing"),
+        pg("http://c.com/solo"),                        # singleton
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: (r["canonical_url"], r["keep"]) for r in canonical_dedup(df).collect()}
+    assert got["http://a.com/main"] == ("http://a.com/main", True)
+    assert got["http://a.com/main?sid=1"] == ("http://a.com/main", False)
+    assert got["http://a.com/print"] == ("http://a.com/main", False)
+    # canonical absent from corpus: smallest member represents the group
+    assert got["http://b.com/p1"] == ("http://b.com/missing", True)
+    assert got["http://b.com/p2"] == ("http://b.com/missing", False)
+    assert got["http://c.com/solo"] == ("http://c.com/solo", True)
