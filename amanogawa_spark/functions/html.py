@@ -129,3 +129,73 @@ def extract_canonical(html: pd.Series) -> pd.Series:
     declare the same canonical). Pure per-row, byte-stable, Arrow-batched;
     scan-side map stage like extract_links/extract_text."""
     return html.map(_canonical_of)
+
+
+# <link rel="alternate" hreflang="xx" href="..."> in any attribute order
+_ALT_TAG_RE = re.compile(rb"<link\s+[^>]*>", re.IGNORECASE)
+_ATTR_RE = re.compile(rb'([a-zA-Z-]+)\s*=\s*["\']([^"\']*)["\']')
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
+
+
+def _hreflangs_of(html_bytes: bytes | None) -> list[dict]:
+    if html_bytes is None:
+        return []
+    out = []
+    for tag in _ALT_TAG_RE.findall(html_bytes):
+        attrs = {
+            k.lower(): v
+            for k, v in (
+                (m.group(1).decode("ascii", "replace"), m.group(2))
+                for m in _ATTR_RE.finditer(tag)
+            )
+        }
+        if attrs.get("rel", b"").lower() != b"alternate":
+            continue
+        hl, href = attrs.get("hreflang"), attrs.get("href")
+        if hl is None or href is None:
+            continue
+        out.append(
+            {
+                "hreflang": hl.decode("utf-8", "replace").lower(),
+                "href": href.decode("utf-8", "replace"),
+            }
+        )
+    return out
+
+
+_HREFLANG_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("hreflang", T.StringType()),
+            T.StructField("href", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_HREFLANG_SCHEMA)
+def extract_hreflangs(html: pd.Series) -> pd.Series:
+    """binary html → array<struct<hreflang,href>> of the page's declared
+    language variants (<link rel="alternate" hreflang=..>, any attribute
+    order) — the signal that clusters a page with its translations, i.e.
+    the mined-bitext seed for multilingual/MT training data. Pure
+    per-row, byte-stable, Arrow-batched scan-side map."""
+    return html.map(_hreflangs_of)
+
+
+def _title_of(html_bytes: bytes | None) -> str | None:
+    if html_bytes is None:
+        return None
+    m = _TITLE_RE.search(html_bytes)
+    if m is None:
+        return None
+    t = _htmlmod.unescape(m.group(1).decode("utf-8", "replace"))
+    return " ".join(t.split())
+
+
+@F.pandas_udf(T.StringType())
+def extract_title(html: pd.Series) -> pd.Series:
+    """binary html → whitespace-normalized, entity-unescaped <title> text
+    (NULL when absent) — document metadata for quality filters (missing /
+    boilerplate titles) and retrieval fields."""
+    return html.map(_title_of)

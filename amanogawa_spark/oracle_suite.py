@@ -3885,6 +3885,46 @@ def _label_spread_sql(rounds: int = 3) -> str:
     )
 
 
+def q_hreflang_clusters(spark, sf_dir):
+    """hreflang translation-set clustering over synthetic bilingual pages:
+    docs pair up as {en, de} variants of base = doc_id - doc_id % 2, every
+    page declaring the full set. Spark extracts from constructed html via
+    the Arrow UDF; the oracle mirrors the construction."""
+    from amanogawa_spark.operators.bitext import hreflang_clusters
+
+    d = F.col("doc_id")
+    base = (d - d % 2).cast("string")
+    en = F.concat(F.lit("http://x.com/en/"), base)
+    de = F.concat(F.lit("http://x.com/de/"), base)
+    url = F.when(d % 2 == 0, en).otherwise(de)
+    html = F.concat(
+        F.lit('<html><link rel="alternate" hreflang="en" href="'),
+        en,
+        F.lit('"/><link hreflang="de" rel="alternate" href="'),
+        de,
+        F.lit('"/></html>'),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    return hreflang_clusters(pages)
+
+
+_HREFLANG_CLUSTERS_SQL = """
+WITH p AS (
+  SELECT CASE WHEN doc_id % 2 = 0
+              THEN 'http://x.com/en/' || CAST(doc_id - doc_id % 2 AS VARCHAR)
+              ELSE 'http://x.com/de/' || CAST(doc_id - doc_id % 2 AS VARCHAR) END AS url,
+         'http://x.com/de/' || CAST(doc_id - doc_id % 2 AS VARCHAR) AS de_url,
+         'http://x.com/en/' || CAST(doc_id - doc_id % 2 AS VARCHAR) AS en_url
+  FROM documents
+)
+SELECT url, LEAST(de_url, en_url) AS cluster_id,
+       CAST(2 AS BIGINT) AS n_variants
+FROM p
+"""
+
+
 def q_canonical_dedup(spark, sf_dir):
     """rel=canonical dedup over synthetic pages: docs in triples
     {3k, 3k+1, 3k+2} where the ±1/±2 members declare 3k's url canonical
@@ -4132,6 +4172,7 @@ QUERIES = {
     "q_url_templates": q_url_templates,
     "q_host_dup_profile": q_host_dup_profile,
     "q_canonical_dedup": q_canonical_dedup,
+    "q_hreflang_clusters": q_hreflang_clusters,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -5167,6 +5208,7 @@ ORACLE_SQL = {
     "q_url_templates": _URL_TEMPLATES_SQL,
     "q_host_dup_profile": _HOST_DUP_SQL,
     "q_canonical_dedup": _CANONICAL_DEDUP_SQL,
+    "q_hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),

@@ -98,3 +98,47 @@ def test_canonical_dedup_groups_and_representatives(spark):
     assert got["http://b.com/p1"] == ("http://b.com/missing", True)
     assert got["http://b.com/p2"] == ("http://b.com/missing", False)
     assert got["http://c.com/solo"] == ("http://c.com/solo", True)
+
+
+def test_hreflang_edges_and_clusters(spark):
+    from amanogawa_spark.operators.bitext import hreflang_clusters, hreflang_edges
+
+    def pg(url, variants):
+        links = "".join(
+            f'<link rel="alternate" hreflang="{hl}" href="{h}"/>' for hl, h in variants
+        )
+        return (url, f"<html>{links}<p>b</p></html>".encode())
+
+    full = [("en", "http://x.com/en"), ("de", "http://x.com/de"), ("fr", "http://x.com/fr")]
+    rows = [
+        pg("http://x.com/en", full),
+        pg("http://x.com/de", full),
+        pg("http://x.com/fr", full),
+        pg("http://y.com/solo", []),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    edges = hreflang_edges(df).collect()
+    assert len(edges) == 9
+    assert {(r["url"], r["hreflang"], r["href"]) for r in edges} >= {
+        ("http://x.com/en", "de", "http://x.com/de"),
+        ("http://x.com/fr", "en", "http://x.com/en"),
+    }
+    cl = {r["url"]: (r["cluster_id"], r["n_variants"]) for r in hreflang_clusters(df).collect()}
+    assert cl["http://x.com/en"] == ("http://x.com/de", 3)
+    assert cl["http://x.com/de"] == ("http://x.com/de", 3)
+    assert cl["http://x.com/fr"] == ("http://x.com/de", 3)
+    assert cl["http://y.com/solo"] == ("http://y.com/solo", 1)
+
+
+def test_extract_title_normalizes(spark):
+    from amanogawa_spark.functions.html import extract_title
+
+    rows = [
+        (1, b"<html><title>  A &amp; B \n  Story </title></html>"),
+        (2, b"<html><p>no title</p></html>"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    got = {r["id"]: r["t"] for r in df.select("id", extract_title("html").alias("t")).collect()}
+    assert got[1] == "A & B Story"
+    assert got[2] is None and got[3] is None
