@@ -315,3 +315,16 @@ def test_sample_neighbors_deterministic_across_repartition(spark):
         )
     )
     assert a == b
+
+
+def test_neighbor_agg_plan_has_map_side_partial_aggregate(spark):
+    # the 100 TB claim: per-element sums combine map-side, so the shuffle
+    # carries ~|V|*dim partials, not |E|*dim raw neighbor rows — pin it
+    # in the physical plan (partial_sum before the exchange)
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src_id long, dst_id long")
+    feats = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(3)], "id long, vec array<double>"
+    )
+    out = aggregate_neighbor_features(edges, feats, layers=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
