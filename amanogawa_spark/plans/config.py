@@ -37,7 +37,12 @@ operators, declaratively reachable): ``type="sample"`` (``method=
 ``column``, ``threshold``), ``type="tfidf"`` (``id_column``, ``column``,
 ``tokenizer``, ``min_df``), ``type="quality"`` (``method=
 "c4"|"repetition"|"redact"``, ``min_words``), ``type="pack"``
-(``max_tokens``, ``tokens_column``, ``hash``, ``seed``).
+(``max_tokens``, ``tokens_column``, ``hash``, ``seed``),
+``type="bpe_encode"`` (``merges``), ``type="semdedup"`` (``threshold``,
+``stride``, ``max_cluster_size``), ``type="canonical_dedup"``
+(``url_column``, ``html_column``, ``keep_only``), ``type="url_templates"``
+(``url_column``, ``wildcard_min_distinct``, ``max_depth``,
+``aggregate``).
 
 Relative paths resolve against the config file's directory (CLI parity).
 Sinks write Spark-style part-file directories — at cluster scale that is
@@ -273,6 +278,30 @@ def _flow_fn(spec: dict):
             max_cluster_size=(
                 int(spec["max_cluster_size"]) if "max_cluster_size" in spec else None
             ),
+        )
+    if t == "canonical_dedup":
+        from amanogawa_spark.operators.dedup import canonical_dedup
+
+        keep_only = bool(spec.get("keep_only", False))
+
+        def _canon(df):
+            out = canonical_dedup(
+                df,
+                url_col=spec.get("url_column", "url"),
+                html_col=spec.get("html_column", "html"),
+            )
+            return out.filter(F.col("keep")) if keep_only else out
+
+        return _canon
+    if t == "url_templates":
+        from amanogawa_spark.functions.url import url_template_stats, url_templates
+
+        fn = url_template_stats if spec.get("aggregate", True) else url_templates
+        return lambda df: fn(
+            df,
+            url_col=spec.get("url_column", "url"),
+            wildcard_min_distinct=int(spec.get("wildcard_min_distinct", 10)),
+            max_depth=int(spec.get("max_depth", 8)),
         )
     raise ValueError(f"unsupported flow type: {t!r}")
 

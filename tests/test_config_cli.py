@@ -463,3 +463,53 @@ type = "parquet"
     got = {r["id"]: r["keep"] for r in dd.collect()}
     # ids 0/2/4 share [1,0], ids 1/3/5 share [1,1]: keep the smallest of each
     assert got == {0: True, 2: False, 4: False, 1: True, 3: False, 5: False}
+
+
+def test_flow_extensions_canonical_templates(spark, tmp_path):
+    """canonical_dedup (keep_only) -> url_templates chain declaratively
+    over a parquet pages source with binary html."""
+    rows = []
+    for i in range(12):
+        url = f"http://a.com/item/{i}"
+        canon = f"http://a.com/item/{i - i % 2}"  # odd pages point at even
+        html = (
+            f'<html><link rel="canonical" href="{canon}"/><p>b</p></html>'
+            if i % 2
+            else "<html><p>b</p></html>"
+        ).encode()
+        rows.append((url, html))
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(
+        str(tmp_path / "pages_pq")
+    )
+    (tmp_path / "job.toml").write_text(
+        """
+[source]
+type = "file"
+path = "pages_pq"
+[source.format]
+type = "parquet"
+
+[flow.canon]
+type = "canonical_dedup"
+keep_only = true
+
+[flow.shapes]
+type = "url_templates"
+wildcard_min_distinct = 4
+from = "canon"
+
+[sink]
+type = "file"
+path = "tpl_out"
+from = "shapes"
+[sink.format]
+type = "csv"
+"""
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(str(tmp_path / "job.toml"), spark)
+    out = spark.read.csv(str(tmp_path / "tpl_out"), header=True)
+    got = {(r["host"], r["template"]): int(r["n_urls"]) for r in out.collect()}
+    # 12 pages -> 6 canonical survivors (the even pages), one template
+    assert got == {("a.com", "/item/*"): 6}
