@@ -58,3 +58,33 @@ def test_analytics_cli_algos(spark, tmp_path, capsys):
         capsys,
     )
     assert meta["rows"] > n_verts  # steps 0..2 per walking vertex
+
+
+def test_analytics_cli_sgns_and_neighbor_agg(spark, tmp_path, capsys):
+    from amanogawa_spark.fixtures.pages import generate_pages
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(generate_pages(n_pages=120, seed=7).pages)
+    v = build_vertices(pages)
+    e = build_edges(pages, v)
+    v.write.mode("overwrite").parquet(str(tmp_path / "g" / "vertices"))
+    e.write.mode("overwrite").parquet(str(tmp_path / "g" / "edges"))
+    v.select(
+        "id", F.array(F.col("id").cast("double"), F.lit(1.0)).alias("vec")
+    ).write.mode("overwrite").parquet(str(tmp_path / "g" / "features"))
+    g = str(tmp_path / "g")
+
+    meta = _run(
+        ["--graph", g, "--algo", "sgns_pairs", "--out", f"{g}/sgns", "--k", "3"],
+        capsys,
+    )
+    out = spark.read.parquet(f"{g}/sgns")
+    kinds = {r["pair_type"] for r in out.select("pair_type").distinct().collect()}
+    assert kinds == {"pos", "neg"} and meta["rows"] == out.count() > 0
+
+    meta = _run(
+        ["--graph", g, "--algo", "neighbor_agg", "--out", f"{g}/nagg", "--k", "2"],
+        capsys,
+    )
+    assert meta["rows"] == v.count()

@@ -9,7 +9,10 @@ the full algorithm suite:
         tools/run_analytics_job.py --graph /out --algo scc --out /out/scc
 
 ``--algo`` one of: cc, scc, lpa, hits, salsa, kcore, coreness, triangles,
-clustering, louvain, coloring, mis, walks, node2vec, degrees, linkpred.
+clustering, louvain, coloring, mis, walks, node2vec, degrees, linkpred,
+sgns_pairs (skip-gram positives + degree^0.75 negatives over a walk
+corpus), neighbor_agg (GraphSAGE k-layer mean aggregation; reads
+``--graph``/features parquet with (id, vec)).
 """
 
 from __future__ import annotations
@@ -103,6 +106,27 @@ def main() -> None:
         from amanogawa_spark.graph.linkpred import link_prediction_scores
 
         out = link_prediction_scores(edges, k=args.k)
+    elif args.algo == "sgns_pairs":
+        # SGNS training data: skip-gram positives over a walk corpus plus
+        # degree^0.75 negatives, unioned with a pair_type discriminator
+        from pyspark.sql import functions as F
+
+        from amanogawa_spark.graph.negsample import degree_negative_samples
+        from amanogawa_spark.graph.walks import random_walks, skipgram_pairs
+
+        w = random_walks(edges, walk_length=args.k)
+        pos = skipgram_pairs(w, window=2).select(
+            F.col("center_id").alias("src_id"), F.col("context_id").alias("dst_id")
+        )
+        neg = degree_negative_samples(pos, m=2, degree_edges=edges)
+        out = pos.withColumn("pair_type", F.lit("pos")).unionByName(
+            neg.select("src_id", "dst_id").withColumn("pair_type", F.lit("neg"))
+        )
+    elif args.algo == "neighbor_agg":
+        from amanogawa_spark.graph.propagate import aggregate_neighbor_features
+
+        feats = spark.read.parquet(f"{args.graph}/features")
+        out = aggregate_neighbor_features(edges, feats, layers=args.k)
     else:
         raise SystemExit(f"unknown --algo {args.algo!r}")
 
