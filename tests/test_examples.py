@@ -1,0 +1,54 @@
+"""The shipped examples/ configs run end-to-end against generated inputs
+(copied into a tmp dir so example-relative paths resolve)."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _stage(tmp_path, name):
+    shutil.copy(REPO / "examples" / name, tmp_path / name)
+    return str(tmp_path / name)
+
+
+def test_example_simple_and_curation(spark, tmp_path):
+    docs = "\n".join(
+        f'{{"doc_id": {i}, "text": "alpha beta gamma delta line", "n_tokens": 5}}'
+        for i in range(40)
+    )
+    (tmp_path / "docs.jsonl").write_text(docs + "\n")
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(_stage(tmp_path, "simple.toml"), spark)
+    assert spark.read.csv(str(tmp_path / "out_copy"), header=True).count() == 40
+
+    run_config(_stage(tmp_path, "curation.toml"), spark)
+    out = spark.read.csv(str(tmp_path / "out_packed"), header=True)
+    # hash sample ~half -> exact dedup collapses identical text to 1 doc
+    assert out.count() == 1
+    assert {"seq_id", "seq_offset"} <= set(out.columns)
+
+
+def test_example_web_dedup(spark, tmp_path):
+    rows = []
+    for i in range(20):
+        url = f"http://w.com/item/{i}"
+        canon = f"http://w.com/item/{i - i % 2}"
+        html = (
+            f'<html><link rel="canonical" href="{canon}"/></html>'
+            if i % 2
+            else "<html></html>"
+        ).encode()
+        rows.append((url, html))
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(
+        str(tmp_path / "pages_pq")
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(_stage(tmp_path, "web_dedup.toml"), spark)
+    out = spark.read.csv(str(tmp_path / "out_templates"), header=True)
+    got = {(r["host"], r["template"]): int(r["n_urls"]) for r in out.collect()}
+    assert got == {("w.com", "/item/*"): 10}
