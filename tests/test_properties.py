@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the invariants that matter at any
+scale: packing conserves the token stream exactly, template induction is an
+identity when nothing is wildcarded, negative-sampling draws are unique per
+(edge, sample_no) — i.e. the interval->bucket join can never double-emit."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FAST = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=40),
+    max_tokens=st.integers(min_value=8, max_value=64),
+)
+@_FAST
+def test_pack_sequences_conserves_the_stream(spark, tokens, max_tokens):
+    from amanogawa_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    rows = pack_sequences(df, max_tokens=max_tokens, hash="md5").collect()
+    assert len(rows) == len(tokens)
+    # reconstruct each doc's global start offset; sorted starts must be the
+    # exact prefix sums of the token stream (no gaps, no overlaps)
+    starts = sorted(
+        (r["seq_id"] * max_tokens + r["seq_offset"], r["n_tokens"]) for r in rows
+    )
+    acc = 0
+    for start, n in starts:
+        assert start == acc
+        acc += n
+    assert acc == sum(tokens)
+
+
+@given(
+    paths=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=4
+        ).map(lambda segs: "/" + "/".join(segs)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@_FAST
+def test_url_templates_identity_when_nothing_wildcards(spark, paths):
+    from amanogawa_spark.functions.url import url_templates
+
+    df = spark.createDataFrame(
+        [(f"http://h.com{p}",) for p in paths], "url string"
+    )
+    # threshold above any possible cardinality: every position stays literal
+    out = url_templates(df, wildcard_min_distinct=10_000).collect()
+    for r in out:
+        assert r["template"] == r["url"].removeprefix("http://h.com")
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    m=st.integers(min_value=1, max_value=4),
+)
+@_FAST
+def test_negative_samples_unique_per_draw(spark, edges, m):
+    from amanogawa_spark.graph.negsample import degree_negative_samples
+
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    rows = degree_negative_samples(df, m=m, hash="md5").collect()
+    keys = [(r["src_id"], r["dst_id"], r["sample_no"]) for r in rows]
+    # at most one candidate owns any draw's interval: no duplicate keys ever
+    assert len(keys) == len(set(keys))
+    assert len(keys) <= len(edges) * m
