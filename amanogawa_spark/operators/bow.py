@@ -43,25 +43,75 @@ def wakati_tokens(col) -> "F.Column":
     return F.regexp_extract_all(F.lower(c), F.lit(WAKATI_PATTERN_JAVA), 0)
 
 
+def subword_ngrams(col, n: int = 3) -> "F.Column":
+    """array<string> of fastText-style character n-grams: each whitespace
+    word of the lowercased text is wrapped ``<w>`` (so prefixes/suffixes
+    get distinct grams) and sliced into all length-``n`` substrings.
+    Pure Catalyst (nested transform + flatten) — generated map-side in
+    the scan; the subword feature space is what makes a linear quality
+    classifier robust to misspellings/OOV on crawl text (Bojanowski et
+    al. 2017)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")), " "),
+        lambda w: F.length(w) > 0,
+    )
+    wrapped = F.transform(
+        words, lambda w: F.concat(F.lit("<"), w, F.lit(">"))
+    )
+    eligible = F.filter(wrapped, lambda w: F.length(w) >= n)
+    return F.flatten(
+        F.transform(
+            eligible,
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.length(w) - (n - 1)),
+                lambda i: w.substr(i, F.lit(n)),
+            ),
+        )
+    )
+
+
 def term_counts(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     tokenizer: str = "whitespace",
+    hash_buckets: int | None = None,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, term, cnt). tokenizer: 'whitespace' (reference default corpus
-    behavior for pre-segmented text) or 'wakati' (Unicode-script runs —
-    CJK-capable, see :func:`wakati_tokens`)."""
+    behavior for pre-segmented text), 'wakati' (Unicode-script runs —
+    CJK-capable, see :func:`wakati_tokens`), or 'subword3' (fastText-style
+    char 3-grams of ``<w>``-wrapped words, :func:`subword_ngrams`).
+
+    ``hash_buckets``: the hashing trick — fold terms onto ``'h<bucket>'``
+    ids with ``bucket = hash(term) % hash_buckets``, bounding the feature
+    space (and thus classifier vocab / broadcast size) REGARDLESS of
+    corpus size; the 100 TB default for subword features, whose raw
+    cardinality is unbounded on unicode crawl text. ``hash='md5'`` is the
+    engine-portable flavour for value oracles."""
     if tokenizer == "wakati":
         toks = F.explode(wakati_tokens(F.col(text_col))).alias("term")
+    elif tokenizer == "subword3":
+        toks = F.explode(subword_ngrams(F.col(text_col), 3)).alias("term")
     else:
         toks = F.explode(
             F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
         ).alias("term")
+    out = df.select(F.col(id_col).alias("id"), toks).filter(F.length("term") > 0)
+    if hash_buckets is not None:
+        if hash == "md5":
+            h = F.conv(F.substring(F.md5(F.encode("term", "UTF-8")), 1, 15), 16, 10)
+        else:
+            h = F.xxhash64("term")
+        out = out.select(
+            "id",
+            F.concat(
+                F.lit("h"), F.pmod(h.cast("long"), F.lit(hash_buckets)).cast("string")
+            ).alias("term"),
+        )
     return (
-        df.select(F.col(id_col).alias("id"), toks)
-        .filter(F.length("term") > 0)
-        .groupBy("id", "term")
+        out.groupBy("id", "term")
         .agg(F.count("*").cast("double").alias("cnt"))
     )
 

@@ -3885,6 +3885,39 @@ def _label_spread_sql(rounds: int = 3) -> str:
     )
 
 
+def q_subword_hashed(spark, sf_dir):
+    """fastText-style subword features with the hashing trick: char 3-grams
+    of <w>-wrapped words folded onto 512 md5 buckets."""
+    from amanogawa_spark.operators.bow import term_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_counts(
+        docs, tokenizer="subword3", hash_buckets=512, hash="md5"
+    )
+
+
+_SUBWORD_HASHED_SQL = f"""
+WITH words AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '),
+                            w -> len(w) > 0)) AS w
+  FROM documents
+),
+wrapped AS (SELECT id, '<' || w || '>' AS w FROM words WHERE len(w) >= 1),
+grams AS (
+  SELECT id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> substr(w, CAST(i AS INT), 3))) AS term
+  FROM wrapped
+  WHERE len(w) >= 3
+),
+h AS (SELECT id,
+             'h' || CAST((('0x' || substr(md5(term), 1, 15))::BIGINT) % 512 AS VARCHAR) AS term
+      FROM grams)
+SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM h GROUP BY id, term
+"""
+
+
 def q_hreflang_clusters(spark, sf_dir):
     """hreflang translation-set clustering over synthetic bilingual pages:
     docs pair up as {en, de} variants of base = doc_id - doc_id % 2, every
@@ -4173,6 +4206,7 @@ QUERIES = {
     "q_host_dup_profile": q_host_dup_profile,
     "q_canonical_dedup": q_canonical_dedup,
     "q_hreflang_clusters": q_hreflang_clusters,
+    "q_subword_hashed": q_subword_hashed,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -5209,6 +5243,7 @@ ORACLE_SQL = {
     "q_host_dup_profile": _HOST_DUP_SQL,
     "q_canonical_dedup": _CANONICAL_DEDUP_SQL,
     "q_hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
+    "q_subword_hashed": _SUBWORD_HASHED_SQL,
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),

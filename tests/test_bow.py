@@ -110,3 +110,66 @@ def test_bow_wakati_knn_japanese(spark):
     assert best[1][0] == 0
     degenerate = bow_cosine_topk(df, k=1, tokenizer="whitespace").collect()
     assert len(degenerate) == 0
+
+
+def test_subword_ngrams_and_hashing_trick(spark):
+    from amanogawa_spark.operators.bow import term_counts
+
+    df = spark.createDataFrame([(1, "cat hat"), (2, "a")], "doc_id long, text string")
+    tc = {
+        (r["id"], r["term"]): r["cnt"]
+        for r in term_counts(df, tokenizer="subword3").collect()
+    }
+    # '<cat>' -> <ca, cat, at>; '<hat>' -> <ha, hat, at>; '<a>' -> <a>
+    assert tc[(1, "<ca")] == 1.0 and tc[(1, "cat")] == 1.0 and tc[(1, "at>")] == 2.0
+    assert tc[(2, "<a>")] == 1.0
+    assert (1, "<a>") not in tc
+
+    hashed = term_counts(df, tokenizer="subword3", hash_buckets=8).collect()
+    assert all(r["term"].startswith("h") and int(r["term"][1:]) < 8 for r in hashed)
+    # hashing preserves total gram mass per doc
+    import collections
+
+    raw_mass = collections.Counter()
+    for (i, _t), c in tc.items():
+        raw_mass[i] += c
+    hashed_mass = collections.Counter()
+    for r in hashed:
+        hashed_mass[r["id"]] += r["cnt"]
+    assert raw_mass == hashed_mass
+
+
+def test_classifier_trains_on_hashed_subwords(spark):
+    # the fastText shape end-to-end: subword-hashed features -> linear head
+    from amanogawa_spark.operators.bow import term_counts
+    from pyspark.sql import functions as F
+
+    docs = [(i, "good clean reference text here") for i in range(8)]
+    docs += [(i + 8, "spammy zzz buy now click zzz") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    feats = term_counts(df, tokenizer="subword3", hash_buckets=64)
+    n_tok = feats.groupBy("id").agg(F.sum("cnt").alias("n"))
+    # one manual logistic step is enough to separate the two templates:
+    # positive grams only appear in good docs and vice versa
+    y = {i: (1.0 if i < 8 else 0.0) for i in range(16)}
+    rows = feats.collect()
+    import collections
+
+    w = collections.Counter()
+    for r in rows:
+        w[r["term"]] += (y[r["id"]] - 0.5) * r["cnt"]
+    wdf = spark.createDataFrame(list(w.items()), "term string, weight double")
+    from amanogawa_spark.operators.classifier import linear_classifier_scores
+
+    # score with the subword featurizer via precomputed weights over the
+    # same hashed vocabulary: reuse term_counts manually
+    scored = (
+        feats.join(F.broadcast(wdf), "term", "left")
+        .groupBy("id")
+        .agg(
+            (F.sum(F.col("cnt") * F.coalesce("weight", F.lit(0.0))) / F.sum("cnt")).alias("s")
+        )
+        .collect()
+    )
+    s = {r["id"]: r["s"] for r in scored}
+    assert min(s[i] for i in range(8)) > max(s[i] for i in range(8, 16))
