@@ -89,3 +89,38 @@ def robots_filter(
     return urls.join(
         allowed.select(F.col("url").alias(url_col)), url_col, "left_semi"
     )
+
+
+def sitemap_directives(col) -> "F.Column":
+    """array<string> of Sitemap: URLs from a raw robots.txt body — the
+    crawl-seed discovery half of RFC 9309 (the Sitemap extension field is
+    case-insensitive and may appear anywhere in the file, outside any
+    user-agent group). Pure Catalyst regexp; map-side in the scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.regexp_extract_all(c, F.lit(r"(?im)^[ \t]*sitemap:[ \t]*(\S+)[ \t]*$"), 1),
+        F.trim,
+    )
+
+
+def parse_sitemap(col) -> "F.Column":
+    """array<struct<loc,lastmod>> from a sitemap.xml body: every <url>
+    entry's <loc> plus its <lastmod> when present (empty string when
+    absent — a struct field, so downstream nullability stays simple).
+    Handles <sitemapindex> files too (their <loc> entries are child
+    sitemap URLs — the caller recurses the fetch). Pure Catalyst: one
+    regexp_extract_all over <url>/<sitemap> blocks, then per-block field
+    extracts; no UDF, no XML library, scan-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    blocks = F.regexp_extract_all(
+        c, F.lit(r"(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), 1
+    )
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_extract(b, r"(?s)<loc>\s*(.*?)\s*</loc>", 1).alias("loc"),
+            F.regexp_extract(b, r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1).alias(
+                "lastmod"
+            ),
+        ),
+    )

@@ -3885,6 +3885,41 @@ def _label_spread_sql(rounds: int = 3) -> str:
     )
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """parse_sitemap over constructed sitemap.xml bodies (one <url> with
+    lastmod, one whitespace-padded without) — the parse is value-checked
+    against the oracle's direct construction."""
+    from amanogawa_spark.functions.robots import parse_sitemap
+
+    d = F.col("doc_id")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>http://m.com/a"),
+        d.cast("string"),
+        F.lit("</loc><lastmod>2026-01-0"),
+        (d % 9 + 1).cast("string"),
+        F.lit("</lastmod></url><url><loc>  http://m.com/b"),
+        d.cast("string"),
+        F.lit("  </loc></url></urlset>"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(d.alias("doc_id"), xml.alias("xml"))
+    return docs.select(
+        "doc_id", F.explode(parse_sitemap(F.col("xml"))).alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"),
+    )
+
+
+_SITEMAP_PARSE_SQL = """
+SELECT doc_id, 'http://m.com/a' || CAST(doc_id AS VARCHAR) AS loc,
+       '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod
+FROM documents
+UNION ALL
+SELECT doc_id, 'http://m.com/b' || CAST(doc_id AS VARCHAR), '' FROM documents
+"""
+
+
 def q_subword_hashed(spark, sf_dir):
     """fastText-style subword features with the hashing trick: char 3-grams
     of <w>-wrapped words folded onto 512 md5 buckets."""
@@ -4207,6 +4242,7 @@ QUERIES = {
     "q_canonical_dedup": q_canonical_dedup,
     "q_hreflang_clusters": q_hreflang_clusters,
     "q_subword_hashed": q_subword_hashed,
+    "q_sitemap_parse": q_sitemap_parse,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -5244,6 +5280,7 @@ ORACLE_SQL = {
     "q_canonical_dedup": _CANONICAL_DEDUP_SQL,
     "q_hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
     "q_subword_hashed": _SUBWORD_HASHED_SQL,
+    "q_sitemap_parse": _SITEMAP_PARSE_SQL,
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),

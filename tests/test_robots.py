@@ -89,3 +89,39 @@ def test_path_prefixes_and_sitemap_rollup(spark):
     assert roll[("a.com", "/x/y")] == (2, 1, 2.0)
     assert roll[("a.com", "/")] == (0, 1, 5.0)  # pathless url
     assert roll[("b.com", "/solo")] == (1, 1, 1.0)
+
+
+def test_sitemap_directives_from_robots_txt(spark):
+    from amanogawa_spark.functions.robots import sitemap_directives
+
+    body = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: http://a.com/sitemap.xml\n"
+        "  sitemap:   http://a.com/sitemap2.xml\n"
+        "# Sitemap: http://commented.out/x\n"
+    )
+    df = spark.createDataFrame([(body,)], "txt string")
+    got = df.select(sitemap_directives("txt").alias("s")).collect()[0]["s"]
+    assert got == ["http://a.com/sitemap.xml", "http://a.com/sitemap2.xml"]
+
+
+def test_parse_sitemap_urlset_and_index(spark):
+    from amanogawa_spark.functions.robots import parse_sitemap
+
+    urlset = (
+        "<urlset><url><loc>http://a.com/1</loc>"
+        "<lastmod>2026-01-02</lastmod></url>"
+        "<url><loc>\n  http://a.com/2 </loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>http://a.com/s1.xml</loc></sitemap>"
+        "<sitemap><loc>http://a.com/s2.xml</loc>"
+        "<lastmod>2025-12-31</lastmod></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame([(1, urlset), (2, index)], "id long, xml string")
+    got = {
+        r["id"]: [(e["loc"], e["lastmod"]) for e in r["e"]]
+        for r in df.select("id", parse_sitemap("xml").alias("e")).collect()
+    }
+    assert got[1] == [("http://a.com/1", "2026-01-02"), ("http://a.com/2", "")]
+    assert got[2] == [("http://a.com/s1.xml", ""), ("http://a.com/s2.xml", "2025-12-31")]
