@@ -295,3 +295,37 @@ def degree_histogram(edges: DataFrame, col: str = "dst_id") -> DataFrame:
         .agg(F.count("*").alias("n_vertices"))
         .orderBy("log2_bucket")
     )
+
+
+def freshness_weights(
+    edges: DataFrame,
+    ts_col: str = "warc_ts",
+    now: float | str | None = None,
+    half_life_days: float = 30.0,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Add an exponential-decay edge weight from the crawl timestamp:
+    ``weight = 2^(-age_days / half_life_days)`` — links found in fresh
+    crawls count fully, stale links decay smoothly, so a
+    ``weight_col``-fed :func:`~amanogawa_spark.graph.pagerank.pagerank`
+    becomes freshness-weighted (recency-biased ranking over the
+    input-hint ``warc_ts`` column without touching the algorithm).
+
+    ``now``: the reference instant — REQUIRED, as an epoch-seconds float
+    or a timestamp string; the engine never reads the wall clock, so
+    reruns and resumed superjobs score identically. Pure map-side
+    column arithmetic; no shuffle.
+    """
+    if now is None:
+        raise ValueError(
+            "freshness_weights: pass `now` explicitly (epoch seconds or "
+            "timestamp string) — determinism forbids reading the clock"
+        )
+    if isinstance(now, str):
+        now_sec = F.lit(now).cast("timestamp").cast("double")
+    else:
+        now_sec = F.lit(float(now))
+    age_days = (now_sec - F.col(ts_col).cast("timestamp").cast("double")) / 86400.0
+    return edges.withColumn(
+        weight_col, F.pow(F.lit(2.0), -age_days / F.lit(float(half_life_days)))
+    )

@@ -3885,6 +3885,69 @@ def _label_spread_sql(rounds: int = 3) -> str:
     )
 
 
+def q_fresh_pagerank2(spark, sf_dir):
+    """Freshness-weighted PageRank (2 iterations): edge timestamps
+    synthesized as BASE + ((src+dst) % 30) days, scored at now = BASE+30d
+    with a 10-day half-life — weight = 2^(-age_days/10)."""
+    from amanogawa_spark.graph.build import freshness_weights
+
+    base = 1_700_000_000.0
+    e = derived_edges(spark, sf_dir, m=200).withColumn(
+        "warc_ts",
+        F.timestamp_seconds(
+            F.lit(base) + ((F.col("src_id") + F.col("dst_id")) % 30) * 86400.0
+        ),
+    )
+    e = freshness_weights(
+        e, ts_col="warc_ts", now=base + 30 * 86400.0, half_life_days=10.0
+    )
+    v = (
+        e.select(F.col("src_id").alias("id"))
+        .unionAll(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    r = pagerank_fixed_iterations(v, e, iterations=2, weight_col="weight")
+    return r.select("id", F.round("rank", 8).alias("pr_value"))
+
+
+def _fresh_pagerank_sql(iters: int = 2, m: int = 200, round_to: int = 8) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT l_orderkey % {m} AS src_id, "
+        f"l_partkey % {m} AS dst_id FROM lineitem "
+        f"WHERE l_orderkey % {m} <> l_partkey % {m})",
+        "wedges AS MATERIALIZED (SELECT src_id, dst_id, "
+        "POWER(2.0, -(30.0 - ((src_id + dst_id) % 30)) / 10.0) AS weight FROM edges)",
+        "wverts AS MATERIALIZED (SELECT DISTINCT id FROM ("
+        "SELECT src_id AS id FROM wedges UNION ALL SELECT dst_id AS id FROM wedges))",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wverts)",
+        "outw AS MATERIALIZED (SELECT src_id AS id, CAST(SUM(weight) AS DOUBLE) AS ow "
+        "FROM wedges GROUP BY src_id)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS pr FROM wverts)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = k - 1, k
+        parts.append(
+            f"d{c} AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS dm FROM r{p} r "
+            f"LEFT JOIN outw o ON r.id = o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"c{c} AS MATERIALIZED (SELECT e.dst_id AS id, "
+            f"SUM(r.pr * e.weight / o.ow) AS mass FROM wedges e "
+            f"JOIN r{p} r ON e.src_id = r.id JOIN outw o ON e.src_id = o.id "
+            f"GROUP BY e.dst_id)"
+        )
+        parts.append(
+            f"r{c} AS MATERIALIZED (SELECT v.id, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.mass, 0.0) "
+            f"+ (SELECT dm FROM d{c})/(SELECT n FROM nn)) AS pr FROM wverts v "
+            f"LEFT JOIN c{c} c ON v.id = c.id)"
+        )
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return (
+        body
+        + f"\nSELECT id, ROUND(CAST(pr AS DOUBLE), {round_to}) AS pr_value FROM r{iters}"
+    )
+
+
 def q_sitemap_parse(spark, sf_dir):
     """parse_sitemap over constructed sitemap.xml bodies (one <url> with
     lastmod, one whitespace-padded without) — the parse is value-checked
@@ -4243,6 +4306,7 @@ QUERIES = {
     "q_hreflang_clusters": q_hreflang_clusters,
     "q_subword_hashed": q_subword_hashed,
     "q_sitemap_parse": q_sitemap_parse,
+    "q_fresh_pagerank2": q_fresh_pagerank2,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -5281,6 +5345,7 @@ ORACLE_SQL = {
     "q_hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
     "q_subword_hashed": _SUBWORD_HASHED_SQL,
     "q_sitemap_parse": _SITEMAP_PARSE_SQL,
+    "q_fresh_pagerank2": _fresh_pagerank_sql(2),
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),

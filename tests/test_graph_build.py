@@ -42,3 +42,26 @@ def test_degrees(spark, corpus, pages_df):
     total_out = d.agg(F.sum("out_degree")).collect()[0][0]
     total_in = d.agg(F.sum("in_degree")).collect()[0][0]
     assert total_out == total_in == len(corpus.expected_edges)
+
+
+def test_freshness_weights_decay_and_determinism(spark):
+    from amanogawa_spark.graph.build import freshness_weights
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000.0
+    e = spark.createDataFrame(
+        [(1, 2, base), (3, 4, base - 10 * 86400.0), (5, 6, base - 30 * 86400.0)],
+        "src_id long, dst_id long, ts double",
+    ).withColumn("warc_ts", F.timestamp_seconds("ts"))
+    out = {
+        r["src_id"]: r["weight"]
+        for r in freshness_weights(
+            e, now=base, half_life_days=10.0
+        ).collect()
+    }
+    assert abs(out[1] - 1.0) < 1e-12          # age 0: full weight
+    assert abs(out[3] - 0.5) < 1e-12          # one half-life
+    assert abs(out[5] - 0.125) < 1e-12        # three half-lives
+    with _pytest.raises(ValueError):
+        freshness_weights(e)  # implicit wall-clock now is forbidden
