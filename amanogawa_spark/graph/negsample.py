@@ -95,6 +95,11 @@ def degree_negative_samples(
     computed FROM (default: the positives themselves) — an SGNS trainer
     typically samples positives per epoch but keeps the full-corpus
     noise distribution.
+
+    Headroom note: total integer weight is Σ max(1, ⌊deg^power·scale⌋)
+    ≈ 2·10^14 for 10^12 vertices at web-like mean degree — 4 orders of
+    magnitude inside int64; lower ``scale`` if a corpus ever approaches
+    2^63 total.
     """
     if degree not in ("total", "in", "out"):
         raise ValueError(f"degree must be total/in/out, got {degree!r}")

@@ -207,6 +207,8 @@ def sample_neighbors(
     """
     if direction not in ("out", "in"):
         raise ValueError(f"direction must be out/in, got {direction!r}")
+    if not fanouts:
+        raise ValueError("fanouts must name at least one hop, e.g. [10, 5]")
     from pyspark.sql.window import Window
 
     if direction == "out":
