@@ -40,8 +40,16 @@ from amanogawa_spark.operators.stats import (
     numeric_histogram,
     powerlaw_alpha,
 )
+from amanogawa_spark.operators.bitext import hreflang_clusters, hreflang_edges
+from amanogawa_spark.operators.dedup import canonical_dedup, host_dup_profile
+from amanogawa_spark.operators.bow import subword_ngrams
 
 __all__ = [
+    "hreflang_clusters",
+    "hreflang_edges",
+    "canonical_dedup",
+    "host_dup_profile",
+    "subword_ngrams",
     "branch_columns",
     "key_join",
     "row_filter",
