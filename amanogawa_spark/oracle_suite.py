@@ -3885,6 +3885,38 @@ def _label_spread_sql(rounds: int = 3) -> str:
     )
 
 
+def q_zipf_terms(spark, sf_dir):
+    """Zipf/power-law exponent of the corpus term-frequency distribution
+    (Hill MLE over frequencies >= 3) — powerlaw_alpha composed over
+    term_counts; the token-side twin of the degree-distribution profile."""
+    from amanogawa_spark.operators.bow import term_counts
+    from amanogawa_spark.operators.stats import powerlaw_alpha
+
+    docs = _t(spark, sf_dir, "documents")
+    freqs = (
+        term_counts(docs)
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    return powerlaw_alpha(freqs, "freq", xmin=3.0).select(
+        "xmin", "n_tail", F.round("alpha", 8).alias("alpha_r")
+    )
+
+
+_ZIPF_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '),
+                            w -> len(w) > 0)) AS term
+  FROM documents
+),
+freqs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS freq FROM toks GROUP BY term),
+tail AS (SELECT freq FROM freqs WHERE freq >= 3.0)
+SELECT CAST(3.0 AS DOUBLE) AS xmin, COUNT(*) AS n_tail,
+       ROUND(1.0 + COUNT(*) / SUM(LN(freq / 3.0)), 8) AS alpha_r
+FROM tail
+"""
+
+
 def q_fresh_pagerank2(spark, sf_dir):
     """Freshness-weighted PageRank (2 iterations): edge timestamps
     synthesized as BASE + ((src+dst) % 30) days, scored at now = BASE+30d
@@ -4307,6 +4339,7 @@ QUERIES = {
     "q_subword_hashed": q_subword_hashed,
     "q_sitemap_parse": q_sitemap_parse,
     "q_fresh_pagerank2": q_fresh_pagerank2,
+    "q_zipf_terms": q_zipf_terms,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -5346,6 +5379,7 @@ ORACLE_SQL = {
     "q_subword_hashed": _SUBWORD_HASHED_SQL,
     "q_sitemap_parse": _SITEMAP_PARSE_SQL,
     "q_fresh_pagerank2": _fresh_pagerank_sql(2),
+    "q_zipf_terms": _ZIPF_TERMS_SQL,
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),
