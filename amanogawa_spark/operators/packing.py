@@ -93,3 +93,41 @@ def pack_sequences(
     out = out.localCheckpoint(eager=True)
     ranged.unpersist()
     return out
+
+
+def sequence_manifest(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """(seq_id, doc_id, tok_begin, tok_end): the slice of each packed
+    sequence every document occupies — offsets are within-sequence,
+    ``[tok_begin, tok_end)`` with ``0 <= tok_begin < tok_end <=
+    max_tokens``. This is the trainer-facing half of packing: a packed
+    batch needs its document boundaries back for block-diagonal
+    attention masks and per-document loss masking, and a document that
+    straddles sequence boundaries must appear once per sequence it
+    touches (the standard boundary chop).
+
+    Input: :func:`pack_sequences` output (doc_id, n_tokens-ish column
+    named as packed, seq_id, seq_offset). Pure map stage: one BOUNDED
+    explode (a document spans ``ceil(n/max_tokens)+1`` sequences at
+    most), no shuffle, no join — at 100 TB this is scan-speed.
+    Zero-token documents emit no rows.
+    """
+    tokens_col = [c for c in packed.columns if c not in ("doc_id", "seq_id", "seq_offset")][0]
+    s = F.col("seq_id") * max_tokens + F.col("seq_offset")
+    e = s + F.col(tokens_col)
+    last = ((e - 1) / max_tokens).cast("long")
+    rows = packed.filter(F.col(tokens_col) > 0).select(
+        packed.columns[0],
+        s.alias("_s"),
+        e.alias("_e"),
+        F.explode(F.sequence(F.col("seq_id"), last)).alias("_seq"),
+    )
+    return rows.select(
+        F.col("_seq").alias("seq_id"),
+        F.col(packed.columns[0]),
+        F.greatest(F.col("_s") - F.col("_seq") * max_tokens, F.lit(0)).alias(
+            "tok_begin"
+        ),
+        F.least(
+            F.col("_e") - F.col("_seq") * max_tokens, F.lit(max_tokens)
+        ).alias("tok_end"),
+    )

@@ -3885,6 +3885,39 @@ def _label_spread_sql(rounds: int = 3) -> str:
     )
 
 
+def q_seq_manifest(spark, sf_dir):
+    """Per-sequence document boundary manifest over the q_pack_sequences
+    packing — within-sequence [tok_begin, tok_end) slices including the
+    boundary chop for straddling documents."""
+    from amanogawa_spark.operators.packing import pack_sequences, sequence_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, max_tokens=2048, tokens_col="n_chars", hash="md5")
+    return sequence_manifest(packed, max_tokens=2048)
+
+
+_SEQ_MANIFEST_SQL = """
+WITH packed AS (
+  SELECT doc_id, n_chars, CAST(FLOOR(cum / 2048) AS BIGINT) AS seq_id,
+         CAST(cum % 2048 AS BIGINT) AS seq_offset FROM (
+    SELECT doc_id, n_chars, COALESCE(SUM(n_chars) OVER (
+      ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+    FROM documents)
+),
+x AS (SELECT doc_id, seq_id, seq_id * 2048 + seq_offset AS s,
+             seq_id * 2048 + seq_offset + n_chars AS e
+      FROM packed WHERE n_chars > 0),
+m AS (SELECT doc_id, s, e,
+             unnest(range(seq_id, CAST(FLOOR((e - 1) / 2048) AS BIGINT) + 1)) AS seq
+      FROM x)
+SELECT seq AS seq_id, doc_id,
+       CAST(GREATEST(s - seq * 2048, 0) AS BIGINT) AS tok_begin,
+       CAST(LEAST(e - seq * 2048, 2048) AS BIGINT) AS tok_end
+FROM m
+"""
+
+
 def q_zipf_terms(spark, sf_dir):
     """Zipf/power-law exponent of the corpus term-frequency distribution
     (Hill MLE over frequencies >= 3) — powerlaw_alpha composed over
@@ -4340,6 +4373,7 @@ QUERIES = {
     "q_sitemap_parse": q_sitemap_parse,
     "q_fresh_pagerank2": q_fresh_pagerank2,
     "q_zipf_terms": q_zipf_terms,
+    "q_seq_manifest": q_seq_manifest,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -5380,6 +5414,7 @@ ORACLE_SQL = {
     "q_sitemap_parse": _SITEMAP_PARSE_SQL,
     "q_fresh_pagerank2": _fresh_pagerank_sql(2),
     "q_zipf_terms": _ZIPF_TERMS_SQL,
+    "q_seq_manifest": _SEQ_MANIFEST_SQL,
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),

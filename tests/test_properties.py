@@ -84,3 +84,38 @@ def test_negative_samples_unique_per_draw(spark, edges, m):
     # at most one candidate owns any draw's interval: no duplicate keys ever
     assert len(keys) == len(set(keys))
     assert len(keys) <= len(edges) * m
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=90), min_size=1, max_size=30),
+    max_tokens=st.integers(min_value=8, max_value=48),
+)
+@_FAST
+def test_sequence_manifest_tiles_every_sequence_exactly(spark, tokens, max_tokens):
+    from amanogawa_spark.operators.packing import pack_sequences, sequence_manifest
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, max_tokens=max_tokens, hash="md5")
+    rows = sequence_manifest(packed, max_tokens=max_tokens).collect()
+    total = sum(tokens)
+    # slices within bounds, nonempty, and zero-token docs absent
+    for r in rows:
+        assert 0 <= r["tok_begin"] < r["tok_end"] <= max_tokens
+    # per sequence: slices sort into a gapless tiling [0, fill)
+    from collections import defaultdict
+
+    per_seq = defaultdict(list)
+    for r in rows:
+        per_seq[r["seq_id"]].append((r["tok_begin"], r["tok_end"]))
+    covered = 0
+    for seq, sl in per_seq.items():
+        sl.sort()
+        assert sl[0][0] == 0
+        for (b1, e1), (b2, e2) in zip(sl, sl[1:]):
+            assert e1 == b2  # gapless, non-overlapping
+        covered += sl[-1][1]
+        if seq != max(per_seq):
+            assert sl[-1][1] == max_tokens  # every non-final sequence is full
+    assert covered == total
