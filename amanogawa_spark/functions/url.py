@@ -280,3 +280,85 @@ def url_template_stats(
         .groupBy("host", "template")
         .agg(F.count(F.lit(1)).alias("n_urls"))
     )
+
+
+def _query_param_keys(url: Column) -> Column:
+    """array<string> of query-parameter names (order-preserving,
+    duplicates kept) — '' when the URL has no query string."""
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    return F.filter(
+        F.transform(F.split(qs, "&"), lambda kv: F.split(kv, "=")[0]),
+        lambda k: F.length(k) > 0,
+    )
+
+
+def _base_of(url: Column) -> Column:
+    """scheme://host/path with query string and fragment stripped."""
+    return F.regexp_replace(url, r"[?#].*$", "")
+
+
+def tracking_param_rules(
+    pairs: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical_url",
+    min_obs: int = 5,
+    removal_frac: float = 0.9,
+) -> DataFrame:
+    """(host, param, n_removed, n_kept, removal_frac_r, is_tracking):
+    LEARN per-host tracking-parameter rules from the site's own
+    rel=canonical declarations. When a page's canonical differs from its
+    URL only by dropped query parameters, every dropped parameter is the
+    site saying "this parameter is non-semantic" (utm_*, gclid, session
+    and click ids); a parameter that survives into the canonical is
+    semantic (product ids, page numbers). Aggregated over a host's
+    pages, ``is_tracking`` flags parameters dropped in ≥
+    ``removal_frac`` of ≥ ``min_obs`` observations — the rule table a
+    crawler's URL normalizer then applies to collapse parameter-variant
+    duplicates BEFORE fetching them (:func:`normalize_url` handles
+    spelling; this learns site-specific semantics no static list can).
+
+    Input: :func:`~amanogawa_spark.operators.dedup.canonical_dedup`
+    output (url, canonical_url) or any equivalent pair table. Pairs
+    whose base (scheme://host/path) differs are ignored — a canonical
+    pointing elsewhere says nothing about parameters.
+
+    Scale shape: pure Catalyst parsing, one bounded explode (params per
+    URL), one map-side-combined aggregate keyed (host, param). Nothing
+    but (host, param) pairs shuffles.
+    """
+    u, c = F.col(url_col), F.col(canonical_col)
+    eligible = pairs.filter((_base_of(u) == _base_of(c)) & (u != c))
+    up, cp = _query_param_keys(u), _query_param_keys(c)
+    obs = eligible.select(
+        host_of(u).alias("host"),
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.array_except(up, cp),
+                    lambda p: F.struct(p.alias("param"), F.lit(1).alias("rm")),
+                ),
+                F.transform(
+                    F.array_intersect(up, cp),
+                    lambda p: F.struct(p.alias("param"), F.lit(0).alias("rm")),
+                ),
+            )
+        ).alias("o"),
+    ).select("host", F.col("o.param").alias("param"), F.col("o.rm").alias("rm"))
+    agg = obs.groupBy("host", "param").agg(
+        F.sum("rm").cast("long").alias("n_removed"),
+        F.sum(1 - F.col("rm")).cast("long").alias("n_kept"),
+    )
+    frac = F.round(
+        F.col("n_removed") / (F.col("n_removed") + F.col("n_kept")), 6
+    )
+    return agg.select(
+        "host",
+        "param",
+        "n_removed",
+        "n_kept",
+        frac.alias("removal_frac_r"),
+        (
+            ((F.col("n_removed") + F.col("n_kept")) >= min_obs)
+            & (frac >= removal_frac)
+        ).alias("is_tracking"),
+    )

@@ -3885,6 +3885,50 @@ def _label_spread_sql(rounds: int = 3) -> str:
     )
 
 
+def q_tracking_params(spark, sf_dir):
+    """Per-host tracking-parameter rules learned from canonical pairs:
+    every doc's canonical drops utm (always) and ref (present on odd
+    docs) but keeps id — expect is_tracking on utm/ref, not id."""
+    from amanogawa_spark.functions.url import tracking_param_rules
+
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("http://t"), (d % 5).cast("string"), F.lit(".com/p"), d.cast("string")
+    )
+    url = F.concat(
+        base,
+        F.lit("?id="),
+        d.cast("string"),
+        F.lit("&utm=x"),
+        F.when(d % 2 == 1, F.lit("&ref=y")).otherwise(F.lit("")),
+    )
+    canon = F.concat(base, F.lit("?id="), d.cast("string"))
+    pairs = _t(spark, sf_dir, "documents").select(
+        url.alias("url"), canon.alias("canonical_url")
+    )
+    return tracking_param_rules(pairs, min_obs=5, removal_frac=0.9)
+
+
+_TRACKING_PARAMS_SQL = """
+WITH p AS (
+  SELECT 't' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host, doc_id % 2 = 1 AS has_ref
+  FROM documents
+),
+obs AS (
+  SELECT host, 'utm' AS param, 1 AS rm FROM p
+  UNION ALL SELECT host, 'ref', 1 FROM p WHERE has_ref
+  UNION ALL SELECT host, 'id', 0 FROM p
+)
+SELECT host, param,
+       CAST(SUM(rm) AS BIGINT) AS n_removed,
+       CAST(SUM(1 - rm) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(rm) AS DOUBLE) / COUNT(*), 6) AS removal_frac_r,
+       (COUNT(*) >= 5 AND ROUND(CAST(SUM(rm) AS DOUBLE) / COUNT(*), 6) >= 0.9)
+         AS is_tracking
+FROM obs GROUP BY host, param
+"""
+
+
 def q_seq_manifest(spark, sf_dir):
     """Per-sequence document boundary manifest over the q_pack_sequences
     packing — within-sequence [tok_begin, tok_end) slices including the
@@ -4374,6 +4418,7 @@ QUERIES = {
     "q_fresh_pagerank2": q_fresh_pagerank2,
     "q_zipf_terms": q_zipf_terms,
     "q_seq_manifest": q_seq_manifest,
+    "q_tracking_params": q_tracking_params,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -5415,6 +5460,7 @@ ORACLE_SQL = {
     "q_fresh_pagerank2": _fresh_pagerank_sql(2),
     "q_zipf_terms": _ZIPF_TERMS_SQL,
     "q_seq_manifest": _SEQ_MANIFEST_SQL,
+    "q_tracking_params": _TRACKING_PARAMS_SQL,
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),

@@ -142,3 +142,25 @@ def test_extract_title_normalizes(spark):
     got = {r["id"]: r["t"] for r in df.select("id", extract_title("html").alias("t")).collect()}
     assert got[1] == "A & B Story"
     assert got[2] is None and got[3] is None
+
+
+def test_tracking_param_rules_from_canonical_pairs(spark):
+    from amanogawa_spark.functions.url import tracking_param_rules
+
+    rows = []
+    for i in range(12):
+        base = f"http://s.com/p{i}"
+        rows.append((f"{base}?id={i}&utm_source=x&sid=z{i}", f"{base}?id={i}"))
+    # a cross-base canonical: says nothing about params, must be ignored
+    rows.append(("http://s.com/a?utm_source=x", "http://s.com/b"))
+    # identical url/canonical: no evidence
+    rows.append(("http://s.com/c?id=1", "http://s.com/c?id=1"))
+    df = spark.createDataFrame(rows, "url string, canonical_url string")
+    got = {
+        (r["host"], r["param"]): (r["n_removed"], r["n_kept"], r["is_tracking"])
+        for r in tracking_param_rules(df, min_obs=5).collect()
+    }
+    assert got[("s.com", "utm_source")] == (12, 0, True)
+    assert got[("s.com", "sid")] == (12, 0, True)
+    assert got[("s.com", "id")] == (0, 12, False)
+    assert len(got) == 3  # the ignored pairs contributed nothing
