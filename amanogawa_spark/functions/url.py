@@ -362,3 +362,47 @@ def tracking_param_rules(
             & (frac >= removal_frac)
         ).alias("is_tracking"),
     )
+
+
+def apply_param_rules(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    out_col: str = "normalized_url",
+) -> DataFrame:
+    """Apply a learned :func:`tracking_param_rules` table: strip each
+    URL's is_tracking parameters for its host → ``out_col``. The
+    consumer of the rule miner — a frontier dedupes on the normalized
+    URL BEFORE fetching, so parameter-variant duplicates never cost a
+    request. Parameter order is preserved for the kept params;
+    fragments are dropped (never sent to servers); URLs on hosts with
+    no rules pass through with only the fragment strip.
+
+    Scale shape: the rule table aggregates to one array per host
+    (O(hosts) rows) and joins on host — broadcastable for most crawls,
+    plain shuffle join beyond that; the rewrite itself is a map-side
+    array filter.
+    """
+    u = F.col(url_col)
+    drop_sets = (
+        rules.filter(F.col("is_tracking"))
+        .groupBy("host")
+        .agg(F.collect_set("param").alias("_drop"))
+    )
+    base = _base_of(u)
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.filter(F.split(qs, "&"), lambda kv: F.length(kv) > 0),
+        lambda kv: ~F.array_contains(F.col("_drop"), F.split(kv, "=")[0]),
+    )
+    rebuilt = F.when(F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))).otherwise(base)
+    no_rules = F.regexp_replace(u, r"#.*$", "")
+    return (
+        df.withColumn("_h", host_of(u))
+        .join(drop_sets.withColumnRenamed("host", "_h"), "_h", "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("_drop").isNotNull(), rebuilt).otherwise(no_rules),
+        )
+        .drop("_h", "_drop")
+    )

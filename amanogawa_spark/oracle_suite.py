@@ -3929,6 +3929,42 @@ FROM obs GROUP BY host, param
 """
 
 
+def q_apply_param_rules(spark, sf_dir):
+    """The learn→apply loop closed: mine tracking rules from canonical
+    pairs (q_tracking_params construction), then normalize the same URL
+    population with them — utm/ref stripped, id kept, order preserved."""
+    from amanogawa_spark.functions.url import apply_param_rules, tracking_param_rules
+
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("http://t"), (d % 5).cast("string"), F.lit(".com/p"), d.cast("string")
+    )
+    url = F.concat(
+        base,
+        F.lit("?id="),
+        d.cast("string"),
+        F.lit("&utm=x"),
+        F.when(d % 2 == 1, F.lit("&ref=y")).otherwise(F.lit("")),
+    )
+    canon = F.concat(base, F.lit("?id="), d.cast("string"))
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(url.alias("url"), canon.alias("canonical_url"))
+    rules = tracking_param_rules(pairs, min_obs=5, removal_frac=0.9)
+    return apply_param_rules(docs.select(url.alias("url")), rules).select(
+        "url", "normalized_url"
+    )
+
+
+_APPLY_PARAM_RULES_SQL = """
+SELECT 'http://t' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR)
+         || '?id=' || CAST(doc_id AS VARCHAR) || '&utm=x'
+         || CASE WHEN doc_id % 2 = 1 THEN '&ref=y' ELSE '' END AS url,
+       'http://t' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR)
+         || '?id=' || CAST(doc_id AS VARCHAR) AS normalized_url
+FROM documents
+"""
+
+
 def q_seq_manifest(spark, sf_dir):
     """Per-sequence document boundary manifest over the q_pack_sequences
     packing — within-sequence [tok_begin, tok_end) slices including the
@@ -4419,6 +4455,7 @@ QUERIES = {
     "q_zipf_terms": q_zipf_terms,
     "q_seq_manifest": q_seq_manifest,
     "q_tracking_params": q_tracking_params,
+    "q_apply_param_rules": q_apply_param_rules,
     "q_bowtie": q_bowtie,
     "q_redirect_resolve": q_redirect_resolve,
     "q_redirect_rewrite": q_redirect_rewrite,
@@ -5461,6 +5498,7 @@ ORACLE_SQL = {
     "q_zipf_terms": _ZIPF_TERMS_SQL,
     "q_seq_manifest": _SEQ_MANIFEST_SQL,
     "q_tracking_params": _TRACKING_PARAMS_SQL,
+    "q_apply_param_rules": _APPLY_PARAM_RULES_SQL,
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_classifier_train3": _classifier_train_sql(3),

@@ -164,3 +164,25 @@ def test_tracking_param_rules_from_canonical_pairs(spark):
     assert got[("s.com", "sid")] == (12, 0, True)
     assert got[("s.com", "id")] == (0, 12, False)
     assert len(got) == 3  # the ignored pairs contributed nothing
+
+
+def test_apply_param_rules_strips_only_learned_params(spark):
+    from amanogawa_spark.functions.url import apply_param_rules
+
+    rules = spark.createDataFrame(
+        [("s.com", "utm", 10, 0, 1.0, True), ("s.com", "id", 0, 10, 0.0, False)],
+        "host string, param string, n_removed long, n_kept long, "
+        "removal_frac_r double, is_tracking boolean",
+    )
+    urls = [
+        ("http://s.com/p?utm=x&id=3&utm=y",),     # dup tracking param: both go
+        ("http://s.com/p?utm=x",),                # all params tracking -> bare base
+        ("http://s.com/p",),                      # no query: unchanged
+        ("http://other.com/p?utm=x#frag",),       # no rules host: only frag strip
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    got = {r["url"]: r["normalized_url"] for r in apply_param_rules(df, rules).collect()}
+    assert got["http://s.com/p?utm=x&id=3&utm=y"] == "http://s.com/p?id=3"
+    assert got["http://s.com/p?utm=x"] == "http://s.com/p"
+    assert got["http://s.com/p"] == "http://s.com/p"
+    assert got["http://other.com/p?utm=x#frag"] == "http://other.com/p?utm=x"
