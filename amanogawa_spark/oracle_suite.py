@@ -3113,6 +3113,60 @@ def q_rich_club(spark, sf_dir):
     return rich_club(derived_edges(spark, sf_dir), [40, 60, 70, 80])
 
 
+def q_eigenvector5(spark, sf_dir):
+    from amanogawa_spark.graph.eigen import eigenvector_centrality
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    r = eigenvector_centrality(v, e, iterations=5)
+    return r.select("id", F.round("eig", 8).alias("eig_r"))
+
+
+def q_hitting_time4(spark, sf_dir):
+    from amanogawa_spark.graph.eigen import truncated_hitting_time
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    targets = v.filter(F.col("id") % 97 == 0)
+    r = truncated_hitting_time(v, e, targets, horizon=4)
+    return r.select("id", F.round("hitting", 8).alias("hit_r"))
+
+
+def simrank_edges(spark, sf_dir, m: int = 300, mod: int = 23) -> DataFrame:
+    """Sparser derived graph for the quadratic-support SimRank query —
+    same construction the bowtie query uses to bound RECURSIVE blowup."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = F.col("l_orderkey") % m
+    dst = F.col("l_partkey") % m
+    return (
+        li.select(src.alias("src_id"), dst.alias("dst_id"))
+        .filter(
+            (F.col("src_id") != F.col("dst_id"))
+            & ((F.col("src_id") * 7 + F.col("dst_id")) % mod == 0)
+        )
+        .distinct()
+    )
+
+
+def q_simrank2(spark, sf_dir):
+    from amanogawa_spark.graph.simrank import simrank_pairs
+
+    s = simrank_pairs(simrank_edges(spark, sf_dir), iterations=2, c=0.8)
+    return s.select("a", "b", F.round("score", 8).alias("score_r"))
+
+
+def q_adjacency_bits(spark, sf_dir):
+    from amanogawa_spark.graph.compress import adjacency_gap_bits
+
+    return adjacency_gap_bits(derived_edges(spark, sf_dir))
+
+
+def q_compress_summary(spark, sf_dir):
+    from amanogawa_spark.graph.compress import compression_summary
+
+    return compression_summary(derived_edges(spark, sf_dir))
+
+
 _RICH_CLUB_KS = "(VALUES (40), (60), (70), (80)) ks(k)"
 
 _BOWTIE_SQL = (
@@ -4477,6 +4531,11 @@ QUERIES = {
     "q_moved_content": q_moved_content,
     "q_avg_nbr_degree": q_avg_nbr_degree,
     "q_rich_club": q_rich_club,
+    "q_eigenvector5": q_eigenvector5,
+    "q_hitting_time4": q_hitting_time4,
+    "q_simrank2": q_simrank2,
+    "q_adjacency_bits": q_adjacency_bits,
+    "q_compress_summary": q_compress_summary,
     # -- round-4 second-session additions --
     "q_spam_mass3": q_spam_mass3,
     "q_push_ppr3": q_push_ppr3,
@@ -5482,7 +5541,131 @@ SELECT id_a, id_b, {cname} FROM pairs
 ORDER BY {cname} DESC, id_a ASC, id_b ASC LIMIT {k}"""
 
 
+def _eigenvector_sql(iters: int = 5, round_to: int = 8) -> str:
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "x0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS x FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT e.dst_id AS id, SUM(x.x) AS raw "
+            f"FROM edges e JOIN x{p} x ON e.src_id = x.id GROUP BY e.dst_id)"
+        )
+        parts.append(f"t{k} AS MATERIALIZED (SELECT SUM(raw) AS t FROM r{k})")
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT v.id, "
+            f"COALESCE(r.raw, 0.0)/(SELECT t FROM t{k}) AS x "
+            f"FROM verts v LEFT JOIN r{k} r ON v.id = r.id)"
+        )
+    return (
+        parts[0]
+        + ",\n"
+        + ",\n".join(parts[1:])
+        + f"\nSELECT id, ROUND(x, {round_to}) AS eig_r FROM x{iters}"
+    )
+
+
+def _hitting_sql(horizon: int = 4, round_to: int = 8) -> str:
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
+        "targets AS MATERIALIZED (SELECT id FROM verts WHERE id % 97 = 0)",
+        "h0 AS MATERIALIZED (SELECT id, 0.0 AS h FROM verts)",
+    ]
+    for k in range(1, horizon + 1):
+        p = k - 1
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT e.src_id AS id, AVG(h.h) AS ah "
+            f"FROM edges e JOIN h{p} h ON e.dst_id = h.id GROUP BY e.src_id)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT v.id, "
+            f"CASE WHEN t.id IS NOT NULL THEN 0.0 "
+            f"ELSE 1.0 + COALESCE(a.ah, CAST({p} AS DOUBLE)) END AS h "
+            f"FROM verts v LEFT JOIN targets t ON v.id = t.id "
+            f"LEFT JOIN a{k} a ON v.id = a.id)"
+        )
+    return (
+        parts[0]
+        + ",\n"
+        + ",\n".join(parts[1:])
+        + f"\nSELECT id, ROUND(h, {round_to}) AS hit_r FROM h{horizon}"
+    )
+
+
+_SIMRANK_SQL = """
+WITH sedges AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % 300 AS src_id, l_partkey % 300 AS dst_id
+  FROM lineitem
+  WHERE l_orderkey % 300 <> l_partkey % 300
+    AND (l_orderkey % 300 * 7 + l_partkey % 300) % 23 = 0
+),
+ine AS MATERIALIZED (SELECT DISTINCT dst_id AS v, src_id AS i FROM sedges),
+deg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM ine GROUP BY v),
+pairs AS MATERIALIZED (
+  SELECT x.v AS a, y.v AS b, COUNT(*) AS n_common
+  FROM ine x JOIN ine y ON x.i = y.i AND x.v < y.v
+  GROUP BY x.v, y.v
+),
+pd AS MATERIALIZED (
+  SELECT p.a, p.b, p.n_common, da.d AS da, db.d AS db
+  FROM pairs p JOIN deg da ON p.a = da.v JOIN deg db ON p.b = db.v
+),
+s1 AS MATERIALIZED (SELECT a, b, 0.8 * n_common / (da * db) AS score FROM pd),
+legs AS (
+  SELECT p.a, p.b, p.da, p.db, ia.i AS ia, ib.i AS ib
+  FROM pd p JOIN ine ia ON p.a = ia.v JOIN ine ib ON p.b = ib.v
+),
+looked AS (
+  SELECT l.a, l.b, l.da, l.db,
+         CASE WHEN l.ia = l.ib THEN 1.0 ELSE COALESCE(s.score, 0.0) END AS leg
+  FROM legs l LEFT JOIN s1 s
+    ON LEAST(l.ia, l.ib) = s.a AND GREATEST(l.ia, l.ib) = s.b
+),
+s2 AS (
+  SELECT a, b, 0.8 * SUM(leg) / (da * db) AS score
+  FROM looked GROUP BY a, b, da, db
+)
+SELECT a, b, ROUND(score, 8) AS score_r FROM s2"""
+
+
+_ADJ_BITS_PER_SQL = (
+    f"WITH {_EDGES_SQL.strip()}, "
+    "lagged AS (SELECT src_id, dst_id, "
+    "LAG(dst_id) OVER (PARTITION BY src_id ORDER BY dst_id) AS prev FROM edges), "
+    "gaps AS (SELECT src_id, CASE WHEN prev IS NULL THEN dst_id + 1 "
+    "ELSE dst_id - prev END AS gap FROM lagged), "
+    "per AS (SELECT src_id, COUNT(*) AS n_links, "
+    "CAST(SUM(2 * (LENGTH(BIN(gap)) - 1) + 1) AS BIGINT) AS gamma_bits "
+    "FROM gaps GROUP BY src_id) "
+)
+
+_ADJ_BITS_SQL = (
+    _ADJ_BITS_PER_SQL
+    + "SELECT src_id, n_links, gamma_bits, n_links * 64 AS raw_bits, "
+    "ROUND(CAST(gamma_bits AS DOUBLE) / n_links, 6) AS bits_per_link FROM per"
+)
+
+_COMPRESS_SUMMARY_SQL = (
+    _ADJ_BITS_PER_SQL
+    + "SELECT COUNT(*) AS n_sources, CAST(SUM(n_links) AS BIGINT) AS n_links, "
+    "CAST(SUM(gamma_bits) AS BIGINT) AS gamma_bits, "
+    "CAST(SUM(n_links) * 64 AS BIGINT) AS raw_bits, "
+    "ROUND(CAST(SUM(gamma_bits) AS DOUBLE) / SUM(n_links), 6) AS bits_per_link, "
+    "ROUND(CAST(SUM(gamma_bits) AS DOUBLE) / (SUM(n_links) * 64), 6) "
+    "AS compression_ratio FROM per"
+)
+
+
 ORACLE_SQL = {
+    "q_eigenvector5": _eigenvector_sql(5),
+    "q_hitting_time4": _hitting_sql(4),
+    "q_simrank2": _SIMRANK_SQL,
+    "q_adjacency_bits": _ADJ_BITS_SQL,
+    "q_compress_summary": _COMPRESS_SUMMARY_SQL,
     "q_neighbor_mean2": _NEIGHBOR_MEAN_SQL,
     "q_label_spread3": _label_spread_sql(3),
     "q_neg_samples2": _NEG_SAMPLES_SQL,
