@@ -407,6 +407,48 @@ def minhash_signature_table(
     )
 
 
+def banded_signatures(
+    sig: DataFrame, num_hashes: int, bands: int, hash: str = "xxhash64"
+) -> DataFrame:
+    """(id, band, bucket) LSH band table from an (id, sig) signature table.
+
+    Factored out of :func:`minhash_candidates` so a signature STORE from a
+    previous crawl can be banded without re-reading its text (the
+    incremental-dedup path). Bucket values are identical to the inline
+    form the oracle mirrors.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) — "
+            "trailing hashes would be silently excluded from banding"
+        )
+    rows_per_band = num_hashes // bands
+
+    def _bucket(b: int) -> Column:
+        joined = F.array_join(
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+        if hash == "md5":
+            return F.md5(F.encode(joined, "UTF-8"))
+        return F.xxhash64(joined)
+
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -432,32 +474,8 @@ def minhash_candidates(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) — "
             "trailing hashes would be silently excluded from banding"
         )
-    rows_per_band = num_hashes // bands
     sig = minhash_signature_table(df, id_col, text_col, num_hashes, shingle_n, hash)
-
-    def _bucket(b: int) -> Column:
-        joined = F.array_join(
-            F.transform(
-                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        )
-        if hash == "md5":
-            return F.md5(F.encode(joined, "UTF-8"))
-        return F.xxhash64(joined)
-
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = banded_signatures(sig, num_hashes, bands, hash)
     if max_bucket_size is not None:
         ok = (
             banded.groupBy("band", "bucket")
@@ -763,3 +781,186 @@ def canonical_dedup(
         )
         .select("url", "canonical_url", "keep")
     )
+
+
+def sig_agreement(a: Column, b: Column, num_hashes: int) -> Column:
+    """Unbiased Jaccard estimate from two minhash signatures: the fraction
+    of agreeing components (E[1{h_min(A)=h_min(B)}] = J(A,B) per
+    permutation). Lets a dedup STORE keep only signatures — the verify
+    step never needs the previous crawl's text."""
+    return (
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(num_hashes))
+    )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    store: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against a fingerprint store from previous crawls.
+
+    ``store``: single-column (fp) table of previously-kept fingerprints
+    (None = bootstrap). Returns ``(kept, new_store)``: kept = new rows
+    whose fingerprint is unseen AND that are the min-id representative of
+    their within-batch group; new_store = store ∪ kept fingerprints. The
+    batch never joins against old TEXT — only against the O(corpus)
+    fingerprint column — and old×old pairs are never revisited, so per
+    recrawl the work is O(batch + store-probe), not O(corpus²).
+
+    hash='md5' makes the fingerprint engine-portable (oracle mode);
+    'xxhash64' keeps the two-seed 128-bit production fingerprint of
+    :func:`exact_duplicates`.
+    """
+    norm = normalized_text(text_col)
+    if hash == "md5":
+        fp = F.md5(F.encode(norm, "UTF-8"))
+    else:
+        fp = F.concat_ws(
+            ":",
+            F.xxhash64(F.lit(1), norm).cast("string"),
+            F.xxhash64(F.lit(2), norm).cast("string"),
+        )
+    keyed = new_df.withColumn("_fp", fp)
+    if store is not None:
+        s = store.select(F.col(store.columns[0]).alias("_fp"))
+        fresh = keyed.join(s, "_fp", "left_anti")
+    else:
+        fresh = keyed
+    w_min = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    kept = fresh.join(w_min, ["_fp", id_col], "left_semi")
+    new_store = kept.select(F.col("_fp").alias("fp")).distinct()
+    if store is not None:
+        new_store = (
+            store.select(F.col(store.columns[0]).alias("fp"))
+            .unionByName(new_store)
+            .distinct()
+        )
+    return kept.drop("_fp"), new_store
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    store: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    hash: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup dedup of a NEW batch against a minhash-signature store.
+
+    ``store``: (id, sig) of previously-kept documents (None = bootstrap).
+    A new document is dropped when its estimated Jaccard
+    (:func:`sig_agreement` — the store carries no text) reaches
+    ``threshold`` against ANY store document sharing a band bucket, or
+    when it is the higher id of a qualifying within-batch pair (the same
+    drop-the-higher-id contract as :func:`minhash_dedup`). Returns
+    ``(kept, new_store)`` with new_store = store ∪ kept signatures.
+
+    Scale shape: the store is banded from SIGNATURES (text never
+    re-read, never reshuffled); candidate generation is new×store and
+    new×new bucket joins — old×old is structurally impossible — and
+    ``max_bucket_size`` bounds hot buckets on both sides.
+    """
+    sig_new = minhash_signature_table(
+        new_df, id_col, text_col, num_hashes, shingle_n, hash
+    )
+    sig_new = sig_new.persist()
+    banded_new = banded_signatures(sig_new, num_hashes, bands, hash)
+    if max_bucket_size is not None:
+        ok = (
+            banded_new.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded_new = banded_new.join(ok, ["band", "bucket"], "left_semi")
+
+    dropped_vs_store = None
+    if store is not None:
+        banded_store = banded_signatures(
+            store.select(F.col(store.columns[0]).alias("id"), F.col(store.columns[1]).alias("sig")),
+            num_hashes,
+            bands,
+            hash,
+        )
+        if max_bucket_size is not None:
+            ok_s = (
+                banded_store.groupBy("band", "bucket")
+                .agg(F.count("*").alias("_sz"))
+                .filter(F.col("_sz") <= max_bucket_size)
+                .select("band", "bucket")
+            )
+            banded_store = banded_store.join(ok_s, ["band", "bucket"], "left_semi")
+        cand_ns = (
+            banded_new.select(F.col("id").alias("id_new"), "band", "bucket")
+            .join(
+                banded_store.select(F.col("id").alias("id_old"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .select("id_new", "id_old")
+            .distinct()
+        )
+        est_ns = (
+            cand_ns.join(
+                sig_new.select(F.col("id").alias("id_new"), F.col("sig").alias("sig_n")),
+                "id_new",
+            )
+            .join(
+                store.select(
+                    F.col(store.columns[0]).alias("id_old"),
+                    F.col(store.columns[1]).alias("sig_o"),
+                ),
+                "id_old",
+            )
+            .withColumn("est", sig_agreement(F.col("sig_n"), F.col("sig_o"), num_hashes))
+        )
+        dropped_vs_store = (
+            est_ns.filter(F.col("est") >= threshold).select(F.col("id_new").alias("id")).distinct()
+        )
+
+    # within-batch: bucket self-join among new docs, estimator verify,
+    # drop the higher id of each qualifying pair
+    a = banded_new.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded_new.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand_nn = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    est_nn = (
+        cand_nn.join(
+            sig_new.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+        )
+        .join(sig_new.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn("est", sig_agreement(F.col("sig_a"), F.col("sig_b"), num_hashes))
+    )
+    dropped_nn = (
+        est_nn.filter(F.col("est") >= threshold).select(F.col("id_b").alias("id")).distinct()
+    )
+    dropped = dropped_nn if dropped_vs_store is None else dropped_nn.unionByName(dropped_vs_store).distinct()
+
+    kept = new_df.join(dropped.select(F.col("id").alias(id_col)), id_col, "left_anti")
+    kept_sigs = sig_new.join(dropped, "id", "left_anti").select("id", "sig")
+    if store is not None:
+        new_store = (
+            store.select(
+                F.col(store.columns[0]).alias("id"), F.col(store.columns[1]).alias("sig")
+            )
+            .unionByName(kept_sigs)
+        )
+    else:
+        new_store = kept_sigs
+    return kept, new_store

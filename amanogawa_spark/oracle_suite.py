@@ -3113,6 +3113,50 @@ def q_rich_club(spark, sf_dir):
     return rich_club(derived_edges(spark, sf_dir), [40, 60, 70, 80])
 
 
+def q_incr_exact_dedup(spark, sf_dir):
+    """Cross-snapshot exact dedup: even doc_ids are the stored previous
+    crawl (fingerprints only), odd doc_ids the new batch."""
+    from amanogawa_spark.operators.dedup import (
+        incremental_exact_dedup,
+        normalized_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    store = old.select(
+        F.md5(F.encode(normalized_text("text"), "UTF-8")).alias("fp")
+    ).distinct()
+    kept, _ = incremental_exact_dedup(new, store, hash="md5")
+    return kept.select("doc_id")
+
+
+def q_incr_minhash_dedup(spark, sf_dir):
+    """Cross-snapshot near-dup dedup against a signature store (md5
+    oracle-mode minhash; the store carries signatures, never text)."""
+    from amanogawa_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signature_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    store = minhash_signature_table(old, hash="md5")
+    kept, _ = incremental_minhash_dedup(new, store, threshold=0.8, hash="md5")
+    return kept.select("doc_id")
+
+
+def q_bloom_seen(spark, sf_dir):
+    """Bloom seen-set over doc ids ≡ 0 (mod 3); probe every doc."""
+    from amanogawa_spark.operators.bloom import bloom_build, bloom_contains
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    members = docs.filter(F.col("doc_id") % 3 == 0)
+    bloom = bloom_build(members, "doc_id", m_bits=1 << 14, k_hashes=4)
+    return bloom_contains(docs, "doc_id", bloom, m_bits=1 << 14, k_hashes=4)
+
+
 def q_eigenvector5(spark, sf_dir):
     from amanogawa_spark.graph.eigen import eigenvector_centrality
 
@@ -4531,6 +4575,9 @@ QUERIES = {
     "q_moved_content": q_moved_content,
     "q_avg_nbr_degree": q_avg_nbr_degree,
     "q_rich_club": q_rich_club,
+    "q_incr_exact_dedup": q_incr_exact_dedup,
+    "q_incr_minhash_dedup": q_incr_minhash_dedup,
+    "q_bloom_seen": q_bloom_seen,
     "q_eigenvector5": q_eigenvector5,
     "q_hitting_time4": q_hitting_time4,
     "q_simrank2": q_simrank2,
@@ -5541,6 +5588,82 @@ SELECT id_a, id_b, {cname} FROM pairs
 ORDER BY {cname} DESC, id_a ASC, id_b ASC LIMIT {k}"""
 
 
+_INCR_EXACT_DEDUP_SQL = f"""
+WITH oldfp AS (SELECT DISTINCT md5({_NORM}) AS fp FROM documents WHERE doc_id % 2 = 0),
+newd AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents WHERE doc_id % 2 = 1),
+fresh AS (SELECT * FROM newd WHERE fp NOT IN (SELECT fp FROM oldfp))
+SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY fp"""
+
+
+def _incr_minhash_sql(
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3, threshold: float = 0.8
+) -> str:
+    """Mirror of incremental_minhash_dedup(hash='md5') with even doc_ids as
+    the signature store and odd doc_ids as the new batch: identical
+    signatures/buckets to _minhash_md5_sql, signature-agreement verify."""
+    n = shingle_n
+    rpb = num_hashes // bands
+    mins = ", ".join(f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(num_hashes))
+
+    def band_sel(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, {b} AS band, md5("
+            + " || ',' || ".join(f"h{b * rpb + j}" for j in range(rpb))
+            + f") AS bucket FROM {src}"
+            for b in range(bands)
+        )
+
+    agree = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+WITH base AS (SELECT doc_id AS id, doc_id % 2 AS par, {_NORM} AS norm FROM documents),
+tk AS (SELECT id, par, string_split(norm, ' ') AS toks FROM base),
+shl AS MATERIALIZED (SELECT id, par, CASE WHEN len(toks) >= {n}
+  THEN list_distinct(list_transform(range(0, len(toks) - {n - 1}),
+       i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' ')))
+  ELSE [array_to_string(toks, ' ')] END AS sh FROM tk),
+ex AS (SELECT id, par, unnest(sh) AS s FROM shl),
+sig AS MATERIALIZED (SELECT id, par, {mins} FROM ex GROUP BY id, par),
+sig_old AS MATERIALIZED (SELECT * FROM sig WHERE par = 0),
+sig_new AS MATERIALIZED (SELECT * FROM sig WHERE par = 1),
+b_old AS MATERIALIZED ({band_sel('sig_old')}),
+b_new AS MATERIALIZED ({band_sel('sig_new')}),
+cand_ns AS (SELECT DISTINCT a.id AS id_new, b.id AS id_old FROM b_new a
+  JOIN b_old b ON a.band = b.band AND a.bucket = b.bucket),
+drop_ns AS (SELECT DISTINCT c.id_new AS id FROM cand_ns c
+  JOIN sig_new x ON c.id_new = x.id JOIN sig_old y ON c.id_old = y.id
+  WHERE ({agree}) / {float(num_hashes)} >= {threshold}),
+cand_nn AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM b_new a
+  JOIN b_new b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+drop_nn AS (SELECT DISTINCT c.id_b AS id FROM cand_nn c
+  JOIN sig_new x ON c.id_a = x.id JOIN sig_new y ON c.id_b = y.id
+  WHERE ({agree}) / {float(num_hashes)} >= {threshold})
+SELECT id AS doc_id FROM sig_new
+WHERE id NOT IN (SELECT id FROM drop_ns UNION SELECT id FROM drop_nn)"""
+
+
+def _bloom_sql(m_bits: int = 1 << 14, k: int = 4, mod: int = 3) -> str:
+    poss = ", ".join(
+        f"('0x' || substr(md5('{i}:' || key), 1, 15))::BIGINT % {m_bits}"
+        for i in range(k)
+    )
+    return f"""
+WITH keys AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS key FROM documents),
+mem AS (SELECT key FROM keys WHERE doc_id % {mod} = 0),
+mpos AS (SELECT unnest([{poss}]) AS pos FROM mem),
+words AS MATERIALIZED (SELECT pos // 60 AS word_idx,
+  bit_or(1::BIGINT << CAST(pos % 60 AS INT)) AS word
+  FROM mpos GROUP BY pos // 60),
+ppos AS (SELECT doc_id, unnest([{poss}]) AS pos FROM keys),
+probe AS (SELECT doc_id, pos // 60 AS word_idx,
+  1::BIGINT << CAST(pos % 60 AS INT) AS mask FROM ppos),
+hit AS (SELECT p.doc_id, CASE WHEN w.word IS NOT NULL
+    AND (w.word & p.mask) = p.mask THEN 1 ELSE 0 END AS b
+  FROM probe p LEFT JOIN words w ON p.word_idx = w.word_idx)
+SELECT doc_id, SUM(b) = {k} AS maybe_seen FROM hit GROUP BY doc_id"""
+
+
 def _eigenvector_sql(iters: int = 5, round_to: int = 8) -> str:
     parts = [
         f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
@@ -5661,6 +5784,9 @@ _COMPRESS_SUMMARY_SQL = (
 
 
 ORACLE_SQL = {
+    "q_incr_exact_dedup": _INCR_EXACT_DEDUP_SQL,
+    "q_incr_minhash_dedup": _incr_minhash_sql(),
+    "q_bloom_seen": _bloom_sql(),
     "q_eigenvector5": _eigenvector_sql(5),
     "q_hitting_time4": _hitting_sql(4),
     "q_simrank2": _SIMRANK_SQL,
