@@ -32,6 +32,12 @@ from amanogawa_spark.operators.retrieval import (
     posting_lists,
 )
 from amanogawa_spark.operators.semdedup import semdedup
+from amanogawa_spark.operators.bloom import bloom_build, bloom_contains, bloom_merge
+from amanogawa_spark.operators.dedup import (
+    incremental_exact_dedup,
+    incremental_minhash_dedup,
+)
+from amanogawa_spark.operators.recrawl import change_rates, revisit_schedule
 from amanogawa_spark.operators.snapshots import content_churn, moved_content
 from amanogawa_spark.operators.pq import ivf_pq_topk, pq_adc_topk, pq_encode, pq_train
 from amanogawa_spark.operators.stats import (
@@ -77,6 +83,13 @@ __all__ = [
     "positional_postings",
     "content_churn",
     "moved_content",
+    "bloom_build",
+    "bloom_contains",
+    "bloom_merge",
+    "incremental_exact_dedup",
+    "incremental_minhash_dedup",
+    "change_rates",
+    "revisit_schedule",
     "bm25_scores",
     "posting_lists",
     "semdedup",

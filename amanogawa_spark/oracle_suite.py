@@ -3157,6 +3157,51 @@ def q_bloom_seen(spark, sf_dir):
     return bloom_contains(docs, "doc_id", bloom, m_bits=1 << 14, k_hashes=4)
 
 
+_HISTORY_BASE_EPOCH = 1767225600  # 2026-01-01T00:00:00Z
+
+
+def _synth_history(spark, sf_dir):
+    """Deterministic 6-snapshot fetch history per document: fetch
+    interval (1 + doc_id % 3) days, content changes every
+    (1 + doc_id % 4) snapshots (the fingerprint is a hash of the
+    change-epoch index, so consecutive-fp inequality detects exactly
+    those flips)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("i")
+    ).select(
+        F.concat(F.lit("https://ex.com/d/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.timestamp_seconds(
+            F.lit(_HISTORY_BASE_EPOCH)
+            + F.col("i") * (F.lit(1) + F.col("doc_id") % 3) * 86400
+        ).alias("ts"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.floor(F.col("i") / (F.lit(1) + F.col("doc_id") % 4)).cast("string"),
+            )
+        ).alias("fp"),
+    )
+
+
+def q_change_rates(spark, sf_dir):
+    """Poisson change-rate estimation over the synthetic fetch history."""
+    from amanogawa_spark.operators.recrawl import change_rates
+
+    return change_rates(_synth_history(spark, sf_dir))
+
+
+def q_revisit_schedule(spark, sf_dir):
+    """Budget-proportional revisit intervals from the estimated rates."""
+    from amanogawa_spark.operators.recrawl import change_rates, revisit_schedule
+
+    rates = change_rates(_synth_history(spark, sf_dir))
+    return revisit_schedule(rates, period_days=7.0, budget=1000)
+
+
 def q_eigenvector5(spark, sf_dir):
     from amanogawa_spark.graph.eigen import eigenvector_centrality
 
@@ -4578,6 +4623,8 @@ QUERIES = {
     "q_incr_exact_dedup": q_incr_exact_dedup,
     "q_incr_minhash_dedup": q_incr_minhash_dedup,
     "q_bloom_seen": q_bloom_seen,
+    "q_change_rates": q_change_rates,
+    "q_revisit_schedule": q_revisit_schedule,
     "q_eigenvector5": q_eigenvector5,
     "q_hitting_time4": q_hitting_time4,
     "q_simrank2": q_simrank2,
@@ -5664,6 +5711,52 @@ hit AS (SELECT p.doc_id, CASE WHEN w.word IS NOT NULL
 SELECT doc_id, SUM(b) = {k} AS maybe_seen FROM hit GROUP BY doc_id"""
 
 
+_HISTORY_SQL = f"""
+hist AS (
+  SELECT 'https://ex.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+         {_HISTORY_BASE_EPOCH} + i * (1 + doc_id % 3) * 86400 AS es,
+         md5(CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(i // (1 + doc_id % 4) AS VARCHAR)) AS fp
+  FROM documents, range(0, 6) t(i))"""
+
+_RATES_SQL_BODY = f"""
+steps AS (
+  SELECT url, es,
+         CAST(lag(fp) OVER (PARTITION BY url ORDER BY es) <> fp AS INT) AS chg
+  FROM hist),
+agg AS (
+  SELECT url, COUNT(*) AS n_obs,
+         CAST(COALESCE(SUM(chg), 0) AS BIGINT) AS n_changes,
+         (MAX(es) - MIN(es)) / 86400.0 AS span
+  FROM steps GROUP BY url),
+rates AS (
+  SELECT url, n_obs, n_changes,
+         ROUND(CASE WHEN n_obs > 1 THEN span / (n_obs - 1) END, 8)
+           AS interval_days,
+         ROUND(CASE WHEN n_obs > 1 AND span > 0 THEN
+           -ln((n_obs - 1 - n_changes + 0.5) / (n_obs - 1 + 0.5))
+             / (span / (n_obs - 1)) END, 8) AS lambda_day
+  FROM agg)"""
+
+_CHANGE_RATES_SQL = f"""
+WITH {_HISTORY_SQL.strip()},
+{_RATES_SQL_BODY.strip()}
+SELECT url, n_obs, n_changes, interval_days, lambda_day FROM rates"""
+
+_REVISIT_SQL = f"""
+WITH {_HISTORY_SQL.strip()},
+{_RATES_SQL_BODY.strip()},
+p AS (
+  SELECT url,
+         1.0 - exp(-COALESCE(lambda_day, 0.05) * 7.0) AS p
+  FROM rates),
+tot AS (SELECT SUM(p) AS tot FROM p)
+SELECT url, ROUND(p, 8) AS p_change, ROUND(p, 8) AS weight,
+       ROUND(LEAST(GREATEST(7.0 * tot / (1000.0 * p), 0.25), 365.0), 8)
+         AS interval_days
+FROM p, tot"""
+
+
 def _eigenvector_sql(iters: int = 5, round_to: int = 8) -> str:
     parts = [
         f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
@@ -5787,6 +5880,8 @@ ORACLE_SQL = {
     "q_incr_exact_dedup": _INCR_EXACT_DEDUP_SQL,
     "q_incr_minhash_dedup": _incr_minhash_sql(),
     "q_bloom_seen": _bloom_sql(),
+    "q_change_rates": _CHANGE_RATES_SQL,
+    "q_revisit_schedule": _REVISIT_SQL,
     "q_eigenvector5": _eigenvector_sql(5),
     "q_hitting_time4": _hitting_sql(4),
     "q_simrank2": _SIMRANK_SQL,
