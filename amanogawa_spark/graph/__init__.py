@@ -37,6 +37,7 @@ from amanogawa_spark.graph.trustrank import spam_mass, spam_mass_scores, trustra
 from amanogawa_spark.graph.host import host_graph, host_rank, host_vertices
 from amanogawa_spark.graph.build import degree_assortativity, reciprocity
 from amanogawa_spark.graph.metrics import avg_neighbor_degree, rich_club
+from amanogawa_spark.graph.densest import densest_subgraph, peel_profile, peel_profile_df
 from amanogawa_spark.graph.eigen import eigenvector_centrality, truncated_hitting_time
 from amanogawa_spark.graph.simrank import simrank_pairs
 from amanogawa_spark.graph.compress import adjacency_gap_bits, compression_summary
@@ -131,6 +132,9 @@ __all__ = [
     "degree_assortativity",
     "avg_neighbor_degree",
     "rich_club",
+    "densest_subgraph",
+    "peel_profile",
+    "peel_profile_df",
     "eigenvector_centrality",
     "truncated_hitting_time",
     "simrank_pairs",

@@ -3202,6 +3202,34 @@ def q_revisit_schedule(spark, sf_dir):
     return revisit_schedule(rates, period_days=7.0, budget=1000)
 
 
+def _planted_farm_edges(spark, sf_dir):
+    """Sparse background (m=20000 derived edges) + a planted 30-vertex
+    link-farm clique over ids 100..129 — the densest-subgraph fixture."""
+    bg = derived_edges(spark, sf_dir, m=20000)
+    clique = spark.range(100, 129).select(
+        F.col("id").alias("src_id"),
+        F.explode(F.sequence(F.col("id") + 1, F.lit(129))).alias("dst_id"),
+    )
+    return bg.unionByName(clique)
+
+
+def q_densest_vertices(spark, sf_dir):
+    """Batched greedy peeling (Bahmani et al.) recovers the planted farm."""
+    from amanogawa_spark.graph.densest import densest_subgraph
+
+    sub, _ = densest_subgraph(
+        _planted_farm_edges(spark, sf_dir), eps=0.5, fixed_rounds=6
+    )
+    return sub
+
+
+def q_peel_profile(spark, sf_dir):
+    """Per-round (|V|, |E|, density) trajectory of the peel."""
+    from amanogawa_spark.graph.densest import peel_profile_df
+
+    return peel_profile_df(_planted_farm_edges(spark, sf_dir), eps=0.5, fixed_rounds=6)
+
+
 def q_eigenvector5(spark, sf_dir):
     from amanogawa_spark.graph.eigen import eigenvector_centrality
 
@@ -4625,6 +4653,8 @@ QUERIES = {
     "q_bloom_seen": q_bloom_seen,
     "q_change_rates": q_change_rates,
     "q_revisit_schedule": q_revisit_schedule,
+    "q_densest_vertices": q_densest_vertices,
+    "q_peel_profile": q_peel_profile,
     "q_eigenvector5": q_eigenvector5,
     "q_hitting_time4": q_hitting_time4,
     "q_simrank2": q_simrank2,
@@ -5757,6 +5787,58 @@ SELECT url, ROUND(p, 8) AS p_change, ROUND(p, 8) AS weight,
 FROM p, tot"""
 
 
+def _densest_sql(rounds: int = 6, profile: bool = False) -> str:
+    """Mirror of the eps=0.5 (factor 3.0) batched greedy peel over the
+    planted-farm fixture; ``profile`` emits the per-round trajectory,
+    else the argmax-density round's alive vertex set."""
+    parts = [
+        """
+WITH ed AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % 20000 AS src_id, l_partkey % 20000 AS dst_id
+  FROM lineitem WHERE l_orderkey % 20000 <> l_partkey % 20000),
+cl AS (SELECT a.r AS src_id, b.r AS dst_id
+       FROM range(100, 130) a(r), range(100, 130) b(r) WHERE a.r < b.r),
+g AS (SELECT * FROM ed UNION SELECT * FROM cl),
+pairs AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT src_id AS u, dst_id AS v FROM g
+    UNION SELECT dst_id AS u, src_id AS v FROM g) WHERE u <> v),
+a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM pairs)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (SELECT p.u AS id, COUNT(*) AS deg FROM pairs p
+  JOIN a{r} x ON p.u = x.id JOIN a{r} y ON p.v = y.id GROUP BY p.u),
+s{r} AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM a{r}) AS nv,
+  (SELECT CAST(COALESCE(SUM(deg), 0) AS BIGINT) // 2 FROM d{r}) AS ne),
+a{r + 1} AS MATERIALIZED (SELECT d.id FROM d{r} d, s{r} s WHERE d.deg > (3.0 * s.ne) / s.nv)"""
+        )
+    stats_rows = " UNION ALL ".join(
+        f"SELECT {r} AS round, nv, ne FROM s{r}" for r in range(rounds)
+    )
+    parts.append(f",\nstats AS ({stats_rows})")
+    if profile:
+        parts.append(
+            """
+SELECT round, nv AS n_vertices, ne AS n_edges,
+       ROUND(ne * 1.0 / nv, 8) AS density_r
+FROM stats WHERE nv > 0"""
+        )
+    else:
+        parts.append(
+            """,
+best AS (SELECT round FROM stats WHERE nv > 0
+         ORDER BY ne * 1.0 / nv DESC, round ASC LIMIT 1)"""
+        )
+        sel = "\nUNION ALL ".join(
+            f"SELECT id FROM a{r} WHERE (SELECT round FROM best) = {r}"
+            for r in range(rounds)
+        )
+        parts.append("\n" + sel)
+    return "".join(parts)
+
+
 def _eigenvector_sql(iters: int = 5, round_to: int = 8) -> str:
     parts = [
         f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
@@ -5882,6 +5964,8 @@ ORACLE_SQL = {
     "q_bloom_seen": _bloom_sql(),
     "q_change_rates": _CHANGE_RATES_SQL,
     "q_revisit_schedule": _REVISIT_SQL,
+    "q_densest_vertices": _densest_sql(6, profile=False),
+    "q_peel_profile": _densest_sql(6, profile=True),
     "q_eigenvector5": _eigenvector_sql(5),
     "q_hitting_time4": _hitting_sql(4),
     "q_simrank2": _SIMRANK_SQL,
