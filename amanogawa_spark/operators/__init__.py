@@ -36,6 +36,7 @@ from amanogawa_spark.operators.bloom import bloom_build, bloom_contains, bloom_m
 from amanogawa_spark.operators.dedup import (
     incremental_exact_dedup,
     incremental_minhash_dedup,
+    mirror_hosts,
 )
 from amanogawa_spark.operators.recrawl import change_rates, revisit_schedule
 from amanogawa_spark.operators.snapshots import content_churn, moved_content
@@ -88,6 +89,7 @@ __all__ = [
     "bloom_merge",
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
+    "mirror_hosts",
     "change_rates",
     "revisit_schedule",
     "bm25_scores",

@@ -964,3 +964,78 @@ def incremental_minhash_dedup(
     else:
         new_store = kept_sigs
     return kept, new_store
+
+
+def mirror_hosts(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_shared: int = 3,
+    containment_threshold: float = 0.5,
+    max_hosts_per_fp: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """(host_a, host_b, n_shared, n_a, n_b, jaccard_r, containment_r) —
+    cross-host mirror detection by content-fingerprint overlap.
+
+    :func:`host_dup_profile` finds hosts duplicating WITHIN themselves;
+    this finds host PAIRS serving the same documents — full mirrors,
+    CDN/apex aliases the redirect resolver never saw, scraper sites.
+    Mirrors matter upstream of everything: they double-count PageRank
+    mass, inflate dedup clusters, and waste crawl budget.
+    ``containment = shared / min(|A|, |B|)`` is the mirror signal (a
+    small full mirror of a big site has low Jaccard but containment 1);
+    pairs need ``min_shared`` common fingerprints AND containment ≥
+    threshold. Jaccard is reported alongside to separate full mirrors
+    (≈1) from subset scrapes.
+
+    Scale shape: only (host, 16-byte fp) pairs ever shuffle; candidate
+    generation is an fp-keyed self-join guarded by ``max_hosts_per_fp``
+    — a fingerprint served by f hosts contributes f² pairs, so boiler-
+    plate/empty-page fingerprints (the hot keys) are dropped before the
+    join, bounding it at max_hosts_per_fp²·n_fps. Hosts sharing ONLY
+    hot fingerprints are not mirrors in any useful sense.
+    """
+    from amanogawa_spark.functions.url import host_of
+
+    keyed = df.select(
+        host_of(F.col(url_col)).alias("host"),
+        F.md5(normalized_text(F.col(text_col))).alias("fp"),
+    ).distinct()
+    sizes = keyed.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    ok_fp = (
+        keyed.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_h"))
+        .filter((F.col("_h") >= 2) & (F.col("_h") <= max_hosts_per_fp))
+        .select("fp")
+    )
+    guarded = keyed.join(ok_fp, "fp", "left_semi")
+    pairs = (
+        guarded.select(F.col("host").alias("host_a"), "fp")
+        .join(guarded.select(F.col("host").alias("host_b"), "fp"), "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        pairs.join(sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a")), "host_a")
+        .join(sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b")), "host_b")
+        .withColumn(
+            "containment_r",
+            F.round(F.col("n_shared") / F.least("n_a", "n_b"), round_to),
+        )
+        .withColumn(
+            "jaccard_r",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                round_to,
+            ),
+        )
+        .filter(
+            (F.col("n_shared") >= min_shared)
+            & (F.col("containment_r") >= containment_threshold)
+        )
+    )
+    return out.select(
+        "host_a", "host_b", "n_shared", "n_a", "n_b", "jaccard_r", "containment_r"
+    )

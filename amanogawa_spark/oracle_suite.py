@@ -3202,6 +3202,38 @@ def q_revisit_schedule(spark, sf_dir):
     return revisit_schedule(rates, period_days=7.0, budget=1000)
 
 
+def _mirror_corpus(spark, sf_dir):
+    """40 synthetic hosts over the documents table + a full mirror of
+    host h3 (mirror-a) and a half mirror of host h7 (mirror-b)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    base = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            (d % 40).cast("string"),
+            F.lit(".com/p"),
+            d.cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    full = docs.filter(d % 40 == 3).select(
+        F.concat(F.lit("https://mirror-a.com/p"), d.cast("string")).alias("url"),
+        "text",
+    )
+    part = docs.filter((d % 40 == 7) & (d % 2 == 1)).select(
+        F.concat(F.lit("https://mirror-b.com/p"), d.cast("string")).alias("url"),
+        "text",
+    )
+    return base.unionByName(full).unionByName(part)
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Cross-host mirror detection over the planted-mirror corpus."""
+    from amanogawa_spark.operators.dedup import mirror_hosts
+
+    return mirror_hosts(_mirror_corpus(spark, sf_dir))
+
+
 def _planted_farm_edges(spark, sf_dir):
     """Sparse background (m=20000 derived edges) + a planted 30-vertex
     link-farm clique over ids 100..129 — the densest-subgraph fixture."""
@@ -4655,6 +4687,7 @@ QUERIES = {
     "q_revisit_schedule": q_revisit_schedule,
     "q_densest_vertices": q_densest_vertices,
     "q_peel_profile": q_peel_profile,
+    "q_mirror_hosts": q_mirror_hosts,
     "q_eigenvector5": q_eigenvector5,
     "q_hitting_time4": q_hitting_time4,
     "q_simrank2": q_simrank2,
@@ -5787,6 +5820,34 @@ SELECT url, ROUND(p, 8) AS p_change, ROUND(p, 8) AS weight,
 FROM p, tot"""
 
 
+_MIRROR_HOSTS_SQL = f"""
+WITH corpus AS (
+  SELECT 'h' || (doc_id % 40) || '.com' AS host, md5({_NORM}) AS fp FROM documents
+  UNION ALL
+  SELECT 'mirror-a.com', md5({_NORM}) FROM documents WHERE doc_id % 40 = 3
+  UNION ALL
+  SELECT 'mirror-b.com', md5({_NORM}) FROM documents
+  WHERE doc_id % 40 = 7 AND doc_id % 2 = 1),
+keyed AS MATERIALIZED (SELECT DISTINCT host, fp FROM corpus),
+sizes AS (SELECT host, COUNT(*) AS n FROM keyed GROUP BY host),
+ok_fp AS (SELECT fp FROM keyed GROUP BY fp
+          HAVING COUNT(*) >= 2 AND COUNT(*) <= 20),
+guarded AS MATERIALIZED (
+  SELECT k.host, k.fp FROM keyed k JOIN ok_fp o ON k.fp = o.fp),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS n_shared
+  FROM guarded a JOIN guarded b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY a.host, b.host)
+SELECT p.host_a, p.host_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       ROUND(p.n_shared * 1.0 / (sa.n + sb.n - p.n_shared), 6) AS jaccard_r,
+       ROUND(p.n_shared * 1.0 / LEAST(sa.n, sb.n), 6) AS containment_r
+FROM pairs p
+JOIN sizes sa ON p.host_a = sa.host JOIN sizes sb ON p.host_b = sb.host
+WHERE p.n_shared >= 3
+  AND ROUND(p.n_shared * 1.0 / LEAST(sa.n, sb.n), 6) >= 0.5"""
+
+
 def _densest_sql(rounds: int = 6, profile: bool = False) -> str:
     """Mirror of the eps=0.5 (factor 3.0) batched greedy peel over the
     planted-farm fixture; ``profile`` emits the per-round trajectory,
@@ -5966,6 +6027,7 @@ ORACLE_SQL = {
     "q_revisit_schedule": _REVISIT_SQL,
     "q_densest_vertices": _densest_sql(6, profile=False),
     "q_peel_profile": _densest_sql(6, profile=True),
+    "q_mirror_hosts": _MIRROR_HOSTS_SQL,
     "q_eigenvector5": _eigenvector_sql(5),
     "q_hitting_time4": _hitting_sql(4),
     "q_simrank2": _SIMRANK_SQL,
