@@ -41,6 +41,11 @@ from amanogawa_spark.graph.densest import densest_subgraph, peel_profile, peel_p
 from amanogawa_spark.graph.eigen import eigenvector_centrality, truncated_hitting_time
 from amanogawa_spark.graph.simrank import simrank_pairs
 from amanogawa_spark.graph.compress import adjacency_gap_bits, compression_summary
+from amanogawa_spark.graph.butterflies import (
+    butterfly_total,
+    vertex_butterflies,
+    wedge_codegrees,
+)
 from amanogawa_spark.graph.bowtie import (
     bowtie_decomposition,
     bowtie_summary,
@@ -132,6 +137,9 @@ __all__ = [
     "degree_assortativity",
     "avg_neighbor_degree",
     "rich_club",
+    "butterfly_total",
+    "vertex_butterflies",
+    "wedge_codegrees",
     "densest_subgraph",
     "peel_profile",
     "peel_profile_df",

@@ -4635,6 +4635,50 @@ WHERE c.id <> d.src_id AND c.id <> d.dst_id
 """
 
 
+def _doc_term_edges(spark, sf_dir, max_doc: int) -> DataFrame:
+    """Distinct (doc_id, term) bipartite edges over the first ``max_doc``
+    documents — the same whitespace tokenization as the BoW/PMI mirrors."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < max_doc)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("term")
+    ).distinct()
+
+
+def q_butterflies(spark, sf_dir):
+    """Bipartite butterfly census of the doc↔term graph (120 docs),
+    wedge centers pinned to the term side so the wedge-denominated
+    outputs are engine-reproducible."""
+    from amanogawa_spark.graph.butterflies import butterfly_total
+
+    e = _doc_term_edges(spark, sf_dir, 120)
+    return butterfly_total(e, l_col="doc_id", r_col="term", side="r")
+
+
+def q_butterfly_docs(spark, sf_dir):
+    """Top-25 documents by butterfly participation in the doc↔term
+    bipartite graph — flags template/boilerplate-heavy documents."""
+    from amanogawa_spark.graph.butterflies import vertex_butterflies
+
+    e = _doc_term_edges(spark, sf_dir, 120)
+    out = vertex_butterflies(e, l_col="doc_id", r_col="term", for_side="l")
+    return (
+        out.orderBy(F.col("butterflies").desc(), F.col("id").asc())
+        .limit(25)
+        .select(F.col("id").alias("doc_id"), "butterflies")
+    )
+
+
+_BFLY_CDEG_SQL = f"""
+base AS (SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 120),
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS term FROM base),
+cdeg AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS codeg
+  FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
 # Dict ORDER is load-bearing: the correctness driver runs only the FIRST 50
 # entries.  The literal below is just the registry; the EFFECTIVE order is
 # computed by _rotation_order() at the bottom of this module — queries sort
@@ -4842,6 +4886,9 @@ QUERIES = {
     "q_incr_triangles": q_incr_triangles,
     "q_community_partition": q_community_partition,
     "q_bpe_local_merges": q_bpe_local_merges,
+    # -- round-4 sixth-session additions --
+    "q_butterflies": q_butterflies,
+    "q_butterfly_docs": q_butterfly_docs,
 }
 
 
@@ -6688,6 +6735,24 @@ FROM n3""",
     "q_incr_triangles": _INCR_TRI_SQL,
     "q_community_partition": _community_partition_sql(2, 4),
     "q_bpe_local_merges": _bpe_local_merges_sql(),
+    # -- round-4 sixth-session additions --
+    "q_butterflies": (
+        f"WITH {_BFLY_CDEG_SQL.strip()} "
+        "SELECT CAST(SUM(codeg) AS BIGINT) AS n_wedges, "
+        "CAST(SUM((codeg * (codeg - 1)) // 2) AS BIGINT) AS n_butterflies, "
+        "ROUND(SUM(CASE WHEN codeg >= 2 THEN codeg ELSE 0 END) "
+        "/ CAST(SUM(codeg) AS DOUBLE), 8) AS closed_wedge_frac "
+        "FROM cdeg"
+    ),
+    "q_butterfly_docs": (
+        f"WITH {_BFLY_CDEG_SQL.strip()}, "
+        "per AS (SELECT id, CAST(SUM(bf) AS BIGINT) AS butterflies FROM ("
+        "SELECT a AS id, (codeg * (codeg - 1)) // 2 AS bf FROM cdeg "
+        "UNION ALL SELECT b AS id, (codeg * (codeg - 1)) // 2 AS bf FROM cdeg"
+        ") GROUP BY id) "
+        "SELECT id AS doc_id, butterflies FROM per "
+        "ORDER BY butterflies DESC, id ASC LIMIT 25"
+    ),
     **_METRICS_SQL,
 }
 
