@@ -41,6 +41,7 @@ from amanogawa_spark.graph.densest import densest_subgraph, peel_profile, peel_p
 from amanogawa_spark.graph.eigen import eigenvector_centrality, truncated_hitting_time
 from amanogawa_spark.graph.simrank import simrank_pairs
 from amanogawa_spark.graph.compress import adjacency_gap_bits, compression_summary
+from amanogawa_spark.graph.wl import wl_class_sizes, wl_labels
 from amanogawa_spark.graph.butterflies import (
     butterfly_total,
     vertex_butterflies,
@@ -137,6 +138,8 @@ __all__ = [
     "degree_assortativity",
     "avg_neighbor_degree",
     "rich_club",
+    "wl_class_sizes",
+    "wl_labels",
     "butterfly_total",
     "vertex_butterflies",
     "wedge_codegrees",

@@ -4669,6 +4669,55 @@ def q_butterfly_docs(spark, sf_dir):
     )
 
 
+def q_wl_vertices(spark, sf_dir):
+    """Per-vertex Weisfeiler-Lehman structural fingerprints (2 rounds,
+    exact sorted-multiset mode) for the first 300 ids."""
+    from amanogawa_spark.graph.wl import wl_labels
+
+    e = derived_edges(spark, sf_dir)
+    return wl_labels(e, rounds=2, agg="sorted").filter(F.col("id") < 300)
+
+
+def q_wl_classes(spark, sf_dir):
+    """WL colour-class histogram after 2 refinement rounds — the
+    structural-equivalence partition of the derived link graph."""
+    from amanogawa_spark.graph.wl import wl_class_sizes
+
+    e = derived_edges(spark, sf_dir)
+    return wl_class_sizes(e, rounds=2, agg="sorted")
+
+
+def _wl_sql(rounds: int) -> str:
+    """Chained-CTE DuckDB mirror of wl_labels(agg='sorted')."""
+    parts = [
+        f"WITH {_EDGES_SQL.strip()}",
+        "outd AS (SELECT src_id AS id, COUNT(*) AS od FROM edges GROUP BY src_id)",
+        "ind AS (SELECT dst_id AS id, COUNT(*) AS idg FROM edges GROUP BY dst_id)",
+        _VERTS_SQL.strip(),
+        "l0 AS (SELECT v.id, md5(CAST(COALESCE(i.idg, 0) AS VARCHAR) || ':' || "
+        "CAST(COALESCE(o.od, 0) AS VARCHAR)) AS lab "
+        "FROM verts v LEFT JOIN outd o ON v.id = o.id "
+        "LEFT JOIN ind i ON v.id = i.id)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"l{k - 1}"
+        parts.append(
+            f"o{k} AS (SELECT e.src_id AS id, string_agg(l.lab, ',' ORDER BY l.lab) AS dg "
+            f"FROM edges e JOIN {p} l ON e.dst_id = l.id GROUP BY e.src_id)"
+        )
+        parts.append(
+            f"i{k} AS (SELECT e.dst_id AS id, string_agg(l.lab, ',' ORDER BY l.lab) AS dg "
+            f"FROM edges e JOIN {p} l ON e.src_id = l.id GROUP BY e.dst_id)"
+        )
+        parts.append(
+            f"l{k} AS (SELECT l.id, md5(l.lab || '|' || COALESCE(o{k}.dg, '') || '|' || "
+            f"COALESCE(i{k}.dg, '')) AS lab "
+            f"FROM {p} l LEFT JOIN o{k} ON l.id = o{k}.id "
+            f"LEFT JOIN i{k} ON l.id = i{k}.id)"
+        )
+    return ", ".join(parts) + f", wl AS (SELECT id, lab AS wl_label FROM l{rounds})"
+
+
 _BFLY_CDEG_SQL = f"""
 base AS (SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 120),
 tok AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS term FROM base),
@@ -4889,6 +4938,8 @@ QUERIES = {
     # -- round-4 sixth-session additions --
     "q_butterflies": q_butterflies,
     "q_butterfly_docs": q_butterfly_docs,
+    "q_wl_vertices": q_wl_vertices,
+    "q_wl_classes": q_wl_classes,
 }
 
 
@@ -6752,6 +6803,13 @@ FROM n3""",
         ") GROUP BY id) "
         "SELECT id AS doc_id, butterflies FROM per "
         "ORDER BY butterflies DESC, id ASC LIMIT 25"
+    ),
+    "q_wl_vertices": (
+        f"{_wl_sql(2)} SELECT id, wl_label FROM wl WHERE id < 300"
+    ),
+    "q_wl_classes": (
+        f"{_wl_sql(2)} SELECT wl_label, CAST(COUNT(*) AS BIGINT) AS n_vertices "
+        "FROM wl GROUP BY wl_label"
     ),
     **_METRICS_SQL,
 }
