@@ -23,6 +23,11 @@ from amanogawa_spark.operators.boilerplate import (
     chunk_table,
     remove_boilerplate,
 )
+from amanogawa_spark.operators.chunking import (
+    cdc_chunks,
+    cdc_dup_stats,
+    chunk_documents,
+)
 from amanogawa_spark.operators.bpe import bpe_encode, bpe_train
 from amanogawa_spark.operators.cooccur import cooccurrence_pairs, pmi_scores
 from amanogawa_spark.operators.retrieval import (
@@ -74,6 +79,9 @@ __all__ = [
     "hll_distinct",
     "hll_registers",
     "boilerplate_chunks",
+    "cdc_chunks",
+    "cdc_dup_stats",
+    "chunk_documents",
     "chunk_table",
     "remove_boilerplate",
     "bpe_train",

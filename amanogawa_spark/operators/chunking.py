@@ -1,15 +1,24 @@
 """Document chunking for training-data pipelines.
 
-Sliding-window chunker: each document becomes ⌈len/stride⌉ overlapping
-character windows — the step between corpus curation and sequence
-packing (:mod:`amanogawa_spark.operators.packing` packs the chunks).
-Pure Catalyst (sequence + explode + substring): map-side only, no
-shuffle, no Python — a 100 TB corpus chunks at scan speed.
+Two chunkers:
+
+- Sliding-window: each document becomes ⌈len/stride⌉ overlapping
+  character windows — the step between corpus curation and sequence
+  packing (:mod:`amanogawa_spark.operators.packing` packs the chunks).
+- Content-defined (CDC, LBFS/rsync-style): chunk boundaries fall where
+  a local window hash hits a residue, so an insertion near the top of a
+  recrawled page shifts only the chunk it lands in — every later chunk
+  re-aligns byte-identically.  That makes chunk fingerprints the right
+  key for recrawl delta storage and cross-doc partial-duplication
+  profiling, where fixed-stride windows would mis-align after one edit.
+
+Both are pure Catalyst (sequence/filter/transform + substring): map-side
+only, no shuffle, no Python — a 100 TB corpus chunks at scan speed.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -50,4 +59,116 @@ def chunk_documents(
         F.length(
             F.substring(F.col(text_col), F.col("chunk_start").cast("int") + 1, size)
         ).alias("chunk_len"),
+    )
+
+def _gram_hash(gram: Column, hash: str) -> Column:
+    """32-bit window hash: md5 mode reproduces in any SQL engine
+    (``('0x' || substr(md5(g), 1, 8))::BIGINT``); xxhash64 mode is the
+    cheap production path (one JVM hash vs an md5 per position)."""
+    if hash == "md5":
+        return F.conv(
+            F.substring(F.md5(F.encode(gram, "UTF-8")), 1, 8), 16, 10
+        ).cast("long")
+    if hash == "xxhash64":
+        return F.pmod(F.xxhash64(gram), F.lit(2**31))
+    raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    modulus: int = 32,
+    hash: str = "md5",
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash, chunk_text)
+    — content-defined chunks with expected length ≈ ``modulus`` chars.
+
+    A boundary falls after character position i (1-based) iff the hash
+    of the ``window``-gram ending at i is ≡ 0 (mod ``modulus``).  The
+    decision depends only on the local window — deliberately NO min/max
+    chunk-length state, which keeps boundaries context-free: shift-
+    resistant under edits AND reproducible in a plain SQL engine (the
+    oracle).  The end of the document is always a boundary; documents
+    shorter than ``window`` (or empty) yield one chunk.
+
+    Spark shape: per-position window hashing is a filter over
+    ``sequence(window, n)`` inside whole-stage codegen — O(n·window)
+    char work per doc, embarrassingly parallel, zero exchanges; the
+    O(n) per-row ``sequence`` array is transient (never shuffled).
+    """
+    n = F.length(F.col(text_col))
+    gram_at = lambda i: F.substring(  # noqa: E731 — window ending at i
+        F.col(text_col), (i - window + 1).cast("int"), window
+    )
+    ends = F.when(
+        n >= window,
+        F.filter(
+            F.sequence(F.lit(window).cast("long"), n.cast("long")),
+            lambda i: F.pmod(_gram_hash(gram_at(i), hash), F.lit(modulus))
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    cuts = F.array_distinct(F.concat(ends, F.array(n.cast("long"))))
+    chunks = F.transform(
+        cuts,
+        lambda end1, j: F.struct(
+            j.cast("long").alias("chunk_idx"),
+            F.coalesce(F.get(cuts, j - 1), F.lit(0).cast("long")).alias(
+                "chunk_start"
+            ),
+            end1.alias("end1"),
+        ),
+    )
+    ex = docs.select(
+        F.col(id_col), F.col(text_col), F.explode(chunks).alias("ch")
+    )
+    text = F.substring(
+        F.col(text_col),
+        (F.col("ch.chunk_start") + 1).cast("int"),
+        (F.col("ch.end1") - F.col("ch.chunk_start")).cast("int"),
+    )
+    return ex.select(
+        id_col,
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.chunk_start").alias("chunk_start"),
+        F.length(text).alias("chunk_len"),
+        F.md5(F.encode(text, "UTF-8")).alias("chunk_hash"),
+        text.alias("chunk_text"),
+    )
+
+
+def cdc_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    modulus: int = 32,
+    hash: str = "md5",
+) -> DataFrame:
+    """(doc_id, n_chunks, n_shared, dup_frac) — per-document fraction of
+    CDC chunks whose fingerprint also occurs in ANOTHER document:
+    partial-duplication profiling at chunk granularity (recrawl deltas,
+    quote-heavy pages, syndication).
+
+    One chunk pass + one fingerprint aggregate (map-side combined: the
+    shuffle carries (chunk_hash, doc-count) partials, never chunk text)
+    + one broadcast-size join back per fingerprint class.
+    """
+    ch = cdc_chunks(docs, id_col, text_col, window, modulus, hash).select(
+        id_col, "chunk_hash"
+    )
+    docs_per_hash = ch.distinct().groupBy("chunk_hash").agg(
+        F.count("*").alias("n_docs")
+    )
+    j = ch.join(docs_per_hash, "chunk_hash")
+    return j.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        F.round(
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            8,
+        ).alias("dup_frac"),
     )

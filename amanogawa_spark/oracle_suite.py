@@ -4718,6 +4718,55 @@ def _wl_sql(rounds: int) -> str:
     return ", ".join(parts) + f", wl AS (SELECT id, lab AS wl_label FROM l{rounds})"
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunks (window 8, expected length 32 chars) for
+    the first 40 documents — engine-portable md5 window hash."""
+    from amanogawa_spark.operators.chunking import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    out = cdc_chunks(docs, window=8, modulus=32, hash="md5")
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+        "chunk_hash",
+        "chunk_text",
+    )
+
+
+def q_cdc_dup(spark, sf_dir):
+    """Per-document CDC chunk-level partial-duplication profile over the
+    first 200 documents."""
+    from amanogawa_spark.operators.chunking import cdc_dup_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return cdc_dup_stats(docs, window=8, modulus=32, hash="md5")
+
+
+def _cdc_sql(max_doc: int, window: int, modulus: int) -> str:
+    """Shared DuckDB mirror of cdc_chunks(hash='md5'): cut positions via
+    per-position window-hash residue, chunks via LAG over cuts."""
+    return f"""
+base AS (SELECT doc_id, text FROM documents WHERE doc_id < {max_doc}),
+pos AS (SELECT doc_id, text, unnest(range({window}, length(text) + 1)) AS i
+        FROM base WHERE length(text) >= {window}),
+cutsr AS (SELECT doc_id, i FROM pos
+          WHERE ('0x' || substr(md5(substring(text, CAST(i - {window - 1} AS INT), {window})), 1, 8))::BIGINT
+                % {modulus} = 0),
+cuts AS (SELECT DISTINCT doc_id, i FROM (
+  SELECT doc_id, i FROM cutsr
+  UNION ALL SELECT doc_id, CAST(length(text) AS BIGINT) AS i FROM base)),
+seq AS (SELECT doc_id, i AS end1,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx,
+        COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS chunk_start
+        FROM cuts),
+ch AS (SELECT s.doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(s.chunk_start AS BIGINT) AS chunk_start,
+       substring(b.text, CAST(s.chunk_start + 1 AS INT), CAST(s.end1 - s.chunk_start AS INT)) AS chunk_text
+       FROM seq s JOIN base b ON s.doc_id = b.doc_id)"""
+
+
 _BFLY_CDEG_SQL = f"""
 base AS (SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 120),
 tok AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS term FROM base),
@@ -4940,6 +4989,8 @@ QUERIES = {
     "q_butterfly_docs": q_butterfly_docs,
     "q_wl_vertices": q_wl_vertices,
     "q_wl_classes": q_wl_classes,
+    "q_cdc_chunks": q_cdc_chunks,
+    "q_cdc_dup": q_cdc_dup,
 }
 
 
@@ -6810,6 +6861,23 @@ FROM n3""",
     "q_wl_classes": (
         f"{_wl_sql(2)} SELECT wl_label, CAST(COUNT(*) AS BIGINT) AS n_vertices "
         "FROM wl GROUP BY wl_label"
+    ),
+    "q_cdc_chunks": (
+        f"WITH {_cdc_sql(40, 8, 32).strip()} "
+        "SELECT doc_id, chunk_idx, chunk_start, "
+        "CAST(length(chunk_text) AS BIGINT) AS chunk_len, "
+        "md5(chunk_text) AS chunk_hash, chunk_text FROM ch"
+    ),
+    "q_cdc_dup": (
+        f"WITH {_cdc_sql(200, 8, 32).strip()}, "
+        "fp AS (SELECT doc_id, md5(chunk_text) AS chunk_hash FROM ch), "
+        "dh AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs "
+        "FROM fp GROUP BY chunk_hash) "
+        "SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+        "CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, "
+        "ROUND(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) "
+        "/ CAST(COUNT(*) AS DOUBLE), 8) AS dup_frac "
+        "FROM fp f JOIN dh d ON f.chunk_hash = d.chunk_hash GROUP BY f.doc_id"
     ),
     **_METRICS_SQL,
 }
