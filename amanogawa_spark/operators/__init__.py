@@ -23,6 +23,12 @@ from amanogawa_spark.operators.boilerplate import (
     chunk_table,
     remove_boilerplate,
 )
+from amanogawa_spark.operators.pca import (
+    covariance_table,
+    gram_stats,
+    pca_fit,
+    pca_project,
+)
 from amanogawa_spark.operators.chunking import (
     cdc_chunks,
     cdc_dup_stats,
@@ -81,6 +87,10 @@ __all__ = [
     "boilerplate_chunks",
     "cdc_chunks",
     "cdc_dup_stats",
+    "covariance_table",
+    "gram_stats",
+    "pca_fit",
+    "pca_project",
     "chunk_documents",
     "chunk_table",
     "remove_boilerplate",

@@ -4744,6 +4744,32 @@ def q_cdc_dup(spark, sf_dir):
     return cdc_dup_stats(docs, window=8, modulus=32, hash="md5")
 
 
+def q_pca_cov(spark, sf_dir):
+    """Upper-triangle covariance entries of the embedding table — the
+    value surface of the distributed PCA moments pass (one mapInPandas
+    Gram partial per partition; raw vectors never shuffle)."""
+    from amanogawa_spark.operators.pca import covariance_table
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return covariance_table(emb, vec_col="embedding")
+
+
+_PCA_COV_SQL = """
+WITH e AS (SELECT embedding FROM embeddings),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+idx AS (SELECT a.i, b.j FROM range(1, 65) a(i), range(1, 65) b(j) WHERE a.i <= b.j),
+sums AS (
+  SELECT i.i, i.j,
+    SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.j] AS DOUBLE)) AS sxy,
+    SUM(CAST(e.embedding[i.i] AS DOUBLE)) AS sx,
+    SUM(CAST(e.embedding[i.j] AS DOUBLE)) AS sy
+  FROM e CROSS JOIN idx i GROUP BY i.i, i.j)
+SELECT CAST(s.i - 1 AS BIGINT) AS i, CAST(s.j - 1 AS BIGINT) AS j,
+  ROUND((s.sxy - s.sx * s.sy / nn.n) / nn.n, 6) AS cov
+FROM sums s CROSS JOIN nn
+"""
+
+
 def _cdc_sql(max_doc: int, window: int, modulus: int) -> str:
     """Shared DuckDB mirror of cdc_chunks(hash='md5'): cut positions via
     per-position window-hash residue, chunks via LAG over cuts."""
@@ -4991,6 +5017,7 @@ QUERIES = {
     "q_wl_classes": q_wl_classes,
     "q_cdc_chunks": q_cdc_chunks,
     "q_cdc_dup": q_cdc_dup,
+    "q_pca_cov": q_pca_cov,
 }
 
 
@@ -6879,6 +6906,7 @@ FROM n3""",
         "/ CAST(COUNT(*) AS DOUBLE), 8) AS dup_frac "
         "FROM fp f JOIN dh d ON f.chunk_hash = d.chunk_hash GROUP BY f.doc_id"
     ),
+    "q_pca_cov": _PCA_COV_SQL,
     **_METRICS_SQL,
 }
 
