@@ -47,7 +47,9 @@ from amanogawa_spark.operators.bloom import bloom_build, bloom_contains, bloom_m
 from amanogawa_spark.operators.dedup import (
     incremental_exact_dedup,
     incremental_minhash_dedup,
+    lsh_plan,
     mirror_hosts,
+    pick_bands,
 )
 from amanogawa_spark.operators.recrawl import change_rates, revisit_schedule
 from amanogawa_spark.operators.snapshots import content_churn, moved_content
@@ -107,7 +109,9 @@ __all__ = [
     "bloom_merge",
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
+    "lsh_plan",
     "mirror_hosts",
+    "pick_bands",
     "change_rates",
     "revisit_schedule",
     "bm25_scores",

@@ -1039,3 +1039,99 @@ def mirror_hosts(
     return out.select(
         "host_a", "host_b", "n_shared", "n_a", "n_b", "jaccard_r", "containment_r"
     )
+
+def lsh_plan(
+    spark,
+    num_hashes: int = 64,
+    threshold: float = 0.8,
+    grid: int = 20,
+) -> DataFrame:
+    """S-curve error analysis for every (bands, rows_per_band) split of
+    ``num_hashes`` — the planning table behind choosing LSH banding.
+
+    For each divisor pair the detection probability at similarity s is
+    p(s) = 1 − (1 − s^r)^b.  Columns:
+
+    - ``threshold_est`` = (1/b)^(1/r), the curve's inflection point;
+    - ``p_at_threshold`` — recall exactly at the target threshold;
+    - ``fp_mass`` / ``fn_mass`` — Σ p(s)·Δs below the threshold /
+      Σ (1−p(s))·Δs at-or-above it over a uniform s grid (midpoint
+      rule, ``grid`` cells): the candidate-verification waste and the
+      missed-duplicate mass under a flat similarity prior;
+    - ``total_err`` — their sum; the argmin row is the banding
+      :func:`minhash_dedup` should run with.
+
+    Pure generated-table expressions (range + sequence), no data scan —
+    the same maths any engine reproduces, so the table is value-oracled.
+    """
+    b = F.col("bands").cast("double")
+    r = F.col("rows_per_band").cast("double")
+    divs = (
+        spark.range(1, num_hashes + 1)
+        .withColumnRenamed("id", "bands")
+        .filter(F.lit(num_hashes) % F.col("bands") == 0)
+        .withColumn(
+            "rows_per_band", (F.lit(num_hashes) / F.col("bands")).cast("long")
+        )
+    )
+    cells = divs.select(
+        "bands",
+        "rows_per_band",
+        F.explode(F.sequence(F.lit(1), F.lit(grid))).alias("cell"),
+    ).withColumn("s", (F.col("cell") - 0.5) / grid)
+    p = 1.0 - F.pow(1.0 - F.pow(F.col("s"), r), b)
+    agg = cells.groupBy("bands", "rows_per_band").agg(
+        F.round(
+            F.sum(F.when(F.col("s") < threshold, p).otherwise(0.0)) / grid, 8
+        ).alias("fp_mass"),
+        F.round(
+            F.sum(F.when(F.col("s") >= threshold, 1.0 - p).otherwise(0.0))
+            / grid,
+            8,
+        ).alias("fn_mass"),
+    )
+    return agg.select(
+        "bands",
+        "rows_per_band",
+        F.round(F.pow(1.0 / b, 1.0 / r), 8).alias("threshold_est"),
+        F.round(
+            1.0 - F.pow(1.0 - F.pow(F.lit(float(threshold)), r), b), 8
+        ).alias("p_at_threshold"),
+        "fp_mass",
+        "fn_mass",
+        F.round(F.col("fp_mass") + F.col("fn_mass"), 8).alias("total_err"),
+    )
+
+
+def pick_bands(
+    num_hashes: int = 64,
+    threshold: float = 0.8,
+    grid: int = 20,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> int:
+    """Driver-side mirror of :func:`lsh_plan`'s argmin — the bands value
+    minimizing ``fp_weight·fp_mass + fn_weight·fn_mass`` at the target
+    threshold (ties: fewer bands, i.e. cheaper banding).  Equal weights
+    are the usual convention; raise ``fn_weight`` when missing a
+    duplicate costs more than verifying a spurious candidate (it
+    usually does in corpus dedup — verification is one Jaccard).
+    Pure python: call it to parameterize :func:`minhash_dedup` without
+    a Spark job."""
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        r = num_hashes // bands
+        fp = fn = 0.0
+        for cell in range(1, grid + 1):
+            s = (cell - 0.5) / grid
+            p = 1.0 - (1.0 - s**r) ** bands
+            if s < threshold:
+                fp += p / grid
+            else:
+                fn += (1.0 - p) / grid
+        key = (fp_weight * fp + fn_weight * fn, bands)
+        if best is None or key < best[0]:
+            best = (key, bands)
+    return best[1]

@@ -4744,6 +4744,38 @@ def q_cdc_dup(spark, sf_dir):
     return cdc_dup_stats(docs, window=8, modulus=32, hash="md5")
 
 
+def q_lsh_plan(spark, sf_dir):
+    """LSH banding plan for 64 minhashes at Jaccard threshold 0.8 — the
+    S-curve fp/fn error table over every divisor split."""
+    from amanogawa_spark.operators.dedup import lsh_plan
+
+    return lsh_plan(spark, num_hashes=64, threshold=0.8, grid=20)
+
+
+_LSH_PLAN_SQL = """
+WITH divs AS (
+  SELECT CAST(b.b AS BIGINT) AS bands, CAST(64 // b.b AS BIGINT) AS rows_per_band
+  FROM range(1, 65) b(b) WHERE 64 % b.b = 0),
+cells AS (
+  SELECT d.bands, d.rows_per_band, (CAST(c.c AS DOUBLE) - 0.5) / 20 AS s
+  FROM divs d, range(1, 21) c(c)),
+probs AS (
+  SELECT bands, rows_per_band, s,
+    1.0 - POWER(1.0 - POWER(s, CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)) AS p
+  FROM cells),
+agg AS (
+  SELECT bands, rows_per_band,
+    ROUND(SUM(CASE WHEN s < 0.8 THEN p ELSE 0.0 END) / 20, 8) AS fp_mass,
+    ROUND(SUM(CASE WHEN s >= 0.8 THEN 1.0 - p ELSE 0.0 END) / 20, 8) AS fn_mass
+  FROM probs GROUP BY bands, rows_per_band)
+SELECT bands, rows_per_band,
+  ROUND(POWER(1.0 / bands, 1.0 / rows_per_band), 8) AS threshold_est,
+  ROUND(1.0 - POWER(1.0 - POWER(0.8, CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)), 8) AS p_at_threshold,
+  fp_mass, fn_mass, ROUND(fp_mass + fn_mass, 8) AS total_err
+FROM agg
+"""
+
+
 def q_pca_cov(spark, sf_dir):
     """Upper-triangle covariance entries of the embedding table — the
     value surface of the distributed PCA moments pass (one mapInPandas
@@ -5018,6 +5050,7 @@ QUERIES = {
     "q_cdc_chunks": q_cdc_chunks,
     "q_cdc_dup": q_cdc_dup,
     "q_pca_cov": q_pca_cov,
+    "q_lsh_plan": q_lsh_plan,
 }
 
 
@@ -6907,6 +6940,7 @@ FROM n3""",
         "FROM fp f JOIN dh d ON f.chunk_hash = d.chunk_hash GROUP BY f.doc_id"
     ),
     "q_pca_cov": _PCA_COV_SQL,
+    "q_lsh_plan": _LSH_PLAN_SQL,
     **_METRICS_SQL,
 }
 
