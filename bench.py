@@ -229,6 +229,29 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     results["ann_lsh_scale"] = _timed(_ann_lsh_scale)
 
+    # --- round-4 sixth-session probes: CDC chunk dedup + WL fingerprints ---
+    def _cdc_scale():
+        from amanogawa_spark.operators.chunking import cdc_dup_stats
+
+        docs = distributed_pages(spark, n_scale).select(
+            F.monotonically_increasing_id().alias("doc_id"), "text"
+        )
+        # production shape: xxhash64 window hash (one JVM hash/position),
+        # expected chunk 64 chars; the fingerprint aggregate is the only
+        # exchange and carries (hash, count) partials
+        cdc_dup_stats(docs, window=8, modulus=64, hash="xxhash64").count()
+
+    results["cdc_dedup_scale"] = _timed(_cdc_scale)
+
+    def _wl_scale():
+        from amanogawa_spark.graph.wl import wl_labels
+
+        # hub-proof sum digests: two joins + two map-side-combined
+        # aggregates per round over the pages-derived edge table
+        wl_labels(edges, rounds=2, agg="sum").count()
+
+    results["wl_fingerprint_scale"] = _timed_med("wl_fingerprint_scale", _wl_scale)
+
     # --- round-2 operator probes -------------------------------------------
     # warm start (incremental recrawl): re-converge from the earlier run's
     # converged vector — only the warm leg is timed
