@@ -42,6 +42,7 @@ from amanogawa_spark.graph.eigen import eigenvector_centrality, truncated_hittin
 from amanogawa_spark.graph.simrank import simrank_pairs
 from amanogawa_spark.graph.compress import adjacency_gap_bits, compression_summary
 from amanogawa_spark.graph.wl import wl_class_sizes, wl_labels
+from amanogawa_spark.graph.robustness import hub_knockout, top_hubs
 from amanogawa_spark.graph.butterflies import (
     butterfly_total,
     vertex_butterflies,
@@ -138,6 +139,8 @@ __all__ = [
     "degree_assortativity",
     "avg_neighbor_degree",
     "rich_club",
+    "hub_knockout",
+    "top_hubs",
     "wl_class_sizes",
     "wl_labels",
     "butterfly_total",

@@ -4744,6 +4744,63 @@ def q_cdc_dup(spark, sf_dir):
     return cdc_dup_stats(docs, window=8, modulus=32, hash="md5")
 
 
+def q_hub_knockout(spark, sf_dir):
+    """Targeted-attack robustness: giant weakly-connected component
+    before/after removing the 20 highest-degree vertices (min-label
+    components pinned at 8 rounds — the oracle variant)."""
+    from amanogawa_spark.graph.robustness import hub_knockout
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return hub_knockout(v, e, k=20, fixed_rounds=8)
+
+
+def _cc_rounds_cte(edges_cte: str, verts_cte: str, prefix: str, rounds: int) -> str:
+    """Min-label component CTE chain over arbitrary edge/vertex CTEs."""
+    parts = [
+        f"{prefix}sym AS (SELECT src_id AS u, dst_id AS v FROM {edges_cte} "
+        f"UNION SELECT dst_id AS u, src_id AS v FROM {edges_cte})",
+        f"{prefix}l0 AS (SELECT id, id AS lab FROM {verts_cte})",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"{prefix}m{k} AS MATERIALIZED (SELECT s.u AS id, MIN(l.lab) AS nl "
+            f"FROM {prefix}sym s JOIN {prefix}l{p} l ON s.v = l.id GROUP BY s.u)"
+        )
+        parts.append(
+            f"{prefix}l{k} AS MATERIALIZED (SELECT l.id, "
+            f"LEAST(l.lab, COALESCE(m.nl, l.lab)) AS lab "
+            f"FROM {prefix}l{p} l LEFT JOIN {prefix}m{k} m ON l.id = m.id)"
+        )
+    return ", ".join(parts)
+
+
+def _hub_knockout_sql(k: int, rounds: int) -> str:
+    return (
+        f"WITH {_EDGES_SQL.strip()}, {_VERTS_SQL.strip()}, "
+        "deg AS (SELECT id, COUNT(*) AS d FROM ("
+        "SELECT src_id AS id FROM edges UNION ALL SELECT dst_id FROM edges"
+        ") GROUP BY id), "
+        "hubs AS (SELECT id FROM (SELECT id, ROW_NUMBER() OVER "
+        f"(ORDER BY d DESC, id ASC) AS rn FROM deg) WHERE rn <= {k}), "
+        "edges2 AS (SELECT e.src_id, e.dst_id FROM edges e "
+        "WHERE e.src_id NOT IN (SELECT id FROM hubs) "
+        "AND e.dst_id NOT IN (SELECT id FROM hubs)), "
+        "verts2 AS (SELECT id FROM verts WHERE id NOT IN (SELECT id FROM hubs)), "
+        f"{_cc_rounds_cte('edges', 'verts', 'a', rounds)}, "
+        f"{_cc_rounds_cte('edges2', 'verts2', 'b', rounds)}, "
+        "ga AS (SELECT CAST(MAX(c) AS BIGINT) AS giant_before FROM ("
+        f"SELECT lab, COUNT(*) AS c FROM al{rounds} GROUP BY lab)), "
+        "gb AS (SELECT CAST(MAX(c) AS BIGINT) AS giant_after FROM ("
+        f"SELECT lab, COUNT(*) AS c FROM bl{rounds} GROUP BY lab)), "
+        "nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM verts) "
+        f"SELECT CAST({k} AS BIGINT) AS k_removed, n_vertices, giant_before, "
+        "giant_after, ROUND(giant_after / CAST(giant_before AS DOUBLE), 8) "
+        "AS retained_frac FROM nv, ga, gb"
+    )
+
+
 def q_lsh_plan(spark, sf_dir):
     """LSH banding plan for 64 minhashes at Jaccard threshold 0.8 — the
     S-curve fp/fn error table over every divisor split."""
@@ -5051,6 +5108,7 @@ QUERIES = {
     "q_cdc_dup": q_cdc_dup,
     "q_pca_cov": q_pca_cov,
     "q_lsh_plan": q_lsh_plan,
+    "q_hub_knockout": q_hub_knockout,
 }
 
 
@@ -6941,6 +6999,7 @@ FROM n3""",
     ),
     "q_pca_cov": _PCA_COV_SQL,
     "q_lsh_plan": _LSH_PLAN_SQL,
+    "q_hub_knockout": _hub_knockout_sql(20, 8),
     **_METRICS_SQL,
 }
 
