@@ -26,7 +26,11 @@ from amanogawa_spark.graph.incremental import (
     incremental_pagerank,
     incremental_triangles,
 )
-from amanogawa_spark.graph.frontier import crawl_frontier, frontier_priorities
+from amanogawa_spark.graph.frontier import (
+    crawl_budget,
+    crawl_frontier,
+    frontier_priorities,
+)
 from amanogawa_spark.graph.landmarks import (
     estimate_distances,
     landmark_distances,
@@ -106,6 +110,7 @@ __all__ = [
     "edge_diff",
     "degree_deltas",
     "diff_summary",
+    "crawl_budget",
     "crawl_frontier",
     "frontier_priorities",
     "landmark_distances",

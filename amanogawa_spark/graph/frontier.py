@@ -129,3 +129,53 @@ def politeness_schedule(
         "slot",
         F.round(F.col("slot") * F.col("_delay"), 8).alias("fetch_at"),
     )
+
+def crawl_budget(
+    host_mass: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    mass_col: str = "mass",
+) -> DataFrame:
+    """(host, mass_frac, quota) — largest-remainder apportionment of a
+    global crawl budget across hosts proportional to rank/link mass.
+    Quotas are exact: Σ quota = ``budget``, each quota within 1 of the
+    proportional share (the no-paradox apportionment crawl schedulers
+    want when splitting a fetch budget across millions of hosts).
+
+    Distributed shape: floors are a map stage; the remainder bonus needs
+    the global remainder ORDER, ranked via the same two-pass
+    range-partitioned ranker as the vertex dictionary
+    (:func:`~amanogawa_spark.graph.build.dense_rank_ids`) — no
+    single-partition window, no driver collect of hosts (the only
+    collects are two scalars and the O(#partitions) offset table).
+    """
+    from amanogawa_spark.graph.build import dense_rank_ids
+
+    t = float(
+        host_mass.agg(F.sum(F.col(mass_col).cast("double")).alias("t"))
+        .collect()[0]["t"]
+    )
+    df = host_mass.select(
+        F.col(host_col).alias("host"), F.col(mass_col).cast("double").alias("m")
+    ).withColumn("share", (F.col("m") / F.lit(t)) * budget)
+    df = df.withColumn("base", F.floor("share").cast("long")).withColumn(
+        "rem", F.col("share") - F.col("base")
+    )
+    extra = int(budget - df.agg(F.sum("base")).collect()[0][0])
+    ranked = dense_rank_ids(
+        df.withColumn(
+            "_ord", F.struct((-F.col("rem")).alias("nr"), F.col("host"))
+        ),
+        "_ord",
+        out_col="_rank",
+    )
+    out = ranked.select(
+        "host",
+        F.round(F.col("m") / F.lit(t), 8).alias("mass_frac"),
+        (
+            F.col("base")
+            + F.when(F.col("_rank") < extra, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("quota"),
+    )
+    ranked.unpersist()
+    return out

@@ -4801,6 +4801,38 @@ def _hub_knockout_sql(k: int, rounds: int) -> str:
     )
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Largest-remainder apportionment of a 10k-fetch crawl budget
+    across hosts ∝ out-link mass — exact quotas, distributed remainder
+    ranking (no single-partition window)."""
+    from amanogawa_spark.graph.frontier import crawl_budget
+    from amanogawa_spark.graph.host import host_graph
+
+    hg = host_graph(_synth_url_edges(spark, sf_dir))
+    mass = hg.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("weight").alias("mass")
+    )
+    return crawl_budget(mass, budget=10_000)
+
+
+def _crawl_budget_sql(budget: int) -> str:
+    return (
+        f"WITH {_EDGES_SQL.strip()},\n{_HOST_EDGES_SQL},\n"
+        "mass AS (SELECT src_host AS host, CAST(SUM(weight) AS DOUBLE) AS m "
+        "FROM hedges GROUP BY src_host), "
+        "t AS (SELECT SUM(m) AS t FROM mass), "
+        f"b AS (SELECT host, m, (m / (SELECT t FROM t)) * {budget} AS share FROM mass), "
+        "fl AS (SELECT host, m, CAST(FLOOR(share) AS BIGINT) AS base, "
+        "share - FLOOR(share) AS rem FROM b), "
+        f"ex AS (SELECT {budget} - SUM(base) AS extra FROM fl), "
+        "rk AS (SELECT host, m, base, "
+        "ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) - 1 AS rnk FROM fl) "
+        "SELECT host, ROUND(m / (SELECT t FROM t), 8) AS mass_frac, "
+        "CAST(base + CASE WHEN rnk < (SELECT extra FROM ex) THEN 1 ELSE 0 END "
+        "AS BIGINT) AS quota FROM rk"
+    )
+
+
 def q_lsh_plan(spark, sf_dir):
     """LSH banding plan for 64 minhashes at Jaccard threshold 0.8 — the
     S-curve fp/fn error table over every divisor split."""
@@ -5109,6 +5141,7 @@ QUERIES = {
     "q_pca_cov": q_pca_cov,
     "q_lsh_plan": q_lsh_plan,
     "q_hub_knockout": q_hub_knockout,
+    "q_crawl_budget": q_crawl_budget,
 }
 
 
@@ -7000,6 +7033,7 @@ FROM n3""",
     "q_pca_cov": _PCA_COV_SQL,
     "q_lsh_plan": _LSH_PLAN_SQL,
     "q_hub_knockout": _hub_knockout_sql(20, 8),
+    "q_crawl_budget": _crawl_budget_sql(10_000),
     **_METRICS_SQL,
 }
 
