@@ -40,7 +40,11 @@ from amanogawa_spark.graph.salsa import salsa
 from amanogawa_spark.graph.trustrank import spam_mass, spam_mass_scores, trustrank
 from amanogawa_spark.graph.host import host_graph, host_rank, host_vertices
 from amanogawa_spark.graph.build import degree_assortativity, reciprocity
-from amanogawa_spark.graph.metrics import avg_neighbor_degree, rich_club
+from amanogawa_spark.graph.metrics import (
+    avg_neighbor_degree,
+    community_conductance,
+    rich_club,
+)
 from amanogawa_spark.graph.densest import densest_subgraph, peel_profile, peel_profile_df
 from amanogawa_spark.graph.eigen import eigenvector_centrality, truncated_hitting_time
 from amanogawa_spark.graph.simrank import simrank_pairs
@@ -143,6 +147,7 @@ __all__ = [
     "reciprocity",
     "degree_assortativity",
     "avg_neighbor_degree",
+    "community_conductance",
     "rich_club",
     "hub_knockout",
     "top_hubs",

@@ -117,3 +117,75 @@ def rich_club(edges: DataFrame, degrees_above: list[int]) -> DataFrame:
             .alias("phi"),
         )
     )
+
+def community_conductance(
+    edges: DataFrame,
+    assign: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n_vertices, volume, cut_edges, conductance) — per-community
+    cut quality: φ(S) = cut(S) / min(vol(S), vol(V)−vol(S)).
+
+    ``cut(S)`` counts directed edges with exactly one endpoint in S (each
+    boundary edge charges both sides' cuts); ``vol(S)`` is the total
+    (in+out) degree mass of S.  The standard community-quality diagnostic
+    complementing modularity — low conductance = few escape routes.
+
+    Spark shape: two label joins onto the edge table (the same shuffle
+    envelope as one LPA round), then everything is map-side-combined
+    aggregates over (label) — no per-community driver work.
+    """
+    a = assign.select(F.col(id_col).alias("_v"), F.col(label_col).alias("_lab"))
+    lab_e = (
+        edges.join(
+            a.select(F.col("_v").alias("src_id"), F.col("_lab").alias("src_lab")),
+            "src_id",
+        ).join(
+            a.select(F.col("_v").alias("dst_id"), F.col("_lab").alias("dst_lab")),
+            "dst_id",
+        )
+    )
+    # volume: total degree mass per label
+    deg = (
+        edges.select(F.col("src_id").alias("_v"))
+        .unionAll(edges.select(F.col("dst_id").alias("_v")))
+        .groupBy("_v")
+        .agg(F.count("*").alias("d"))
+    )
+    vol = (
+        deg.join(a, "_v")
+        .groupBy(F.col("_lab").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.sum("d").cast("long").alias("volume"),
+        )
+    )
+    # cut: boundary edges charge both sides
+    boundary = lab_e.filter(F.col("src_lab") != F.col("dst_lab"))
+    cut = (
+        boundary.select(F.col("src_lab").alias("label"))
+        .unionAll(boundary.select(F.col("dst_lab").alias("label")))
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("cut_edges"))
+    )
+    total_vol = 2 * edges.count()
+    return (
+        vol.join(cut, "label", "left")
+        .select(
+            "label",
+            "n_vertices",
+            "volume",
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+            F.when(
+                F.least(F.col("volume"), F.lit(total_vol) - F.col("volume")) > 0,
+                F.round(
+                    F.coalesce("cut_edges", F.lit(0))
+                    / F.least(
+                        F.col("volume"), F.lit(total_vol) - F.col("volume")
+                    ).cast("double"),
+                    8,
+                ),
+            ).alias("conductance"),
+        )
+    )

@@ -42,6 +42,7 @@ from amanogawa_spark.operators.retrieval import (
     positional_postings,
     posting_lists,
 )
+from amanogawa_spark.operators.classifier import calibration_bins
 from amanogawa_spark.operators.semdedup import semdedup
 from amanogawa_spark.operators.bloom import bloom_build, bloom_contains, bloom_merge
 from amanogawa_spark.operators.dedup import (
@@ -50,6 +51,8 @@ from amanogawa_spark.operators.dedup import (
     lsh_plan,
     mirror_hosts,
     pick_bands,
+    winnow_candidates,
+    winnow_fingerprints,
 )
 from amanogawa_spark.operators.recrawl import change_rates, revisit_schedule
 from amanogawa_spark.operators.snapshots import content_churn, moved_content
@@ -105,6 +108,7 @@ __all__ = [
     "content_churn",
     "moved_content",
     "bloom_build",
+    "calibration_bins",
     "bloom_contains",
     "bloom_merge",
     "incremental_exact_dedup",
@@ -112,6 +116,8 @@ __all__ = [
     "lsh_plan",
     "mirror_hosts",
     "pick_bands",
+    "winnow_candidates",
+    "winnow_fingerprints",
     "change_rates",
     "revisit_schedule",
     "bm25_scores",

@@ -168,3 +168,34 @@ def classifier_train(
         sorted(w.items()), "term string, weight double"
     )
     return weights, b
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    round_to: int = 8,
+) -> DataFrame:
+    """(bin, n, mean_score, frac_pos, abs_gap) — the reliability table
+    for a probabilistic quality gate: bucket scores into ``n_bins``
+    equal-width bins and compare each bin's mean predicted probability
+    with its observed positive rate.  |gap| per bin is the basis of
+    expected calibration error; a well-calibrated gate's threshold can
+    be read as an actual precision level.
+
+    One map-side-combined aggregate over (bin) — no sort, no collect.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    out = df.groupBy(b.alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg(score_col), round_to).alias("mean_score"),
+        F.round(F.avg(F.col(label_col).cast("double")), round_to).alias(
+            "frac_pos"
+        ),
+    )
+    return out.withColumn(
+        "abs_gap",
+        F.round(F.abs(F.col("mean_score") - F.col("frac_pos")), round_to),
+    )

@@ -1135,3 +1135,106 @@ def pick_bands(
         if best is None or key < best[0]:
             best = (key, bands)
     return best[1]
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    hash: str = "md5",
+) -> DataFrame:
+    """(doc_id, pos, fp) — winnowing document fingerprints (Schleimer/
+    Wilkerson/Aiken, MOSS): hash every k-gram, slide a window of ``w``
+    consecutive hashes, keep each window's minimum (ties → rightmost —
+    robust winnowing), then dedupe the selections.
+
+    Guarantee: every substring match of length ≥ w + k − 1 between two
+    documents shares at least one selected fingerprint — the bounded-
+    density fingerprinting used for plagiarism/quote detection, a
+    different tradeoff from MinHash (positional, locality-guaranteed)
+    and CDC (whole-chunk equality).
+
+    Spark shape: k-gram hashing and window minima are array expressions
+    inside whole-stage codegen (O(n·w) comparisons per doc, zero
+    exchanges); only the selected ~n/w fingerprints leave the map stage.
+    hash='md5' is the engine-portable oracle mode, 'xxhash64' the cheap
+    production mode.
+    """
+    n = F.length(F.col(text_col))
+    if hash == "md5":
+        def _h(gram):
+            return F.conv(
+                F.substring(F.md5(F.encode(gram, "UTF-8")), 1, 8), 16, 10
+            ).cast("long")
+    elif hash == "xxhash64":
+        def _h(gram):
+            return F.pmod(F.xxhash64(gram), F.lit(2**31))
+    else:
+        raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
+    # per-position k-gram hashes: positions 1..n-k+1
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), (n - k + 1).cast("long")),
+            lambda p: F.struct(
+                _h(F.substring(F.col(text_col), p.cast("int"), k)).alias("h"),
+                (-p).alias("negp"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h:long,negp:long>>"))
+    # window minima: for each start s, min struct (h asc, negp asc = pos desc)
+    n_h = F.size(hashes)
+    sel = F.when(
+        n_h >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_h - w + 1),
+                lambda s: F.array_min(F.slice(hashes, s, w)),
+            )
+        ),
+    ).otherwise(
+        F.when(n_h > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<struct<h:long,negp:long>>")
+        )
+    )
+    ex = df.select(F.col(id_col), F.explode(sel).alias("m"))
+    return ex.select(
+        id_col,
+        (-F.col("m.negp")).cast("long").alias("pos"),
+        F.col("m.h").alias("fp"),
+    )
+
+
+def winnow_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 64,
+    hash: str = "md5",
+) -> DataFrame:
+    """(id_a, id_b, shared) — document pairs sharing ≥ ``min_shared``
+    winnowed fingerprints (id_a < id_b): the quote/plagiarism candidate
+    generator.  Same hot-key contract as the minhash/mirror paths:
+    fingerprints present in more than ``max_docs_per_fp`` documents
+    (boilerplate) are dropped before the fp-keyed self-join."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w, hash).select(
+        F.col(id_col).alias("id"), "fp"
+    ).distinct()
+    counts = fps.groupBy("fp").agg(F.count("*").alias("nd"))
+    keep = counts.filter(
+        (F.col("nd") >= 2) & (F.col("nd") <= max_docs_per_fp)
+    ).select("fp")
+    fps = fps.join(keep, "fp", "left_semi")
+    a = fps.select("fp", F.col("id").alias("id_a"))
+    b = fps.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -4833,6 +4833,112 @@ def _crawl_budget_sql(budget: int) -> str:
     )
 
 
+def q_conductance(spark, sf_dir):
+    """Per-community conductance of the 3-round LPA partition — the cut
+    quality diagnostic complementing modularity."""
+    from amanogawa_spark.graph.metrics import community_conductance
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    assign = label_propagation(v, e, max_rounds=3)
+    return community_conductance(e, assign, id_col="id", label_col="label")
+
+
+def _conductance_sql(lpa_rounds: int) -> str:
+    return (
+        f"WITH {_EDGES_SQL.strip()}, "
+        "deg AS (SELECT id, COUNT(*) AS d FROM ("
+        "SELECT src_id AS id FROM edges UNION ALL SELECT dst_id FROM edges"
+        ") GROUP BY id), "
+        f"assign AS (SELECT * FROM ({_lpa_sql(lpa_rounds)})), "
+        "le AS (SELECT sa.label AS sl, da.label AS dl FROM edges e "
+        "JOIN assign sa ON e.src_id = sa.id "
+        "JOIN assign da ON e.dst_id = da.id), "
+        "vol AS (SELECT a.label, CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+        "CAST(SUM(d.d) AS BIGINT) AS volume "
+        "FROM assign a JOIN deg d ON a.id = d.id GROUP BY a.label), "
+        "cut AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cut_edges FROM ("
+        "SELECT sl AS label FROM le WHERE sl <> dl "
+        "UNION ALL SELECT dl FROM le WHERE sl <> dl) GROUP BY label), "
+        "tot AS (SELECT 2 * COUNT(*) AS tv FROM edges) "
+        "SELECT v.label, v.n_vertices, v.volume, "
+        "COALESCE(c.cut_edges, 0) AS cut_edges, "
+        "CASE WHEN LEAST(v.volume, tv - v.volume) > 0 THEN "
+        "ROUND(COALESCE(c.cut_edges, 0) / "
+        "CAST(LEAST(v.volume, tv - v.volume) AS DOUBLE), 8) END AS conductance "
+        "FROM vol v LEFT JOIN cut c ON v.label = c.label CROSS JOIN tot"
+    )
+
+
+def q_winnow_fps(spark, sf_dir):
+    """Winnowing (MOSS) document fingerprints, k=8 w=4, md5 oracle mode
+    — positional fingerprints with the w+k−1 match guarantee."""
+    from amanogawa_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return winnow_fingerprints(docs, k=8, w=4, hash="md5")
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Quote/plagiarism candidates: doc pairs sharing ≥2 winnowed
+    fingerprints (hot boilerplate fps dropped before the self-join)."""
+    from amanogawa_spark.operators.dedup import winnow_candidates
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return winnow_candidates(
+        docs, k=8, w=4, min_shared=2, max_docs_per_fp=64, hash="md5"
+    )
+
+
+def _winnow_sql(max_doc: int, k: int, w: int) -> str:
+    """Shared CTEs ending in ``fps`` = (doc_id, pos, fp) winnowed picks."""
+    return f"""
+base AS (SELECT doc_id, text FROM documents WHERE doc_id < {max_doc}),
+pos AS (SELECT doc_id, unnest(range(1, length(text) - {k} + 2)) AS p, text
+        FROM base WHERE length(text) >= {k}),
+h AS (SELECT doc_id, p,
+      ('0x' || substr(md5(substring(text, CAST(p AS INT), {k})), 1, 8))::BIGINT AS h
+      FROM pos),
+nh AS (SELECT doc_id, MAX(p) AS np FROM h GROUP BY doc_id),
+starts AS (SELECT doc_id, unnest(range(1, np - {w} + 2)) AS s
+           FROM nh WHERE np >= {w}),
+wmin AS (SELECT st.doc_id, st.s, MIN(hh.h) AS mh FROM starts st
+         JOIN h hh ON hh.doc_id = st.doc_id AND hh.p BETWEEN st.s AND st.s + {w - 1}
+         GROUP BY st.doc_id, st.s),
+pick AS (SELECT w.doc_id, MAX(hh.p) AS pos, w.mh AS fp FROM wmin w
+         JOIN h hh ON hh.doc_id = w.doc_id AND hh.p BETWEEN w.s AND w.s + {w - 1}
+                   AND hh.h = w.mh
+         GROUP BY w.doc_id, w.s, w.mh),
+smallm AS (SELECT h.doc_id, MIN(h.h) AS mh FROM h JOIN nh USING (doc_id)
+           WHERE nh.np < {w} GROUP BY h.doc_id),
+small AS (SELECT s.doc_id, MAX(hh.p) AS pos, s.mh AS fp FROM smallm s
+          JOIN h hh ON hh.doc_id = s.doc_id AND hh.h = s.mh
+          GROUP BY s.doc_id, s.mh),
+fps AS (SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM (
+  SELECT * FROM pick UNION ALL SELECT * FROM small))"""
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability table of the linear quality classifier against the
+    is-English label — per-bin mean score vs observed positive rate."""
+    from amanogawa_spark.operators.classifier import (
+        calibration_bins,
+        linear_classifier_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    w = spark.createDataFrame(_CLF_WEIGHTS, ["term", "weight"])
+    scores = linear_classifier_scores(docs, w, bias=-0.5)
+    lab = scores.join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            (F.col("lang") == "en").cast("double").alias("y"),
+        ),
+        "id",
+    )
+    return calibration_bins(lab, score_col="score_r", label_col="y", n_bins=50)
+
+
 def q_lsh_plan(spark, sf_dir):
     """LSH banding plan for 64 minhashes at Jaccard threshold 0.8 — the
     S-curve fp/fn error table over every divisor split."""
@@ -5142,6 +5248,10 @@ QUERIES = {
     "q_lsh_plan": q_lsh_plan,
     "q_hub_knockout": q_hub_knockout,
     "q_crawl_budget": q_crawl_budget,
+    "q_conductance": q_conductance,
+    "q_winnow_fps": q_winnow_fps,
+    "q_winnow_pairs": q_winnow_pairs,
+    "q_calibration_bins": q_calibration_bins,
 }
 
 
@@ -7034,6 +7144,34 @@ FROM n3""",
     "q_lsh_plan": _LSH_PLAN_SQL,
     "q_hub_knockout": _hub_knockout_sql(20, 8),
     "q_crawl_budget": _crawl_budget_sql(10_000),
+    "q_conductance": _conductance_sql(3),
+    "q_winnow_fps": (
+        f"WITH {_winnow_sql(120, 8, 4).strip()} "
+        "SELECT doc_id, pos, fp FROM fps"
+    ),
+    "q_winnow_pairs": (
+        f"WITH {_winnow_sql(120, 8, 4).strip()}, "
+        "dfp AS (SELECT DISTINCT doc_id, fp FROM fps), "
+        "cnt AS (SELECT fp, COUNT(*) AS nd FROM dfp GROUP BY fp), "
+        "keep AS (SELECT fp FROM cnt WHERE nd >= 2 AND nd <= 64), "
+        "k AS (SELECT d.doc_id, d.fp FROM dfp d JOIN keep USING (fp)) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(COUNT(*) AS BIGINT) AS shared "
+        "FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2"
+    ),
+    "q_calibration_bins": (
+        f"WITH clf AS (SELECT * FROM ({_CLF_SQL})), "
+        "lab AS (SELECT c.id, c.score_r, "
+        "CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y "
+        "FROM clf c JOIN documents d ON c.id = d.doc_id), "
+        "b AS (SELECT LEAST(CAST(FLOOR(score_r * 50) AS BIGINT), 49) AS bin, "
+        "score_r, y FROM lab) "
+        "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(AVG(score_r), 8) AS mean_score, ROUND(AVG(y), 8) AS frac_pos, "
+        "ROUND(ABS(ROUND(AVG(score_r), 8) - ROUND(AVG(y), 8)), 8) AS abs_gap "
+        "FROM b GROUP BY bin"
+    ),
     **_METRICS_SQL,
 }
 
