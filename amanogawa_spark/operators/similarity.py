@@ -533,3 +533,55 @@ def knn_graph(
             F.greatest("src_id", "dst_id").alias("dst_id"),
         )
     return e.distinct()
+
+def embedding_pair_histogram(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 25,
+    bins: int = 20,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """(bin, cos_lo, n_pairs) — cosine-similarity histogram over a
+    deterministic hash-bucketed pair sample: the threshold-selection
+    diagnostic for :func:`embedding_neardup` / SemDeDup (where the
+    near-dup mode sits relative to the background similarity mass).
+
+    Pairs form only WITHIN id-hash buckets — expected sample size
+    ≈ n²/(2·n_buckets) with no cartesian anywhere; the sample is a
+    deterministic function of ids, so it is repartition-invariant and
+    engine-reproducible (hash='md5').  Tune ``n_buckets`` ∝ n so the
+    per-bucket self-join stays bounded (the same contract as every
+    bucketed pair stage in this module).  Cosine ∈ [−1, 1] maps to
+    ``bins`` equal cells; ``cos_lo`` is each cell's lower edge.
+    """
+    if hash == "md5":
+        b = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % n_buckets
+        )
+    elif hash == "xxhash64":
+        b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    else:
+        raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("b"))
+    lhs = v.select("b", F.col("id").alias("ida"), F.col("v").alias("va"))
+    rhs = v.select("b", F.col("id").alias("idb"), F.col("v").alias("vb"))
+    pairs = lhs.join(rhs, "b").filter(F.col("ida") < F.col("idb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    binc = F.least(
+        F.floor(((cos + F.lit(1.0)) / F.lit(2.0)) * bins).cast("long"),
+        F.lit(bins - 1).cast("long"),
+    )
+    out = (
+        pairs.select(binc.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    return out.select(
+        "bin",
+        F.round(F.lit(-1.0) + F.col("bin") * (2.0 / bins), 6).alias("cos_lo"),
+        "n_pairs",
+    )

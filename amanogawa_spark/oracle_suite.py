@@ -4833,6 +4833,28 @@ def _crawl_budget_sql(budget: int) -> str:
     )
 
 
+def q_embed_histogram(spark, sf_dir):
+    """Cosine-similarity histogram over a deterministic hash-bucketed
+    pair sample of the embedding table — threshold selection for the
+    near-dup/semdedup cutoffs."""
+    from amanogawa_spark.operators.similarity import embedding_pair_histogram
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_pair_histogram(emb, n_buckets=25, bins=20, hash="md5")
+
+
+_EMBED_HIST_SQL = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+  ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 25 AS b FROM embeddings),
+p AS (SELECT list_inner_product(a.v, b.v) /
+      (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+      FROM v a JOIN v b ON a.b = b.b AND a.id < b.id),
+bn AS (SELECT LEAST(CAST(FLOOR(((cos + 1.0) / 2.0) * 20) AS BIGINT), 19) AS bin FROM p)
+SELECT bin, ROUND(-1.0 + bin * (2.0 / 20), 6) AS cos_lo,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs FROM bn GROUP BY bin
+"""
+
+
 def q_conductance(spark, sf_dir):
     """Per-community conductance of the 3-round LPA partition — the cut
     quality diagnostic complementing modularity."""
@@ -5252,6 +5274,7 @@ QUERIES = {
     "q_winnow_fps": q_winnow_fps,
     "q_winnow_pairs": q_winnow_pairs,
     "q_calibration_bins": q_calibration_bins,
+    "q_embed_histogram": q_embed_histogram,
 }
 
 
@@ -7145,6 +7168,7 @@ FROM n3""",
     "q_hub_knockout": _hub_knockout_sql(20, 8),
     "q_crawl_budget": _crawl_budget_sql(10_000),
     "q_conductance": _conductance_sql(3),
+    "q_embed_histogram": _EMBED_HIST_SQL,
     "q_winnow_fps": (
         f"WITH {_winnow_sql(120, 8, 4).strip()} "
         "SELECT doc_id, pos, fp FROM fps"
