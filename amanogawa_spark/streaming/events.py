@@ -173,3 +173,89 @@ def run_stream_once(df: DataFrame, query_name: str = "stream_out"):
     q.processAllAvailable()
     q.stop()
     return query_name
+
+
+def band_signature_rows(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, ts, band, sig) — one LSH band-signature row per document
+    per band (xxhash64 of the band's minhash slice).  Pure expressions,
+    so it applies identically to a batch frame and a readStream frame —
+    the stream/batch agreement surface for near-dup candidacy."""
+    from amanogawa_spark.operators.dedup import minhash_signature, shingles
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(F.col("text"), shingle_n), num_hashes)
+    return df.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("sig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select(
+        "doc_id", "ts", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+def streaming_neardup_bands(
+    spark: SparkSession,
+    path: str,
+    watermark: str = "1 hour",
+    window: str = "10 minutes",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming NEAR-dup detection: LSH band collisions within the
+    watermark horizon.  Emits (window_start, doc_id, fresh_bands,
+    is_fresh) — ``is_fresh`` means every band signature was first seen
+    with this document, i.e. no prior doc inside the watermark window
+    shares any band (the batch ``minhash_candidates`` collision rule,
+    restated as a stream).
+
+    Formulation: explode each doc to its ``bands`` (band, signature)
+    rows, ``dropDuplicatesWithinWatermark`` on [band, sig] (state =
+    band signatures per watermark window — BOUNDED, same eviction
+    argument as :func:`streaming_dedup_exact`), then a watermarked
+    windowed count per doc: a doc that kept all ``bands`` rows collided
+    with nobody.  A near-dup arriving later loses ≥1 band row and
+    reports ``is_fresh = false``.  Output lands when the watermark
+    closes the window (append-mode aggregation semantics).
+
+    Same signature construction as the batch path (xxhash64 permuted
+    minima over word shingles), so a batch backfill and the stream
+    agree on candidacy.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes ({num_hashes}) % bands ({bands}) != 0")
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(path)
+    banded = band_signature_rows(stream, num_hashes, bands, shingle_n)
+    fresh_rows = (
+        banded.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["band", "sig"])
+    )
+    counts = fresh_rows.groupBy(
+        F.window("ts", window).alias("w"), "doc_id"
+    ).agg(F.count("*").alias("fresh_bands"))
+    return counts.select(
+        F.col("w.start").alias("window_start"),
+        "doc_id",
+        "fresh_bands",
+        (F.col("fresh_bands") == bands).alias("is_fresh"),
+    )

@@ -225,3 +225,71 @@ def test_streaming_graph_ingest_equals_batch_rebuild(spark, tmp_path):
     q2.stop()
     assert spark.read.parquet(store + "/vertices").count() == n_v
     assert spark.read.parquet(store + "/edges_url").count() == n_e
+
+
+def test_streaming_neardup_bands_matches_batch_mirror(spark, tmp_path):
+    """LSH band-collision near-dup flags on the stream equal a first-seen
+    replay of the SAME band signatures in ts order (batch mirror)."""
+    from datetime import datetime, timedelta
+
+    from amanogawa_spark.streaming.events import (
+        band_signature_rows,
+        streaming_neardup_bands,
+    )
+
+    base = datetime(2026, 1, 1)
+    d0 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    d1 = d0.replace("today", "tonight")  # near-dup: shares most shingles
+    d2 = (
+        "completely different content about distributed analytics engines "
+        "and columnar parquet scans at scale"
+    )
+    rows1 = [(0, base, d0)]
+    rows2 = [(1, base + timedelta(minutes=1), d1), (2, base + timedelta(minutes=2), d2)]
+    schema = "doc_id long, ts timestamp, text string"
+    stream_dir = tmp_path / "neardup_stream"
+    stream_dir.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    q = (
+        streaming_neardup_bands(spark, str(stream_dir), watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    q.processAllAvailable()
+    # two flush batches: the first advances the watermark past the doc
+    # window, the second triggers the append-mode emission
+    for h in (3, 4):
+        spark.createDataFrame(
+            [(90 + h, base + timedelta(hours=h), "watermark flush row")], schema
+        ).coalesce(1).write.mode("append").parquet(str(stream_dir))
+        q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: bool(r.is_fresh)
+        for r in spark.sql("SELECT doc_id, is_fresh FROM neardup_out").collect()
+        if r.doc_id < 10
+    }
+
+    # batch mirror: replay the identical band signatures in ts order
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    sig_rows = band_signature_rows(batch).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(sig_rows, key=lambda r: (r["ts"], r["doc_id"])):
+        by_doc.setdefault(r["doc_id"], []).append((r["band"], r["sig"]))
+    seen: set = set()
+    want = {}
+    for doc in sorted(by_doc):  # doc ids are in ts order in this fixture
+        fresh = all((b, s) not in seen for b, s in by_doc[doc])
+        want[doc] = fresh
+        seen.update(by_doc[doc])
+    assert got == want
+    assert want[0] is True and want[1] is False and want[2] is True
