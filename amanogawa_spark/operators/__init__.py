@@ -41,6 +41,7 @@ from amanogawa_spark.operators.retrieval import (
     phrase_search,
     positional_postings,
     posting_lists,
+    rrf_fuse,
 )
 from amanogawa_spark.operators.classifier import calibration_bins
 from amanogawa_spark.operators.semdedup import semdedup
@@ -122,6 +123,7 @@ __all__ = [
     "revisit_schedule",
     "bm25_scores",
     "posting_lists",
+    "rrf_fuse",
     "semdedup",
     "pq_train",
     "pq_encode",

@@ -241,3 +241,47 @@ def phrase_search(
         .select("doc_id", F.size(starts).alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
     )
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_to: int = 8,
+) -> DataFrame:
+    """(query_id, doc_id, rrf_r, rank) — reciprocal-rank fusion
+    (Cormack/Clarke/Büttcher): rrf(q, d) = Σ_lists 1 / (k0 + rank_i) —
+    the standard score-free way to merge heterogeneous rankers (BM25 ×
+    embedding kNN × authority prior) without calibrating their score
+    scales; a list missing (q, d) contributes nothing.
+
+    Scale shape: one unionAll over the candidate lists (each already
+    top-k-bounded by its ranker), one map-side-combined sum, one
+    bounded top-``k`` window per query — no ranker's corpus-sized
+    internals are touched here.
+    """
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col))).alias("contrib"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(DataFrame.unionAll, parts)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), round_to).alias("rrf_r"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_r"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_r", "rank")
+    )

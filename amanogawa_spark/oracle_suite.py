@@ -4833,6 +4833,63 @@ def _crawl_budget_sql(budget: int) -> str:
     )
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of BM25 relevance with a query-independent
+    quality prior (n_chars rank) — the classic relevance × authority
+    merge, score-scale-free."""
+    from amanogawa_spark.operators.retrieval import bm25_scores, rrf_fuse
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    queries = spark.createDataFrame(_BM25_QUERY_TERMS, ["query_id", "term"])
+    r1 = bm25_scores(docs, queries, k=10)
+    # quality prior: global doc rank by length (bounded 200-doc fixture;
+    # at scale this would be the two-pass ranker over a rank score)
+    qual = docs.select(
+        F.col("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    qids = queries.select("query_id").distinct()
+    r2 = qids.crossJoin(qual)
+    return rrf_fuse([r1, r2], k0=60, k=10)
+
+
+_RRF_SQL = f"""
+WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents WHERE doc_id < 200),
+tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base),
+tc AS (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok
+  WHERE length(term) > 0 GROUP BY id, term),
+dl AS (SELECT id, SUM(cnt) AS doc_len FROM tc GROUP BY id),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_count FROM tc GROUP BY term),
+st AS (SELECT CAST(COUNT(DISTINCT id) AS DOUBLE) AS n_docs,
+  SUM(cnt) / COUNT(DISTINCT id) AS avgdl FROM tc),
+q AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'join'), (2, 'window'),
+  (2, 'hash'), (3, 'merge')) AS t(query_id, term)),
+sc AS (SELECT query_id, tc.id AS doc_id, ROUND(SUM(
+  ln(1.0 + (n_docs - df_count + 0.5) / (df_count + 0.5)) *
+  (cnt * 2.2) / (cnt + 1.2 * (0.25 + 0.75 * doc_len / avgdl))
+  ), 6) AS score_r FROM q JOIN dfq USING (term) CROSS JOIN st
+  JOIN tc USING (term) JOIN dl ON tc.id = dl.id GROUP BY query_id, tc.id),
+bm AS (SELECT query_id, doc_id, ROW_NUMBER() OVER
+  (PARTITION BY query_id ORDER BY score_r DESC, doc_id ASC) AS rank FROM sc),
+bm10 AS (SELECT query_id, doc_id, rank FROM bm WHERE rank <= 10),
+qual AS (SELECT doc_id, ROW_NUMBER() OVER
+  (ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents WHERE doc_id < 200),
+qq AS (SELECT DISTINCT query_id FROM q),
+prior AS (SELECT qq.query_id, qual.doc_id, qual.rank FROM qq CROSS JOIN qual),
+u AS (SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS contrib FROM bm10
+  UNION ALL SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS contrib FROM prior),
+fused AS (SELECT query_id, doc_id, ROUND(SUM(contrib), 8) AS rrf_r
+  FROM u GROUP BY query_id, doc_id),
+rk AS (SELECT query_id, doc_id, rrf_r, ROW_NUMBER() OVER
+  (PARTITION BY query_id ORDER BY rrf_r DESC, doc_id ASC) AS rank FROM fused)
+SELECT query_id, doc_id, rrf_r, rank FROM rk WHERE rank <= 10
+"""
+
+
 def q_embed_histogram(spark, sf_dir):
     """Cosine-similarity histogram over a deterministic hash-bucketed
     pair sample of the embedding table — threshold selection for the
@@ -5275,6 +5332,7 @@ QUERIES = {
     "q_winnow_pairs": q_winnow_pairs,
     "q_calibration_bins": q_calibration_bins,
     "q_embed_histogram": q_embed_histogram,
+    "q_rrf_fusion": q_rrf_fusion,
 }
 
 
@@ -7169,6 +7227,7 @@ FROM n3""",
     "q_crawl_budget": _crawl_budget_sql(10_000),
     "q_conductance": _conductance_sql(3),
     "q_embed_histogram": _EMBED_HIST_SQL,
+    "q_rrf_fusion": _RRF_SQL,
     "q_winnow_fps": (
         f"WITH {_winnow_sql(120, 8, 4).strip()} "
         "SELECT doc_id, pos, fp FROM fps"

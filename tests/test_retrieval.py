@@ -63,3 +63,36 @@ def test_bm25_no_cartesian_on_corpus_side(spark, docs_df):
         bm25_scores(docs_df, qdf)._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_rrf_fuse_matches_hand_mirror(spark):
+    from amanogawa_spark.operators.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank long"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank long"
+    )
+    got = {r["doc_id"]: (r["rrf_r"], r["rank"]) for r in rrf_fuse([r1, r2], k0=60, k=10).collect()}
+    want_scores = {
+        10: round(1 / 61, 8),
+        11: round(1 / 62 + 1 / 61, 8),
+        12: round(1 / 63, 8),
+        13: round(1 / 62, 8),
+    }
+    assert {d: s for d, (s, _) in got.items()} == want_scores
+    # 11 (in both lists) outranks everything
+    assert got[11][1] == 1
+    # full fused order: 11 (both lists), then 10 (1/61), 13 (1/62), 12 (1/63)
+    assert [d for d, (_, rk) in sorted(got.items(), key=lambda kv: kv[1][1])] == [11, 10, 13, 12]
+
+
+def test_rrf_fuse_topk_and_tie_break(spark):
+    from amanogawa_spark.operators.retrieval import rrf_fuse
+
+    r = spark.createDataFrame(
+        [(1, d, 1) for d in (5, 3, 9)], "query_id long, doc_id long, rank long"
+    )
+    rows = rrf_fuse([r], k=2).collect()
+    assert [x["doc_id"] for x in sorted(rows, key=lambda x: x["rank"])] == [3, 5]
