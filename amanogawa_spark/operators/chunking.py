@@ -74,6 +74,87 @@ def _gram_hash(gram: Column, hash: str) -> Column:
     raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
 
 
+def _cdc_chunks_poly(
+    docs: DataFrame, id_col: str, text_col: str, window: int, modulus: int
+) -> DataFrame:
+    """Arrow fast path: vectorized windowed polynomial hash over code
+    points (numpy uint64, natural 2^64 wraparound) — one pass per batch,
+    no per-position substring allocation.  Same boundary CONTRACT as the
+    expression modes (context-free residue rule, end always cut), a
+    different hash family, so cut positions differ from md5/xxhash64
+    mode — pick one mode per corpus.  ~10x the expression path's
+    throughput (measured in bench.py: cdc_dedup_scale vs
+    cdc_dedup_poly_scale)."""
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    p_mult = np.uint64(1099511628211)  # FNV prime as the polynomial base
+
+    def _chunks_of(text: str) -> list[tuple[int, int, int]]:
+        n = len(text)
+        if n < window:
+            return [(0, 0, n)]
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        with np.errstate(over="ignore"):
+            acc = np.zeros(n - window + 1, dtype=np.uint64)
+            mul = np.uint64(1)
+            for j in range(window):
+                acc += cp[j : n - window + 1 + j] * mul
+                mul = mul * p_mult
+        # boundary after char i (1-based) = window ending at i hits residue
+        ends = np.nonzero(acc % np.uint64(modulus) == 0)[0] + window
+        cuts = np.unique(np.append(ends, n))
+        out, prev = [], 0
+        for idx, c in enumerate(cuts):
+            out.append((idx, prev, int(c)))
+            prev = int(c)
+        return out
+
+    id_field = docs.schema[id_col]
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("chunk_idx", T.LongType()),
+            T.StructField("chunk_start", T.LongType()),
+            T.StructField("chunk_len", T.IntegerType()),
+            T.StructField("chunk_hash", T.StringType()),
+            T.StructField("chunk_text", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, lens, hashes, texts = [], [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""
+                for idx, a, b in _chunks_of(text):
+                    ch = text[a:b]
+                    ids.append(did)
+                    idxs.append(idx)
+                    starts.append(a)
+                    lens.append(len(ch))
+                    hashes.append(hashlib.md5(ch.encode("utf-8")).hexdigest())
+                    texts.append(ch)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_idx": idxs,
+                    "chunk_start": starts,
+                    "chunk_len": lens,
+                    "chunk_hash": hashes,
+                    "chunk_text": texts,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fn, schema)
+
+
 def cdc_chunks(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -84,6 +165,9 @@ def cdc_chunks(
 ) -> DataFrame:
     """(doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash, chunk_text)
     — content-defined chunks with expected length ≈ ``modulus`` chars.
+    ``hash='poly'`` dispatches to the vectorized Arrow fast path
+    (:func:`_cdc_chunks_poly`) — same boundary contract, different hash
+    family, ~10× throughput for bulk recrawl-delta jobs.
 
     A boundary falls after character position i (1-based) iff the hash
     of the ``window``-gram ending at i is ≡ 0 (mod ``modulus``).  The
@@ -98,6 +182,8 @@ def cdc_chunks(
     char work per doc, embarrassingly parallel, zero exchanges; the
     O(n) per-row ``sequence`` array is transient (never shuffled).
     """
+    if hash == "poly":
+        return _cdc_chunks_poly(docs, id_col, text_col, window, modulus)
     n = F.length(F.col(text_col))
     gram_at = lambda i: F.substring(  # noqa: E731 — window ending at i
         F.col(text_col), (i - window + 1).cast("int"), window

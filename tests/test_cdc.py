@@ -93,3 +93,43 @@ def test_dup_stats_flags_shared_chunks(spark):
     assert rows[0]["dup_frac"] > 0.5
     assert rows[1]["n_shared"] >= 1
     assert rows[2]["dup_frac"] == 0.0
+
+
+def test_poly_mode_reassembles_and_shift_resists(spark):
+    got = _spark_chunks(spark, TEXT, hash="poly")
+    assert "".join(got) == TEXT
+    assert len(got) >= 2
+    edited = _spark_chunks(spark, "BREAKING UPDATE: " + TEXT, hash="poly")
+    # content-defined: everything after the first re-aligned boundary matches
+    assert all(c in edited for c in got[1:])
+
+
+def test_poly_mode_matches_numpy_mirror(spark):
+    import numpy as np
+
+    window, modulus = 8, 32
+    n = len(TEXT)
+    cp = np.frombuffer(TEXT.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    acc = np.zeros(n - window + 1, dtype=np.uint64)
+    mul = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(window):
+            acc += cp[j : n - window + 1 + j] * mul
+            mul = mul * np.uint64(1099511628211)
+    ends = sorted(set((np.nonzero(acc % np.uint64(modulus) == 0)[0] + window).tolist()) | {n})
+    want, prev = [], 0
+    for c in ends:
+        want.append(TEXT[prev:c])
+        prev = c
+    assert _spark_chunks(spark, TEXT, hash="poly", modulus=modulus) == want
+
+
+def test_poly_dup_stats_flags_shared_chunks(spark):
+    from amanogawa_spark.operators.chunking import cdc_dup_stats
+
+    df = spark.createDataFrame(
+        [(0, TEXT), (1, TEXT + " extra trailing content"), (2, "nothing in common at all here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in cdc_dup_stats(df, hash="poly").collect()}
+    assert rows[0]["dup_frac"] > 0.5 and rows[2]["dup_frac"] == 0.0
