@@ -2,6 +2,7 @@ from amanogawa_spark.operators.etl import branch_columns, key_join, row_filter
 from amanogawa_spark.operators.sampling import (
     hash_sample,
     host_disjoint_split,
+    mixture_plan,
     stratified_sample,
     weighted_reservoir,
 )
@@ -78,6 +79,7 @@ __all__ = [
     "key_join",
     "row_filter",
     "hash_sample",
+    "mixture_plan",
     "host_disjoint_split",
     "weighted_reservoir",
     "stratified_sample",

@@ -382,3 +382,59 @@ def host_disjoint_split(
     for bound, name in reversed(conds):
         expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn("rdom", dom).withColumn("split", expr)
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    token_col: str,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """(group, available_tokens, target_tokens, planned_tokens, epochs_r,
+    deficit_tokens) — feasibility math for a target data mixture: given
+    per-source token inventories and desired proportions of a token
+    budget, how much each source actually yields under an epoch cap.
+
+    target = ⌊w_g/Σw · budget⌋; planned = min(target,
+    ⌊max_epochs · available⌋); ``deficit_tokens`` > 0 marks a source the
+    plan CANNOT satisfy without raising ``max_epochs`` (the
+    over-sampling / repetition trade-off a mixture designer tunes
+    before :func:`mixture_sample` executes the draw).
+
+    One map-side-combined token aggregate + literal-map lookups — no
+    joins, no collects; sources absent from ``weights`` get target 0.
+    """
+    total_w = sum(weights.values())
+    wmap = F.create_map(
+        *[
+            lit
+            for g, p in sorted(weights.items())
+            for lit in (F.lit(g), F.lit(float(p) / total_w))
+        ]
+    )
+    inv = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(F.col(token_col)).cast("long").alias("available_tokens")
+    )
+    target = F.floor(
+        F.coalesce(wmap[F.col("group")], F.lit(0.0)) * budget_tokens
+    ).cast("long")
+    cap = F.floor(F.lit(float(max_epochs)) * F.col("available_tokens")).cast(
+        "long"
+    )
+    out = inv.select(
+        "group",
+        "available_tokens",
+        target.alias("target_tokens"),
+        F.least(target, cap).alias("planned_tokens"),
+    )
+    return out.select(
+        "group",
+        "available_tokens",
+        "target_tokens",
+        "planned_tokens",
+        F.round(
+            F.col("planned_tokens") / F.col("available_tokens").cast("double"), 8
+        ).alias("epochs_r"),
+        (F.col("target_tokens") - F.col("planned_tokens")).alias("deficit_tokens"),
+    )

@@ -4833,6 +4833,40 @@ def _crawl_budget_sql(budget: int) -> str:
     )
 
 
+def q_mixture_plan(spark, sf_dir):
+    """Token-budget mixture feasibility: per-source targets vs epoch-
+    capped inventories (60% src0, 30% src1, 10% src2 of a 40k-token
+    budget at max 1.5 epochs — src0 is deliberately oversubscribed)."""
+    from amanogawa_spark.operators.sampling import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs,
+        "source",
+        {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        budget_tokens=40_000,
+        token_col="n_chars",
+        max_epochs=1.5,
+    )
+
+
+_MIXTURE_PLAN_SQL = """
+WITH inv AS (SELECT source AS "group", CAST(SUM(n_chars) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source),
+w AS (SELECT * FROM (VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1)) AS t(g, p)),
+tw AS (SELECT SUM(p) AS tw FROM w),
+b AS (SELECT i."group", i.available_tokens,
+  CAST(FLOOR(COALESCE(w.p / (SELECT tw FROM tw), 0.0) * 40000) AS BIGINT) AS target_tokens,
+  CAST(FLOOR(1.5 * i.available_tokens) AS BIGINT) AS cap
+  FROM inv i LEFT JOIN w ON i."group" = w.g)
+SELECT "group", available_tokens, target_tokens,
+  LEAST(target_tokens, cap) AS planned_tokens,
+  ROUND(LEAST(target_tokens, cap) / CAST(available_tokens AS DOUBLE), 8) AS epochs_r,
+  target_tokens - LEAST(target_tokens, cap) AS deficit_tokens
+FROM b
+"""
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of BM25 relevance with a query-independent
     quality prior (n_chars rank) — the classic relevance × authority
@@ -5333,6 +5367,7 @@ QUERIES = {
     "q_calibration_bins": q_calibration_bins,
     "q_embed_histogram": q_embed_histogram,
     "q_rrf_fusion": q_rrf_fusion,
+    "q_mixture_plan": q_mixture_plan,
 }
 
 
@@ -7228,6 +7263,7 @@ FROM n3""",
     "q_conductance": _conductance_sql(3),
     "q_embed_histogram": _EMBED_HIST_SQL,
     "q_rrf_fusion": _RRF_SQL,
+    "q_mixture_plan": _MIXTURE_PLAN_SQL,
     "q_winnow_fps": (
         f"WITH {_winnow_sql(120, 8, 4).strip()} "
         "SELECT doc_id, pos, fp FROM fps"

@@ -140,3 +140,41 @@ def test_temperature_rates_properties(spark):
     assert sum(counts[g] * r3[g] for g in counts) / 1000 == pytest.approx(
         0.1, rel=1e-6
     )
+
+
+def test_mixture_plan_math(spark):
+    from amanogawa_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 500), ("c", 1000)],
+        "src string, toks long",
+    )
+    out = {
+        r["group"]: r
+        for r in mixture_plan(
+            df, "src", {"a": 0.5, "b": 0.5}, budget_tokens=1000,
+            token_col="toks", max_epochs=2.0,
+        ).collect()
+    }
+    # a: available 200, target 500, cap 400 -> planned 400, deficit 100
+    assert out["a"]["target_tokens"] == 500
+    assert out["a"]["planned_tokens"] == 400
+    assert out["a"]["deficit_tokens"] == 100
+    assert out["a"]["epochs_r"] == 2.0
+    # b: available 500, target 500 -> satisfied at 1 epoch
+    assert out["b"]["planned_tokens"] == 500 and out["b"]["deficit_tokens"] == 0
+    # c: not in weights -> target 0
+    assert out["c"]["target_tokens"] == 0 and out["c"]["planned_tokens"] == 0
+
+
+def test_mixture_plan_weights_renormalized(spark):
+    from amanogawa_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame([("a", 10**6), ("b", 10**6)], "src string, toks long")
+    out = {
+        r["group"]: r["target_tokens"]
+        for r in mixture_plan(
+            df, "src", {"a": 2.0, "b": 6.0}, budget_tokens=8000, token_col="toks"
+        ).collect()
+    }
+    assert out == {"a": 2000, "b": 6000}  # weights need not sum to 1
