@@ -42,7 +42,8 @@ operators, declaratively reachable): ``type="sample"`` (``method=
 ``stride``, ``max_cluster_size``), ``type="canonical_dedup"``
 (``url_column``, ``html_column``, ``keep_only``), ``type="url_templates"``
 (``url_column``, ``wildcard_min_distinct``, ``max_depth``,
-``aggregate``).
+``aggregate``), ``type="cdc_dedup"`` (``window``, ``modulus``,
+``hash``, ``max_dup_frac`` — set to keep-filter instead of profiling).
 
 Relative paths resolve against the config file's directory (CLI parity).
 Sinks write Spark-style part-file directories — at cluster scale that is
@@ -303,6 +304,27 @@ def _flow_fn(spec: dict):
             wildcard_min_distinct=int(spec.get("wildcard_min_distinct", 10)),
             max_depth=int(spec.get("max_depth", 8)),
         )
+    if t == "cdc_dedup":
+        from amanogawa_spark.operators.chunking import cdc_dup_stats
+
+        def _cdc(df):
+            out = cdc_dup_stats(
+                df,
+                id_col=spec.get("id_column", "doc_id"),
+                text_col=spec.get("column", "text"),
+                window=int(spec.get("window", 8)),
+                modulus=int(spec.get("modulus", 64)),
+                hash=spec.get("hash", "poly"),
+            )
+            max_dup = spec.get("max_dup_frac")
+            if max_dup is not None:
+                # keep-filter mode: join survivors back to full rows
+                keep = out.filter(F.col("dup_frac") <= float(max_dup)).select(
+                    spec.get("id_column", "doc_id")
+                )
+                return df.join(keep, spec.get("id_column", "doc_id"), "left_semi")
+            return out
+        return _cdc
     raise ValueError(f"unsupported flow type: {t!r}")
 
 

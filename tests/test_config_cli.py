@@ -513,3 +513,43 @@ type = "csv"
     got = {(r["host"], r["template"]): int(r["n_urls"]) for r in out.collect()}
     # 12 pages -> 6 canonical survivors (the even pages), one template
     assert got == {("a.com", "/item/*"): 6}
+
+
+def test_cdc_dedup_flow_type(spark, tmp_path):
+    """cdc_dedup as a declarative curation flow: profile mode emits the
+    per-doc dup table; max_dup_frac mode keep-filters the corpus."""
+    shared = (
+        "this long shared passage of web text appears in several documents "
+        "and makes their chunk fingerprints collide across the corpus"
+    )
+    rows = [(0, shared), (1, shared + " with a small tail"), (2, "totally distinct words")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "docs_pq")
+    )
+    (tmp_path / "cdc.toml").write_text(
+        """
+[source]
+type = "file"
+path = "docs_pq"
+[source.format]
+type = "parquet"
+
+[flow.dedup]
+type = "cdc_dedup"
+modulus = 16
+max_dup_frac = 0.5
+
+[sink]
+type = "file"
+path = "kept_out"
+from = "dedup"
+[sink.format]
+type = "parquet"
+"""
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(str(tmp_path / "cdc.toml"), spark)
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept_out")).collect()}
+    assert 2 in kept  # unique doc always survives
+    assert kept != {0, 1, 2}  # at least one heavy-dup doc filtered
