@@ -52,3 +52,21 @@ def test_example_web_dedup(spark, tmp_path):
     out = spark.read.csv(str(tmp_path / "out_templates"), header=True)
     got = {(r["host"], r["template"]): int(r["n_urls"]) for r in out.collect()}
     assert got == {("w.com", "/item/*"): 10}
+
+
+def test_example_recrawl_cdc(spark, tmp_path):
+    shared = (
+        "a long syndicated article body that recurs across many mirror "
+        "pages of the same publisher network with minor local variations "
+        "and keeps recurring paragraph after paragraph in every regional "
+        "edition that republishes the wire feed verbatim each morning"
+    )
+    rows = [(0, shared), (1, shared + " local tail"), (2, "an original piece of writing")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "docs_pq")
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(_stage(tmp_path, "recrawl_cdc.toml"), spark)
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out_kept")).collect()}
+    assert 2 in kept and kept != {0, 1, 2}
