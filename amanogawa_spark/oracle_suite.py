@@ -4867,6 +4867,81 @@ FROM b
 """
 
 
+def q_nf_profile(spark, sf_dir):
+    """HyperANF neighborhood function N(r) for r = 0..3 (p=6 portable
+    md5 registers) — the distance-distribution summary whose exact form
+    (all-pairs BFS) does not exist at scale.  The oracle computes exact
+    r-balls then the identical register + estimator math, so the sums
+    match to float-rounding."""
+    from amanogawa_spark.graph.hyperball import neighborhood_function
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    curve = neighborhood_function(v, e, max_radius=3, p=6, rel_tol=0.0)
+    return spark.createDataFrame(
+        [(int(r), round(float(nf), 2)) for r, nf in curve],
+        "r long, nf_est_r double",
+    )
+
+
+def _nf_sql(max_r: int, p: int = 6) -> str:
+    """Exact balls at radii 0..max_r + the HyperBall register/estimator
+    math per radius, summed over vertices (mirrors q_hyperball2's)."""
+    m = 1 << p
+    tail_bits = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rho_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN tail >= {1 << (tail_bits - k)} THEN {k}"
+            for k in range(1, tail_bits + 1)
+        )
+        + f" ELSE {tail_bits + 1} END"
+    )
+    raw = (
+        f"CAST({alpha!r} AS DOUBLE) * {m} * {m} / (s_present + ({m} - v_present))"
+    )
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _VERTS_SQL.strip(),
+        "ball0 AS MATERIALIZED (SELECT id AS u, id AS v FROM verts)",
+    ]
+    for r in range(1, max_r + 1):
+        parts.append(
+            f"ball{r} AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+            f"SELECT u, v FROM ball{r - 1} "
+            f"UNION ALL SELECT b.u, e.dst_id FROM ball{r - 1} b "
+            "JOIN edges e ON b.v = e.src_id) t)"
+        )
+    selects = []
+    for r in range(0, max_r + 1):
+        parts.append(
+            f"h{r} AS (SELECT u, ('0x' || substr(md5(v::VARCHAR), 1, 8))::BIGINT AS h32 "
+            f"FROM ball{r})"
+        )
+        parts.append(
+            f"bt{r} AS (SELECT u, h32 >> {tail_bits} AS bucket, "
+            f"h32 & {(1 << tail_bits) - 1} AS tail FROM h{r})"
+        )
+        parts.append(
+            f"regs{r} AS (SELECT u, bucket, MAX({rho_case}) AS rho "
+            f"FROM bt{r} GROUP BY u, bucket)"
+        )
+        parts.append(
+            f"a{r} AS (SELECT u, SUM(POWER(2.0, -rho)) AS s_present, "
+            f"COUNT(*) AS v_present FROM regs{r} GROUP BY u)"
+        )
+        parts.append(
+            f"est{r} AS (SELECT CASE WHEN {raw} <= 2.5 * {m} AND ({m} - v_present) > 0 "
+            f"THEN {float(m)!r} * ln({float(m)!r} / ({m} - v_present)) "
+            f"ELSE {raw} END AS est FROM a{r})"
+        )
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS r, ROUND(SUM(est), 2) AS nf_est_r FROM est{r}"
+        )
+    return ",\n".join(parts) + "\n" + " UNION ALL ".join(selects)
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of BM25 relevance with a query-independent
     quality prior (n_chars rank) — the classic relevance × authority
@@ -5368,6 +5443,7 @@ QUERIES = {
     "q_embed_histogram": q_embed_histogram,
     "q_rrf_fusion": q_rrf_fusion,
     "q_mixture_plan": q_mixture_plan,
+    "q_nf_profile": q_nf_profile,
 }
 
 
@@ -7264,6 +7340,7 @@ FROM n3""",
     "q_embed_histogram": _EMBED_HIST_SQL,
     "q_rrf_fusion": _RRF_SQL,
     "q_mixture_plan": _MIXTURE_PLAN_SQL,
+    "q_nf_profile": _nf_sql(3, 6),
     "q_winnow_fps": (
         f"WITH {_winnow_sql(120, 8, 4).strip()} "
         "SELECT doc_id, pos, fp FROM fps"
