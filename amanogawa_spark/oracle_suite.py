@@ -4942,6 +4942,33 @@ def _nf_sql(max_r: int, p: int = 6) -> str:
     return ",\n".join(parts) + "\n" + " UNION ALL ".join(selects)
 
 
+def q_ann_recall(spark, sf_dir):
+    """Measured recall@3 of the sign-LSH ANN against exact brute-force
+    cosine on the same 150-vector universe — the evaluation harness
+    that turns 'approximate' into a number."""
+    from amanogawa_spark.operators.similarity import (
+        cosine_topk_lsh,
+        md5_hyperplanes,
+    )
+
+    exact = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    approx = cosine_topk_lsh(
+        emb, k=3, planes=md5_hyperplanes(6, 6, 64)
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        F.round(F.coalesce("hits", F.lit(0)) / 3.0, 8).alias("recall_r"),
+    )
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of BM25 relevance with a query-independent
     quality prior (n_chars rank) — the classic relevance × authority
@@ -5444,6 +5471,7 @@ QUERIES = {
     "q_rrf_fusion": q_rrf_fusion,
     "q_mixture_plan": q_mixture_plan,
     "q_nf_profile": q_nf_profile,
+    "q_ann_recall": q_ann_recall,
 }
 
 
@@ -7394,6 +7422,20 @@ def _rotation_order(mapping: dict) -> dict:
         ledger = {}
     return dict(sorted(mapping.items(), key=lambda kv: (ledger.get(kv[0], 0), kv[0])))
 
+
+ORACLE_SQL["q_ann_recall"] = (
+    "WITH ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM "
+    f"({ORACLE_SQL['q_ann_topk']})), "
+    "ap AS MATERIALIZED (SELECT query_id, neighbor_id FROM "
+    f"({_ann_lsh_md5_sql(150, 3, 6, 6, 64)})), "
+    "inter AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits FROM ex e "
+    "JOIN ap a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id "
+    "GROUP BY e.query_id), "
+    "qs AS (SELECT DISTINCT query_id FROM ex) "
+    "SELECT q.query_id, COALESCE(i.hits, 0) AS hits, "
+    "ROUND(COALESCE(i.hits, 0) / 3.0, 8) AS recall_r "
+    "FROM qs q LEFT JOIN inter i ON q.query_id = i.query_id"
+)
 
 QUERIES = _rotation_order(QUERIES)
 ORACLE_SQL = _rotation_order(ORACLE_SQL)
