@@ -229,7 +229,28 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     results["ann_lsh_scale"] = _timed(_ann_lsh_scale)
 
-    # --- round-4 sixth-session probes: CDC chunk dedup + WL fingerprints ---
+    # --- round-4 sixth-session probes: ANN recall, CDC dedup, WL prints ---
+    def _ann_recall_metric():
+        from amanogawa_spark.operators.similarity import (
+            cosine_topk_brute,
+            cosine_topk_lsh,
+        )
+
+        emb = distributed_embeddings(
+            spark, 2000, dim=64, n_clusters=40
+        ).persist()
+        emb.count()
+        exact = cosine_topk_brute(emb, k=5).select("query_id", "neighbor_id")
+        approx = cosine_topk_lsh(
+            emb, k=5, dim=64, n_tables=4, n_planes=14, max_bucket_size=150,
+            method="arrow",
+        ).select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        total = exact.count()
+        emb.unpersist()
+        return hits / max(total, 1)
+
+    results["ann_lsh_recall_metric"] = round(_ann_recall_metric(), 4)
     def _cdc_scale():
         from amanogawa_spark.operators.chunking import cdc_dup_stats
 
