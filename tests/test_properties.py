@@ -119,3 +119,77 @@ def test_sequence_manifest_tiles_every_sequence_exactly(spark, tokens, max_token
         if seq != max(per_seq):
             assert sl[-1][1] == max_tokens  # every non-final sequence is full
     assert covered == total
+
+
+@given(
+    text=st.text(
+        alphabet=st.sampled_from(list("abcdefg hij")), min_size=0, max_size=240
+    ),
+    modulus=st.sampled_from([8, 16, 32]),
+)
+@_FAST
+def test_cdc_chunks_reassemble_any_text(spark, text, modulus):
+    """CDC chunking is a partition of the document for ANY input: chunks
+    concatenate back to the text, starts/lengths are consistent, and the
+    poly and expression modes both hold the invariant."""
+    from amanogawa_spark.operators.chunking import cdc_chunks
+
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    for mode in ("xxhash64", "poly"):
+        rows = sorted(
+            cdc_chunks(df, modulus=modulus, hash=mode).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        assert "".join(r["chunk_text"] for r in rows) == text
+        pos = 0
+        for r in rows:
+            assert r["chunk_start"] == pos
+            assert r["chunk_len"] == len(r["chunk_text"])
+            pos += r["chunk_len"]
+
+
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=1, max_value=40),
+        min_size=1,
+        max_size=5,
+    ),
+    budget=st.integers(min_value=1, max_value=500),
+)
+@_FAST
+def test_crawl_budget_conservation_any_weights(spark, weights, budget):
+    """Largest-remainder quotas always sum exactly to the budget and stay
+    within 1 of the proportional share, whatever the mass distribution."""
+    from amanogawa_spark.graph.frontier import crawl_budget
+
+    rows = [(h, m) for h, m in sorted(weights.items())]
+    total = sum(m for _, m in rows)
+    df = spark.createDataFrame(rows, "host string, mass long")
+    got = {r["host"]: r["quota"] for r in crawl_budget(df, budget).collect()}
+    assert sum(got.values()) == budget
+    for h, m in rows:
+        share = m / total * budget
+        assert share - 1 < got[h] < share + 1
+
+
+@given(
+    a=st.text(alphabet=st.sampled_from(list("xyz w")), min_size=30, max_size=60),
+    b=st.text(alphabet=st.sampled_from(list("pqr v")), min_size=30, max_size=60),
+    shared=st.text(
+        alphabet=st.sampled_from(list("klmno ")), min_size=14, max_size=30
+    ),
+)
+@_FAST
+def test_winnow_guarantee_any_shared_substring(spark, a, b, shared):
+    """Any two docs sharing a substring of length >= w + k - 1 (= 11 at
+    k=8, w=4) share at least one winnowed fingerprint."""
+    from amanogawa_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, a + shared), (1, shared + b)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(df, k=8, w=4).collect()
+    f0 = {r["fp"] for r in fps if r["doc_id"] == 0}
+    f1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    assert f0 & f1
