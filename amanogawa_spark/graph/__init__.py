@@ -16,6 +16,8 @@ from amanogawa_spark.graph.cocitation import bibliographic_coupling, cocitation
 from amanogawa_spark.graph.community import louvain, modularity
 from amanogawa_spark.graph.mis import luby_mis
 from amanogawa_spark.graph.scc import strongly_connected_components
+from amanogawa_spark.graph.condensation import condensation_edges, topological_levels
+from amanogawa_spark.graph.localcluster import local_cluster, ppr_sweep_cut
 from amanogawa_spark.graph.sssp import bfs_levels, shortest_paths
 from amanogawa_spark.graph.walks import node2vec_walks, random_walks, skipgram_pairs
 from amanogawa_spark.graph.anchors import anchor_edges, anchor_top_terms
@@ -103,6 +105,10 @@ __all__ = [
     "clustering_coefficient",
     "k_truss",
     "strongly_connected_components",
+    "condensation_edges",
+    "topological_levels",
+    "local_cluster",
+    "ppr_sweep_cut",
     "shortest_paths",
     "bfs_levels",
     "random_walks",

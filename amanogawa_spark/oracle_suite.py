@@ -2958,7 +2958,7 @@ def q_push_ppr3(spark, sf_dir):
     )
 
 
-def _push_ppr_sql(rounds: int = 3, eps: float = 1e-6) -> str:
+def _push_ppr_parts(rounds: int = 3, eps: float = 1e-6) -> list:
     parts = [
         f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
         _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
@@ -2991,11 +2991,133 @@ def _push_ppr_sql(rounds: int = 3, eps: float = 1e-6) -> str:
             f"0.85*(SELECT dm FROM dm{k})*sv.s AS r FROM sv"
             f") GROUP BY id)"
         )
+    return parts
+
+
+def _push_ppr_sql(rounds: int = 3, eps: float = 1e-6) -> str:
+    parts = _push_ppr_parts(rounds, eps)
     body = parts[0] + ",\n" + ",\n".join(parts[1:])
     return body + (
         f"\nSELECT id, ROUND(p, 8) AS ppr_est_r, ROUND(r, 8) AS residual_r "
         f"FROM s{rounds}"
     )
+
+
+def _sweep_cut_sql(rounds: int = 3, eps: float = 1e-6) -> str:
+    """ACL sweep over the same 3-round push support: exact mirror of
+    graph/localcluster.py's ppr_sweep_cut (bitwise p via 12-dec rounds)."""
+    big = 2**62
+    parts = _push_ppr_parts(rounds, eps)
+    parts += [
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(src_id, dst_id) AS a, "
+        "GREATEST(src_id, dst_id) AS b FROM edges)",
+        "udeg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM ("
+        "SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) GROUP BY id)",
+        f"sup AS MATERIALIZED (SELECT s.id, s.p, u.d FROM s{rounds} s "
+        "JOIN udeg u ON s.id = u.id WHERE s.p > 0)",
+        "rk AS MATERIALIZED (SELECT id, d, ROW_NUMBER() OVER "
+        "(ORDER BY p / d DESC, id ASC) AS k FROM sup)",
+        f"er AS (SELECT LEAST(COALESCE(ka.k, {big}), COALESCE(kb.k, {big})) AS kmin, "
+        f"GREATEST(COALESCE(ka.k, {big}), COALESCE(kb.k, {big})) AS kmax "
+        "FROM und LEFT JOIN rk ka ON und.a = ka.id LEFT JOIN rk kb ON und.b = kb.id)",
+        f"op AS (SELECT kmin AS k, COUNT(*) AS n_open FROM er WHERE kmin < {big} "
+        "GROUP BY kmin)",
+        f"cl AS (SELECT kmax AS k, COUNT(*) AS n_close FROM er WHERE kmax < {big} "
+        "GROUP BY kmax)",
+        "vt AS (SELECT SUM(d) AS vt FROM udeg)",
+        "sw AS (SELECT r.k, r.id, SUM(r.d) OVER (ORDER BY r.k) AS vol_s, "
+        "SUM(COALESCE(op.n_open, 0)) OVER (ORDER BY r.k) "
+        "- SUM(COALESCE(cl.n_close, 0)) OVER (ORDER BY r.k) AS cut_s "
+        "FROM rk r LEFT JOIN op ON r.k = op.k LEFT JOIN cl ON r.k = cl.k)",
+    ]
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return body + (
+        "\nSELECT CAST(k AS BIGINT) AS sweep_k, id, CAST(vol_s AS BIGINT) AS vol_s, "
+        "CAST(cut_s AS BIGINT) AS cut_s, "
+        "ROUND(CASE WHEN LEAST(vol_s, (SELECT vt FROM vt) - vol_s) > 0 "
+        "THEN CAST(cut_s AS DOUBLE) / LEAST(vol_s, (SELECT vt FROM vt) - vol_s) "
+        "ELSE 1.0 END, 8) AS conductance_r FROM sw"
+    )
+
+
+def q_sweep_cut(spark, sf_dir):
+    """ACL sweep-cut table over the 3-round forward-push PPR support
+    (same seeds/eps as q_push_ppr3): per-prefix volume, cut and
+    conductance on the canonical undirected graph — the local-clustering
+    half of Andersen–Chung–Lang. Oracle mirrors the push (12-dec rounds)
+    then the sweep windows."""
+    from amanogawa_spark.graph.localcluster import ppr_sweep_cut
+    from amanogawa_spark.graph.push import forward_push_ppr
+
+    e = derived_edges(spark, sf_dir)
+    seeds = derived_vertices(spark, sf_dir).filter(F.col("id") % 100 == 0)
+    ppr = forward_push_ppr(e, seeds, alpha=0.15, eps=1e-6, fixed_rounds=3)
+    out = ppr_sweep_cut(e, ppr)
+    return out.select(
+        F.col("sweep_k").cast("long").alias("sweep_k"),
+        "id",
+        "vol_s",
+        "cut_s",
+        "conductance_r",
+    )
+
+
+def q_condensation_levels(spark, sf_dir):
+    """SCC condensation DAG of the q_scc sparsified digraph + longest-path
+    topological levels per super-vertex (parallel recrawl wave depth).
+    Oracle: recursive transitive closure → mutual-reach SCCs → distinct
+    super-edges → recursive longest path from the source set."""
+    from amanogawa_spark.graph.condensation import (
+        condensation_edges,
+        topological_levels,
+    )
+    from amanogawa_spark.graph.scc import strongly_connected_components
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = 800
+    e = (
+        li.select(
+            (F.col("l_orderkey") % m).alias("src_id"),
+            (F.col("l_partkey") % m).alias("dst_id"),
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .filter((F.col("src_id") * 3 + F.col("dst_id")) % 13 == 0)
+        .distinct()
+    )
+    v = (
+        e.select(F.col("src_id").alias("id"))
+        .unionAll(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    comp = strongly_connected_components(v, e)
+    ce = condensation_edges(e, comp)
+    return topological_levels(ce, comp, max_rounds=512)
+
+
+_CONDENSATION_LEVELS_SQL = (
+    "WITH RECURSIVE edges AS ("
+    "SELECT DISTINCT l_orderkey % 800 AS src_id, l_partkey % 800 AS dst_id FROM lineitem "
+    "WHERE l_orderkey % 800 <> l_partkey % 800 "
+    "AND (l_orderkey % 800 * 3 + l_partkey % 800) % 13 = 0), "
+    "verts AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges "
+    "UNION ALL SELECT dst_id AS id FROM edges)), "
+    "reach(u, v) AS (SELECT src_id, dst_id FROM edges "
+    "UNION SELECT r.u, e.dst_id FROM reach r JOIN edges e ON r.v = e.src_id), "
+    "mutual AS (SELECT a.u AS id, a.v AS o FROM reach a "
+    "JOIN reach b ON a.u = b.v AND a.v = b.u), "
+    "sccs AS (SELECT vt.id, LEAST(vt.id, COALESCE(MIN(m.o), vt.id)) AS scc "
+    "FROM verts vt LEFT JOIN mutual m ON m.id = vt.id GROUP BY vt.id), "
+    "sizes AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS n_members FROM sccs GROUP BY scc), "
+    "ced AS (SELECT DISTINCT cs.scc AS s, cd.scc AS t FROM edges e "
+    "JOIN sccs cs ON e.src_id = cs.id JOIN sccs cd ON e.dst_id = cd.id "
+    "WHERE cs.scc <> cd.scc), "
+    "srcs AS (SELECT scc FROM sizes WHERE scc NOT IN (SELECT t FROM ced)), "
+    "lp(v, dth) AS (SELECT scc, CAST(0 AS BIGINT) FROM srcs "
+    "UNION SELECT c.t, lp.dth + 1 FROM lp JOIN ced c ON c.s = lp.v), "
+    "lev AS (SELECT v AS scc, MAX(dth) AS level FROM lp GROUP BY v) "
+    "SELECT s.scc, s.n_members, CAST(COALESCE(l.level, 0) AS BIGINT) AS level "
+    "FROM sizes s LEFT JOIN lev l ON s.scc = l.scc"
+)
 
 
 def q_classifier_train3(spark, sf_dir):
@@ -5306,6 +5428,8 @@ QUERIES = {
     # -- round-4 second-session additions --
     "q_spam_mass3": q_spam_mass3,
     "q_push_ppr3": q_push_ppr3,
+    "q_sweep_cut": q_sweep_cut,
+    "q_condensation_levels": q_condensation_levels,
     "q_classifier_train3": q_classifier_train3,
     "q_hll_by_source": q_hll_by_source,
     "q_host_graph": q_host_graph,
@@ -6681,6 +6805,8 @@ ORACLE_SQL = {
     "q_apply_param_rules": _APPLY_PARAM_RULES_SQL,
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
+    "q_sweep_cut": _sweep_cut_sql(3),
+    "q_condensation_levels": _CONDENSATION_LEVELS_SQL,
     "q_classifier_train3": _classifier_train_sql(3),
     "q_hll_by_source": _hll_by_sql(12),
     "q_host_graph": (
