@@ -88,7 +88,7 @@ def ppr_sweep_cut(edges: DataFrame, ppr: DataFrame) -> DataFrame:
     # window over it is a bounded single-partition sort by construction.
     w = Window.orderBy((F.col("ppr_est") / F.col("d")).desc(), F.col("id").asc())
     ranked = support.select(
-        "id", "d", F.row_number().over(w).alias("k")
+        "id", "d", F.row_number().over(w).cast("long").alias("k")
     ).localCheckpoint(eager=True)
 
     rank_a = ranked.select(F.col("id").alias("a"), F.col("k").alias("ka"))
@@ -124,8 +124,8 @@ def ppr_sweep_cut(edges: DataFrame, ppr: DataFrame) -> DataFrame:
     vol_total = deg.agg(F.sum("d").alias("vt"))
     cw = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
     sweep = (
-        ranked.join(opens, "k", "left")
-        .join(closes, "k", "left")
+        ranked.join(F.broadcast(opens), "k", "left")
+        .join(F.broadcast(closes), "k", "left")
         .select(
             "k",
             "id",
