@@ -88,3 +88,40 @@ def test_analytics_cli_sgns_and_neighbor_agg(spark, tmp_path, capsys):
         capsys,
     )
     assert meta["rows"] == v.count()
+
+
+def test_analytics_cli_condensation_and_local_cluster(spark, tmp_path, capsys):
+    from amanogawa_spark.fixtures.pages import generate_pages
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(generate_pages(n_pages=120, seed=7).pages)
+    v = build_vertices(pages)
+    e = build_edges(pages, v)
+    v.write.mode("overwrite").parquet(str(tmp_path / "g" / "vertices"))
+    e.write.mode("overwrite").parquet(str(tmp_path / "g" / "edges"))
+    v.select("id").limit(2).write.mode("overwrite").parquet(
+        str(tmp_path / "g" / "seeds")
+    )
+    g = str(tmp_path / "g")
+
+    meta = _run(
+        ["--graph", g, "--algo", "condensation_levels", "--out", f"{g}/cond"],
+        capsys,
+    )
+    cond = spark.read.parquet(f"{g}/cond")
+    # one row per SCC, member counts conserve |V|, sources sit at level 0
+    assert meta["rows"] == cond.count() > 0
+    assert cond.agg(F.sum("n_members")).collect()[0][0] == v.count()
+    assert cond.agg(F.min("level")).collect()[0][0] == 0
+
+    meta = _run(
+        ["--graph", g, "--algo", "local_cluster", "--out", f"{g}/lc",
+         "--tol", "1e-7", "--max-iter", "20"],
+        capsys,
+    )
+    lc = spark.read.parquet(f"{g}/lc")
+    assert meta["rows"] == lc.count() > 0
+    # the cluster is a sweep prefix: ranks are exactly 1..n
+    ks = sorted(r["sweep_k"] for r in lc.select("sweep_k").collect())
+    assert ks == list(range(1, len(ks) + 1))

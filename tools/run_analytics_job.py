@@ -12,7 +12,9 @@ the full algorithm suite:
 clustering, louvain, coloring, mis, walks, node2vec, degrees, linkpred,
 sgns_pairs (skip-gram positives + degree^0.75 negatives over a walk
 corpus), neighbor_agg (GraphSAGE k-layer mean aggregation; reads
-``--graph``/features parquet with (id, vec)).
+``--graph``/features parquet with (id, vec)), condensation_levels (SCC
+condensation DAG + longest-path topological levels), local_cluster (ACL
+sweep-cut around ``--graph``/seeds parquet with (id); eps via --tol).
 """
 
 from __future__ import annotations
@@ -127,6 +129,26 @@ def main() -> None:
 
         feats = spark.read.parquet(f"{args.graph}/features")
         out = aggregate_neighbor_features(edges, feats, layers=args.k)
+    elif args.algo == "condensation_levels":
+        from amanogawa_spark.graph.condensation import (
+            condensation_edges,
+            topological_levels,
+        )
+        from amanogawa_spark.graph.scc import strongly_connected_components
+
+        comp = strongly_connected_components(
+            vertices, edges, max_outer=args.max_iter
+        )
+        out = topological_levels(
+            condensation_edges(edges, comp), comp, max_rounds=max(args.max_iter, 64)
+        )
+    elif args.algo == "local_cluster":
+        from amanogawa_spark.graph.localcluster import local_cluster
+
+        seeds = spark.read.parquet(f"{args.graph}/seeds")
+        out = local_cluster(
+            edges, seeds, eps=args.tol, max_rounds=args.max_iter
+        )
     else:
         raise SystemExit(f"unknown --algo {args.algo!r}")
 
