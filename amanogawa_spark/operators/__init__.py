@@ -35,6 +35,12 @@ from amanogawa_spark.operators.chunking import (
     cdc_dup_stats,
     chunk_documents,
 )
+from amanogawa_spark.operators.ordering import (
+    clustered,
+    clustered_write,
+    layout_size_probe,
+    locality_sort_keys,
+)
 from amanogawa_spark.operators.bpe import bpe_encode, bpe_train
 from amanogawa_spark.operators.cooccur import cooccurrence_pairs, pmi_scores
 from amanogawa_spark.operators.retrieval import (
@@ -94,6 +100,10 @@ __all__ = [
     "hll_registers",
     "boilerplate_chunks",
     "cdc_chunks",
+    "clustered",
+    "clustered_write",
+    "layout_size_probe",
+    "locality_sort_keys",
     "cdc_dup_stats",
     "covariance_table",
     "gram_stats",

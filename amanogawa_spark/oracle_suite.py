@@ -3874,6 +3874,26 @@ def q_surt_keys(spark, sf_dir):
     )
 
 
+def q_locality_keys(spark, sf_dir):
+    """Compression-locality sort keys (operators/ordering.py): SURT host
+    key as the major order + 60-bit md5 SimHash as the minor — the write
+    layout that places per-host template pages and near-duplicates in the
+    same parquet row groups."""
+    from amanogawa_spark.functions.url import surt_key
+    from amanogawa_spark.operators.ordering import locality_sort_keys
+
+    u = _synth_urls(spark, sf_dir).select(
+        "doc_id", surt_key(F.col("url")).alias("surt")
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).join(
+        u, "doc_id"
+    )
+    out = locality_sort_keys(docs, group_col="surt", hash="md5")
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("group").alias("surt"), "sh"
+    )
+
+
 def q_host_split(spark, sf_dir):
     """Leak-free train/valid/test assignment (operators/sampling.py
     host_disjoint_split, md5 flavour): every page of a registered domain
@@ -3897,6 +3917,27 @@ _SURT_SQL = (
     "array_to_string(list_reverse(string_split(h2, '.')), ',') || ')' || lower(path) || "
     "CASE WHEN q <> '' THEN '?' || q ELSE '' END ELSE '' END AS surt FROM s"
 )
+
+def _locality_keys_sql() -> str:
+    """Mirror of q_locality_keys: SURT keys + 60-bit md5 SimHash."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sh_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    return (
+        f"WITH srt AS MATERIALIZED ({_SURT_SQL}), "
+        f"base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents "
+        "WHERE doc_id < 300), "
+        "t AS (SELECT id, unnest(string_split(norm, ' ')) AS tok FROM base), "
+        "hs AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t), "
+        f"votes AS MATERIALIZED (SELECT id, {votes} FROM hs GROUP BY id), "
+        f"shs AS MATERIALIZED (SELECT id, CAST({sh_expr} AS BIGINT) AS sh FROM votes) "
+        "SELECT srt.doc_id, srt.surt, shs.sh FROM srt JOIN shs ON srt.doc_id = shs.id"
+    )
+
 
 _HOST_SPLIT_SQL = (
     f"WITH {_URLS_SQL}, "
@@ -5571,6 +5612,7 @@ QUERIES = {
     "q_blocked_pagerank5": q_blocked_pagerank5,
     "q_incr_pagerank4": q_incr_pagerank4,
     "q_surt_keys": q_surt_keys,
+    "q_locality_keys": q_locality_keys,
     "q_host_split": q_host_split,
     "q_incr_cc": q_incr_cc,
     "q_incr_triangles": q_incr_triangles,
@@ -7439,6 +7481,7 @@ FROM n3""",
     "q_blocked_pagerank5": _pagerank_sql(5),
     "q_incr_pagerank4": _incr_pagerank_sql(4),
     "q_surt_keys": _SURT_SQL,
+    "q_locality_keys": _locality_keys_sql(),
     "q_host_split": _HOST_SPLIT_SQL,
     "q_incr_cc": _INCR_CC_SQL,
     "q_incr_triangles": _INCR_TRI_SQL,
