@@ -44,6 +44,9 @@ operators, declaratively reachable): ``type="sample"`` (``method=
 (``url_column``, ``wildcard_min_distinct``, ``max_depth``,
 ``aggregate``), ``type="cdc_dedup"`` (``window``, ``modulus``,
 ``hash``, ``max_dup_frac`` — set to keep-filter instead of profiling).
+Sink formats additionally accept ``cluster_by = ["col", ...]`` — a
+similarity-ordered write layout (range-sort across ``coalesce`` files;
+``operators/ordering.py``) so near-duplicate rows share row groups.
 
 Relative paths resolve against the config file's directory (CLI parity).
 Sinks write Spark-style part-file directories — at cluster scale that is
@@ -336,8 +339,17 @@ def _sink_fn(spec: dict, base_dir: str):
         ext = os.path.splitext(path)[1].lstrip(".").lower()
         fmt_type = {"tsv": "csv", "jsonl": "json", "": "parquet"}.get(ext, ext)
     coalesce = int(fmt.get("coalesce", 0))
+    # similarity-ordered layout: cluster_by = ["host","sh",...] range-sorts
+    # rows across `coalesce` (or default) output files so near-duplicates
+    # share row groups (operators/ordering.py); replaces plain coalesce —
+    # a post-sort coalesce would concatenate sorted runs out of order
+    cluster_by = fmt.get("cluster_by") or None
 
     def prep(df: DataFrame) -> DataFrame:
+        if cluster_by:
+            from amanogawa_spark.operators.ordering import clustered
+
+            return clustered(df, list(cluster_by), coalesce or None)
         return df.coalesce(coalesce) if coalesce else df
 
     if fmt_type == "csv":

@@ -553,3 +553,55 @@ type = "parquet"
     kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept_out")).collect()}
     assert 2 in kept  # unique doc always survives
     assert kept != {0, 1, 2}  # at least one heavy-dup doc filtered
+
+
+def test_sink_cluster_by_layout(spark, tmp_path):
+    """[sink.format] cluster_by: rows range-sorted across output files so
+    near-duplicates share row groups; content identical either way."""
+    import csv as _csv
+
+    with open(tmp_path / "docs.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["doc_id", "host", "text"])
+        for i in range(120):
+            w.writerow([i, f"h{i % 5}", f"tpl{i % 5} body payload {i}"])
+    (tmp_path / "job.toml").write_text(
+        textwrap.dedent(
+            """
+            [source]
+            type = "file"
+            path = "docs.csv"
+            [source.format]
+            type = "csv"
+            skip_header = true
+            columns = [
+              { name = "doc_id", type = "int" },
+              { name = "host", type = "string" },
+              { name = "text", type = "string" },
+            ]
+
+            [sink]
+            type = "file"
+            path = "docs_out"
+            [sink.format]
+            type = "parquet"
+            coalesce = 3
+            cluster_by = ["host", "doc_id"]
+            """
+        )
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(str(tmp_path / "job.toml"), spark)
+    out = spark.read.parquet(str(tmp_path / "docs_out"))
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(120))
+
+    def _sorted_within(it):
+        prev = None
+        for row in it:
+            k = (row["host"], row["doc_id"])
+            assert prev is None or k >= prev, (prev, k)
+            prev = k
+            yield row
+
+    assert out.rdd.mapPartitions(_sorted_within).count() == 120
