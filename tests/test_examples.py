@@ -70,3 +70,29 @@ def test_example_recrawl_cdc(spark, tmp_path):
     run_config(_stage(tmp_path, "recrawl_cdc.toml"), spark)
     kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out_kept")).collect()}
     assert 2 in kept and kept != {0, 1, 2}
+
+
+def test_example_clustered_archive(spark, tmp_path):
+    rows = []
+    for i in range(90):
+        h = i % 3
+        body = " ".join(f"h{h}w{(j * 37 + h * 101) % 997}" for j in range(40))
+        rows.append((i, f"site{h}.example", body + f" payload {i}"))
+    spark.createDataFrame(rows, "doc_id long, host string, text string").write.parquet(
+        str(tmp_path / "docs_pq")
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(_stage(tmp_path, "clustered_archive.toml"), spark)
+    out = spark.read.parquet(str(tmp_path / "out_archive"))
+    assert out.count() > 0  # keep-filter retains the non-pathological docs
+
+    def _sorted_within(it):
+        prev = None
+        for row in it:
+            k = (row["host"], row["doc_id"])
+            assert prev is None or k >= prev, (prev, k)
+            prev = k
+            yield row
+
+    assert out.rdd.mapPartitions(_sorted_within).count() == out.count()
