@@ -187,3 +187,149 @@ def local_cluster(
         .filter(F.col("sweep_k") <= F.col("best_k"))
         .select("id", "sweep_k", "conductance_r")
     )
+
+
+def ppr_sweep_cut_batch(edges: DataFrame, ppr: DataFrame) -> DataFrame:
+    """Batched sweep: ``ppr`` carries (query_id, id, ppr_est) — typically
+    :func:`forward_push_ppr_batch` output — and the result adds a
+    ``query_id`` column to the :func:`ppr_sweep_cut` schema.
+
+    SCALE SHAPE IMPROVES over the single-query sweep: every window here is
+    ``partitionBy(query_id)`` over one query's push-bounded support, so
+    there is no global-order window at all — thousands of sweeps rank and
+    cumulate in parallel. The edge table is touched once; an edge is
+    replicated only to the queries whose support contains one of its
+    endpoints (candidate union of the two endpoint joins).
+    """
+    und, deg = undirected_degrees(edges)
+
+    support = (
+        ppr.filter(F.col("ppr_est") > 0)
+        .select("query_id", "id", "ppr_est")
+        .join(deg, "id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        (F.col("ppr_est") / F.col("d")).desc(), F.col("id").asc()
+    )
+    ranked = support.select(
+        "query_id", "id", "d", F.row_number().over(w).cast("long").alias("k")
+    ).localCheckpoint(eager=True)
+
+    rank_a = ranked.select(
+        "query_id", F.col("id").alias("a"), F.col("k").alias("ka")
+    )
+    rank_b = ranked.select(
+        "query_id", F.col("id").alias("b"), F.col("k").alias("kb")
+    )
+    # candidate (query, edge) pairs: union of the two endpoint matches —
+    # an edge reaches only the queries that touched one of its endpoints
+    cand = (
+        und.join(F.broadcast(rank_a.select("query_id", "a")), "a")
+        .select("query_id", "a", "b")
+        .unionAll(
+            und.join(F.broadcast(rank_b.select("query_id", "b")), "b").select(
+                "query_id", "a", "b"
+            )
+        )
+        .distinct()
+    )
+    er = (
+        cand.join(F.broadcast(rank_a), ["query_id", "a"], "left")
+        .join(F.broadcast(rank_b), ["query_id", "b"], "left")
+        .select(
+            "query_id",
+            F.least(
+                F.coalesce("ka", F.lit(_UNRANKED)),
+                F.coalesce("kb", F.lit(_UNRANKED)),
+            ).alias("kmin"),
+            F.greatest(
+                F.coalesce("ka", F.lit(_UNRANKED)),
+                F.coalesce("kb", F.lit(_UNRANKED)),
+            ).alias("kmax"),
+        )
+    )
+    opens = (
+        er.filter(F.col("kmin") < _UNRANKED)
+        .groupBy("query_id", F.col("kmin").alias("k"))
+        .agg(F.count("*").alias("n_open"))
+    )
+    closes = (
+        er.filter(F.col("kmax") < _UNRANKED)
+        .groupBy("query_id", F.col("kmax").alias("k"))
+        .agg(F.count("*").alias("n_close"))
+    )
+
+    vol_total = deg.agg(F.sum("d").alias("vt"))
+    cw = (
+        Window.partitionBy("query_id")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = (
+        ranked.join(F.broadcast(opens), ["query_id", "k"], "left")
+        .join(F.broadcast(closes), ["query_id", "k"], "left")
+        .select(
+            "query_id",
+            "k",
+            "id",
+            F.sum("d").over(cw).alias("vol_s"),
+            (
+                F.sum(F.coalesce("n_open", F.lit(0))).over(cw)
+                - F.sum(F.coalesce("n_close", F.lit(0))).over(cw)
+            ).alias("cut_s"),
+        )
+        .crossJoin(F.broadcast(vol_total))
+    )
+    denom = F.least(F.col("vol_s"), F.col("vt") - F.col("vol_s"))
+    return sweep.select(
+        "query_id",
+        F.col("k").alias("sweep_k"),
+        "id",
+        "vol_s",
+        "cut_s",
+        F.round(
+            F.when(denom > 0, F.col("cut_s").cast("double") / denom).otherwise(
+                F.lit(1.0)
+            ),
+            8,
+        ).alias("conductance_r"),
+    )
+
+
+def local_cluster_batch(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.15,
+    eps: float = 1e-6,
+    fixed_rounds: int | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Batched ACL clusters: (query_id, id, sweep_k, conductance_r) — the
+    min-conductance sweep prefix PER QUERY, all queries in one job.
+    ``seeds`` carries (query_id, id)."""
+    from amanogawa_spark.graph.push import forward_push_ppr_batch
+
+    ppr = forward_push_ppr_batch(
+        edges,
+        seeds,
+        alpha=alpha,
+        eps=eps,
+        fixed_rounds=fixed_rounds,
+        max_rounds=max_rounds,
+    )
+    sweep = ppr_sweep_cut_batch(edges, ppr).localCheckpoint(eager=True)
+    bw = Window.partitionBy("query_id").orderBy(
+        F.col("conductance_r").asc(), F.col("sweep_k").asc()
+    )
+    best = (
+        sweep.select(
+            "query_id", "sweep_k", F.row_number().over(bw).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("sweep_k").alias("best_k"))
+    )
+    return (
+        sweep.join(F.broadcast(best), "query_id")
+        .filter(F.col("sweep_k") <= F.col("best_k"))
+        .select("query_id", "id", "sweep_k", "conductance_r")
+    )

@@ -131,3 +131,110 @@ def forward_push_ppr(
     return state.select(
         "id", F.col("p").alias("ppr_est"), F.col("r").alias("residual")
     )
+
+
+def forward_push_ppr_batch(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.15,
+    eps: float = 1e-4,
+    max_rounds: int = 50,
+    fixed_rounds: int | None = None,
+) -> DataFrame:
+    """(query_id, id, ppr_est, residual): many seed sets, ONE job.
+
+    The production related-pages / seed-expansion shape: thousands of PPR
+    queries answered together — ``seeds`` carries (query_id, id) and every
+    round pushes ALL queries' residuals in the same co-keyed joins, so the
+    per-round fixed cost (job launch, shuffle barriers) amortizes across
+    the batch instead of multiplying by it. State is keyed (query_id, id);
+    each query's support stays push-bounded exactly as in
+    :func:`forward_push_ppr`, and the semantics per query are identical
+    (pytest pins batch == per-seed single runs).
+    """
+    out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(
+        F.count("*").alias("od")
+    )
+    sizes = (
+        seeds.select("query_id", "id")
+        .distinct()
+        .groupBy("query_id")
+        .agg(F.count("*").alias("ns"))
+    )
+    if sizes.limit(1).count() == 0:
+        raise ValueError("forward_push_ppr_batch requires a non-empty seed set")
+    sv = (
+        seeds.select("query_id", "id")
+        .distinct()
+        .join(sizes, "query_id")
+        .select("query_id", "id", (F.lit(1.0) / F.col("ns")).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+
+    state = sv.select(
+        "query_id", "id", F.lit(0.0).alias("p"), F.col("s").alias("r")
+    )
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    check_convergence = fixed_rounds is None
+
+    for _rnd in range(rounds):
+        if check_convergence:
+            if state.filter(F.col("r") > eps).limit(1).count() == 0:
+                break
+        active = state.filter(F.col("r") > eps)
+        inactive = state.filter(~(F.col("r") > eps))
+        settled = active.select(
+            "query_id", "id", (F.col("p") + F.lit(alpha) * F.col("r")).alias("p")
+        )
+        act = active.join(out_deg, "id", "left").select(
+            "query_id", "id", "r", "od"
+        )
+        pushed = (
+            edges.join(
+                act.filter(F.col("od").isNotNull())
+                .select("query_id", F.col("id").alias("src_id"), "r", "od")
+                .hint("shuffle_hash"),
+                "src_id",
+            )
+            .select(
+                "query_id",
+                F.col("dst_id").alias("id"),
+                (F.lit(1.0 - alpha) * F.col("r") / F.col("od")).alias("dr"),
+            )
+            .groupBy("query_id", "id")
+            .agg(F.sum("dr").alias("dr"))
+        )
+        # dangling actives teleport their mass back to THEIR query's seeds
+        dang = (
+            act.filter(F.col("od").isNull())
+            .groupBy("query_id")
+            .agg(F.sum("r").alias("dm"))
+        )
+        dang_pushed = dang.join(sv, "query_id").select(
+            "query_id",
+            "id",
+            (F.lit(1.0 - alpha) * F.col("dm") * F.col("s")).alias("dr"),
+        )
+        parts = [
+            settled.select("query_id", "id", "p", F.lit(0.0).alias("r")),
+            inactive.select("query_id", "id", "p", "r"),
+            pushed.select(
+                "query_id", "id", F.lit(0.0).alias("p"), F.col("dr").alias("r")
+            ),
+            dang_pushed.select(
+                "query_id", "id", F.lit(0.0).alias("p"), F.col("dr").alias("r")
+            ),
+        ]
+        u = parts[0]
+        for x in parts[1:]:
+            u = u.unionAll(x)
+        # same 12-dec portable rounding + per-round checkpoint discipline
+        # as the single-query loop (see comments there)
+        state = u.groupBy("query_id", "id").agg(
+            F.round(F.sum("p"), 12).alias("p"),
+            F.round(F.sum("r"), 12).alias("r"),
+        ).localCheckpoint(eager=True)
+
+    return state.select(
+        "query_id", "id", F.col("p").alias("ppr_est"), F.col("r").alias("residual")
+    )

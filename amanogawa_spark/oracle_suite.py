@@ -2958,13 +2958,15 @@ def q_push_ppr3(spark, sf_dir):
     )
 
 
-def _push_ppr_parts(rounds: int = 3, eps: float = 1e-6) -> list:
+def _push_ppr_parts(
+    rounds: int = 3, eps: float = 1e-6, seed_pred: str = "id % 100 = 0"
+) -> list:
     parts = [
         f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
         _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
         "outdeg AS MATERIALIZED (SELECT src_id AS id, CAST(COUNT(*) AS DOUBLE) AS od "
         "FROM edges GROUP BY src_id)",
-        "seeds AS MATERIALIZED (SELECT id FROM verts WHERE id % 100 = 0)",
+        f"seeds AS MATERIALIZED (SELECT id FROM verts WHERE {seed_pred})",
         "sn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds)",
         "sv AS MATERIALIZED (SELECT id, 1.0/(SELECT ns FROM sn) AS s FROM seeds)",
         "s0 AS MATERIALIZED (SELECT id, 0.0 AS p, s AS r FROM sv)",
@@ -3003,11 +3005,13 @@ def _push_ppr_sql(rounds: int = 3, eps: float = 1e-6) -> str:
     )
 
 
-def _sweep_cut_sql(rounds: int = 3, eps: float = 1e-6) -> str:
+def _sweep_cut_sql(
+    rounds: int = 3, eps: float = 1e-6, seed_pred: str = "id % 100 = 0"
+) -> str:
     """ACL sweep over the same 3-round push support: exact mirror of
     graph/localcluster.py's ppr_sweep_cut (bitwise p via 12-dec rounds)."""
     big = 2**62
-    parts = _push_ppr_parts(rounds, eps)
+    parts = _push_ppr_parts(rounds, eps, seed_pred)
     parts += [
         "und AS MATERIALIZED (SELECT DISTINCT LEAST(src_id, dst_id) AS a, "
         "GREATEST(src_id, dst_id) AS b FROM edges)",
@@ -3059,6 +3063,44 @@ def q_sweep_cut(spark, sf_dir):
         "vol_s",
         "cut_s",
         "conductance_r",
+    )
+
+
+def q_sweep_cut_batch2(spark, sf_dir):
+    """Batched ACL sweep (graph/localcluster.py ppr_sweep_cut_batch over
+    forward_push_ppr_batch): TWO seed queries answered in one job —
+    query 0 seeds id%100==0, query 1 seeds id%97==0, 3 push rounds each.
+    All windows are partitionBy(query_id) over push-bounded supports (no
+    global-order window anywhere). Oracle: the single-query sweep SQL per
+    seed predicate, unioned with literal query ids — batch==single is
+    also pinned directly by pytest."""
+    from amanogawa_spark.graph.localcluster import ppr_sweep_cut_batch
+    from amanogawa_spark.graph.push import forward_push_ppr_batch
+
+    e = derived_edges(spark, sf_dir)
+    v = derived_vertices(spark, sf_dir)
+    seeds = (
+        v.filter(F.col("id") % 100 == 0).select(F.lit(0).cast("long").alias("query_id"), "id")
+    ).unionAll(
+        v.filter(F.col("id") % 97 == 0).select(F.lit(1).cast("long").alias("query_id"), "id")
+    )
+    ppr = forward_push_ppr_batch(e, seeds, alpha=0.15, eps=1e-6, fixed_rounds=3)
+    return ppr_sweep_cut_batch(e, ppr).select(
+        "query_id",
+        F.col("sweep_k").cast("long").alias("sweep_k"),
+        "id",
+        "vol_s",
+        "cut_s",
+        "conductance_r",
+    )
+
+
+def _sweep_cut_batch_sql(rounds: int = 3, eps: float = 1e-6) -> str:
+    q0 = _sweep_cut_sql(rounds, eps, "id % 100 = 0")
+    q1 = _sweep_cut_sql(rounds, eps, "id % 97 = 0")
+    return (
+        f"SELECT CAST(0 AS BIGINT) AS query_id, * FROM ({q0}) "
+        f"UNION ALL SELECT CAST(1 AS BIGINT) AS query_id, * FROM ({q1})"
     )
 
 
@@ -5470,6 +5512,7 @@ QUERIES = {
     "q_spam_mass3": q_spam_mass3,
     "q_push_ppr3": q_push_ppr3,
     "q_sweep_cut": q_sweep_cut,
+    "q_sweep_cut_batch2": q_sweep_cut_batch2,
     "q_condensation_levels": q_condensation_levels,
     "q_classifier_train3": q_classifier_train3,
     "q_hll_by_source": q_hll_by_source,
@@ -6848,6 +6891,7 @@ ORACLE_SQL = {
     "q_spam_mass3": _spam_mass_sql(3),
     "q_push_ppr3": _push_ppr_sql(3),
     "q_sweep_cut": _sweep_cut_sql(3),
+    "q_sweep_cut_batch2": _sweep_cut_batch_sql(3),
     "q_condensation_levels": _CONDENSATION_LEVELS_SQL,
     "q_classifier_train3": _classifier_train_sql(3),
     "q_hll_by_source": _hll_by_sql(12),

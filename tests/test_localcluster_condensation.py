@@ -133,3 +133,49 @@ def test_topological_levels_chain_depth(spark):
     ce = condensation_edges(e, comp)
     got = {r["scc"]: r["level"] for r in topological_levels(ce, comp).collect()}
     assert got == {i: i for i in range(7)}
+
+
+def test_batch_push_and_sweep_equal_single_query_runs(spark):
+    """The batched multi-query path is pinned to the single-query one:
+    for each query_id, forward_push_ppr_batch / ppr_sweep_cut_batch /
+    local_cluster_batch return exactly the single-run rows."""
+    from amanogawa_spark.graph.localcluster import (
+        local_cluster_batch,
+        ppr_sweep_cut_batch,
+    )
+    from amanogawa_spark.graph.push import forward_push_ppr_batch
+
+    e = _edges(spark, _TWO_CLIQUES)
+    seed_sets = {10: [1], 20: [12, 13], 30: [4, 11]}
+    batch_seeds = spark.createDataFrame(
+        [(q, i) for q, ids in seed_sets.items() for i in ids],
+        ["query_id", "id"],
+    )
+
+    bp = forward_push_ppr_batch(e, batch_seeds, alpha=0.15, eps=1e-7, fixed_rounds=6)
+    bs = ppr_sweep_cut_batch(e, bp)
+    bc = local_cluster_batch(e, batch_seeds, alpha=0.15, eps=1e-7, fixed_rounds=6)
+
+    for q, ids in seed_sets.items():
+        single_ppr = forward_push_ppr(
+            e, _seeds(spark, ids), alpha=0.15, eps=1e-7, fixed_rounds=6
+        )
+        want_push = sorted(map(tuple, single_ppr.collect()))
+        got_push = sorted(
+            (r["id"], r["ppr_est"], r["residual"])
+            for r in bp.filter(F.col("query_id") == q).collect()
+        )
+        assert got_push == want_push, f"push mismatch for query {q}"
+
+        want_sweep = sorted(map(tuple, ppr_sweep_cut(e, single_ppr).collect()))
+        got_sweep = sorted(
+            (r["sweep_k"], r["id"], r["vol_s"], r["cut_s"], r["conductance_r"])
+            for r in bs.filter(F.col("query_id") == q).collect()
+        )
+        assert got_sweep == want_sweep, f"sweep mismatch for query {q}"
+
+    # batch best-prefix membership: query 10's cluster is its clique
+    got = sorted(
+        r["id"] for r in bc.filter(F.col("query_id") == 10).collect()
+    )
+    assert got == [1, 2, 3, 4]
