@@ -121,3 +121,42 @@ def bfs_levels(
     """Hop distance (BFS level) from each seed: ``shortest_paths`` with
     unit weights — settles in diameter rounds."""
     return shortest_paths(edges, sources, weight=None, max_rounds=max_rounds)
+
+
+def ego_network(
+    edges: DataFrame,
+    sources: list[int],
+    hops: int = 2,
+    undirected: bool = False,
+) -> DataFrame:
+    """Induced k-hop ego subgraph around the seeds: the edges whose BOTH
+    endpoints lie within ``hops`` BFS levels of some seed, annotated with
+    each endpoint's hop distance (minimum over seeds).
+
+    Returns (src_id, dst_id, src_hops, dst_hops). The seed-neighborhood
+    extraction every drill-down workflow needs (debug a spam cluster,
+    visualize a site's link ecology, build a training subgraph) without
+    ever materializing anything bigger than the frontier: BFS work is
+    frontier-bounded per round (``shortest_paths``), and the induced-edge
+    step is two hash joins of the edge table against the reached set —
+    vertices outside the ball never join. ``undirected=True`` explores
+    links both ways (the ego ball of the symmetrized graph); the returned
+    edges are always the original directed rows.
+    """
+    e = edges.select("src_id", "dst_id")
+    bfs_edges = (
+        e.unionAll(e.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")))
+        if undirected
+        else e
+    )
+    dist = (
+        bfs_levels(bfs_edges, sources, max_rounds=hops)
+        .groupBy("id")
+        .agg(F.min("dist").alias("hops"))
+        .filter(F.col("hops") <= hops)
+    )
+    return (
+        e.join(dist.select(F.col("id").alias("src_id"), F.col("hops").alias("src_hops")), "src_id")
+        .join(dist.select(F.col("id").alias("dst_id"), F.col("hops").alias("dst_hops")), "dst_id")
+        .select("src_id", "dst_id", "src_hops", "dst_hops")
+    )

@@ -3066,6 +3066,30 @@ def q_sweep_cut(spark, sf_dir):
     )
 
 
+def q_ego2(spark, sf_dir):
+    """Induced 2-hop ego network around seeds {0, 700} (graph/sssp.py
+    ego_network): directed BFS ball + two hash joins for the induced
+    edges, annotated with per-endpoint hop distances. Oracle: the two BFS
+    levels unrolled, min-hop per vertex, endpoint joins."""
+    from amanogawa_spark.graph.sssp import ego_network
+
+    e = derived_edges(spark, sf_dir)
+    return ego_network(e, [0, 700], hops=2)
+
+
+_EGO2_SQL = (
+    f"WITH {_EDGES_SQL.strip()}, "
+    "l0 AS (SELECT 0 AS id UNION SELECT 700), "
+    "r1 AS (SELECT DISTINCT e.dst_id AS id FROM edges e JOIN l0 ON e.src_id = l0.id), "
+    "r2 AS (SELECT DISTINCT e.dst_id AS id FROM edges e JOIN r1 ON e.src_id = r1.id), "
+    "lvl AS (SELECT id, 0 AS h FROM l0 UNION ALL SELECT id, 1 FROM r1 "
+    "UNION ALL SELECT id, 2 FROM r2), "
+    "dist AS (SELECT id, CAST(MIN(h) AS BIGINT) AS hops FROM lvl GROUP BY id) "
+    "SELECT e.src_id, e.dst_id, a.hops AS src_hops, b.hops AS dst_hops "
+    "FROM edges e JOIN dist a ON e.src_id = a.id JOIN dist b ON e.dst_id = b.id"
+)
+
+
 def q_sweep_cut_batch2(spark, sf_dir):
     """Batched ACL sweep (graph/localcluster.py ppr_sweep_cut_batch over
     forward_push_ppr_batch): TWO seed queries answered in one job —
@@ -5513,6 +5537,7 @@ QUERIES = {
     "q_push_ppr3": q_push_ppr3,
     "q_sweep_cut": q_sweep_cut,
     "q_sweep_cut_batch2": q_sweep_cut_batch2,
+    "q_ego2": q_ego2,
     "q_condensation_levels": q_condensation_levels,
     "q_classifier_train3": q_classifier_train3,
     "q_hll_by_source": q_hll_by_source,
@@ -6892,6 +6917,7 @@ ORACLE_SQL = {
     "q_push_ppr3": _push_ppr_sql(3),
     "q_sweep_cut": _sweep_cut_sql(3),
     "q_sweep_cut_batch2": _sweep_cut_batch_sql(3),
+    "q_ego2": _EGO2_SQL,
     "q_condensation_levels": _CONDENSATION_LEVELS_SQL,
     "q_classifier_train3": _classifier_train_sql(3),
     "q_hll_by_source": _hll_by_sql(12),

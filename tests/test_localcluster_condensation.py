@@ -179,3 +179,25 @@ def test_batch_push_and_sweep_equal_single_query_runs(spark):
         r["id"] for r in bc.filter(F.col("query_id") == 10).collect()
     )
     assert got == [1, 2, 3, 4]
+
+
+def test_ego_network_hand_graph(spark):
+    """ego_network: induced k-hop ball with per-endpoint hop annotations."""
+    from amanogawa_spark.graph.sssp import ego_network
+
+    # 1 -> 2 -> 3 -> 4 (chain), 2 -> 5, 9 -> 1 (upstream), 6 -> 7 (island)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (2, 5), (9, 1), (6, 7)])
+
+    got = {
+        (r["src_id"], r["dst_id"], r["src_hops"], r["dst_hops"])
+        for r in ego_network(e, [1], hops=2).collect()
+    }
+    # ball(1, 2 hops, directed) = {1:0, 2:1, 3:2, 5:2}; induced edges only
+    assert got == {(1, 2, 0, 1), (2, 3, 1, 2), (2, 5, 1, 2)}
+
+    und = {
+        (r["src_id"], r["dst_id"], r["src_hops"], r["dst_hops"])
+        for r in ego_network(e, [1], hops=1, undirected=True).collect()
+    }
+    # symmetrized 1-hop ball = {1:0, 2:1, 9:1}; original directed rows
+    assert und == {(1, 2, 0, 1), (9, 1, 1, 0)}
