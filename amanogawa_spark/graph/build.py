@@ -97,6 +97,13 @@ def build_vertices(
 
     dense: ids are 0..N-1 by url sort order (repartition-invariant).
     hash: xxhash64(url) (no global sort; caller should collision-check).
+    surt: ids are 0..N-1 by SURT-key order (reversed host labels — a
+    domain and its subdomains get CONTIGUOUS ids, the WebGraph/BV
+    URL-ordering trick: neighbor gaps shrink, so the gap-encoded
+    adjacency compresses measurably better than hash ids; see
+    ``graph/compress.py`` and ``tools/layout_probe.py``). The rank key is
+    surt\\x01url, so distinct urls with equal SURTs still get unique,
+    repartition-invariant ids.
     ``normalize``: canonicalize keys first (functions/url.py) so
     crawl-duplicate spellings collapse to one vertex — keep the flag
     consistent with :func:`build_edges` or link targets miss the
@@ -109,6 +116,14 @@ def build_vertices(
     urls = pages.select("url").distinct()
     if id_mode == "hash":
         return urls.select("url", F.xxhash64("url").alias("id"))
+    if id_mode == "surt":
+        from amanogawa_spark.functions.url import surt_key
+
+        keyed = urls.select(
+            "url",
+            F.concat_ws("\x01", surt_key(F.col("url")), F.col("url")).alias("_sk"),
+        )
+        return dense_rank_ids(keyed, "_sk").select("url", "id")
     if id_mode != "dense":
         raise ValueError(f"unknown id_mode: {id_mode}")
     # returned frame IS the persisted ranker output (columns url, id) — no

@@ -48,11 +48,18 @@ def adjacency_gap_bits(edges: DataFrame) -> DataFrame:
         .distinct()
     )
     w = Window.partitionBy("src_id").orderBy("dst_id")
+    # try_subtract/try_add: full-range hash ids (xxhash64) can span more
+    # than 2^63, overflowing the ANSI subtraction; an overflowed gap (or
+    # first-successor shift) costs the worst case — 64 raw bits' γ ≈ 127
     gaps = e.withColumn("prev", F.lag("dst_id").over(w)).select(
         "src_id",
-        F.when(F.col("prev").isNull(), F.col("dst_id") + 1)
-        .otherwise(F.col("dst_id") - F.col("prev"))
-        .alias("gap"),
+        F.coalesce(
+            F.when(
+                F.col("prev").isNull(),
+                F.try_add(F.col("dst_id"), F.lit(1)),
+            ).otherwise(F.try_subtract(F.col("dst_id"), F.col("prev"))),
+            F.lit((1 << 62) - 1).cast("long"),
+        ).alias("gap"),
     )
     return (
         gaps.groupBy("src_id")

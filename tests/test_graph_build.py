@@ -65,3 +65,53 @@ def test_freshness_weights_decay_and_determinism(spark):
     assert abs(out[5] - 0.125) < 1e-12        # three half-lives
     with _pytest.raises(ValueError):
         freshness_weights(e)  # implicit wall-clock now is forbidden
+
+
+def test_surt_id_mode_dense_invariant_and_compresses_better(spark):
+    """id_mode='surt': dense 0..N-1 ids in SURT order, repartition-
+    invariant, and the gap-encoded adjacency beats hash ids (the
+    WebGraph/BV URL-ordering effect) on the fixture graph."""
+    from amanogawa_spark.fixtures.pages import generate_pages
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+    from amanogawa_spark.graph.compress import compression_summary
+
+    pages = spark.createDataFrame(generate_pages(n_pages=400, seed=3).pages)
+
+    v_surt = build_vertices(pages, id_mode="surt")
+    ids = sorted(r["id"] for r in v_surt.collect())
+    assert ids == list(range(len(ids)))  # dense 0..N-1
+
+    again = {
+        r["url"]: r["id"]
+        for r in build_vertices(pages.repartition(7), id_mode="surt").collect()
+    }
+    assert {r["url"]: r["id"] for r in v_surt.collect()} == again
+
+    # same-host urls get contiguous ids: ranges per host never interleave
+    from amanogawa_spark.functions.url import host_of
+    from pyspark.sql import functions as F
+
+    spans = (
+        v_surt.withColumn("host", host_of(F.col("url")))
+        .groupBy("host")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in spans:
+        assert r["hi"] - r["lo"] + 1 == r["n"], r
+
+    # equal-bit-budget baseline: dense ids in RANDOM (hash) order, plus
+    # the raw xxhash64 dictionary (worst case; exercises the try_subtract
+    # overflow guard in adjacency_gap_bits)
+    from amanogawa_spark.graph.build import dense_rank_ids
+
+    urls = pages.select("url").distinct()
+    v_rand = dense_rank_ids(
+        urls.withColumn("_hk", F.xxhash64("url")), "_hk"
+    ).select("url", "id")
+    v_hash = build_vertices(pages, id_mode="hash")
+    bits = {}
+    for name, v in [("surt", v_surt), ("rand", v_rand), ("hash", v_hash)]:
+        e = build_edges(pages, v)
+        bits[name] = compression_summary(e).collect()[0]["bits_per_link"]
+    assert bits["surt"] < bits["rand"] < bits["hash"], bits

@@ -77,6 +77,71 @@ def main() -> None:
         p = layout_size_probe(keyed, ["surt", "sh", "doc_id"], td, num_partitions=cpus)
     print(json.dumps({"corpus": "templated_20k_400hosts", "rows": 20000, **p}))
 
+    # vertex-ID ordering vs adjacency compressibility (WebGraph/BV URL
+    # ordering): 20k pages / 200 hosts, 80% intra-host links — compare
+    # SURT-ordered dense ids vs randomly-ordered dense ids
+    from amanogawa_spark.functions.url import surt_key
+    from amanogawa_spark.graph.build import dense_rank_ids
+    from amanogawa_spark.graph.compress import compression_summary
+
+    n, hosts, deg = 20000, 200, 8
+    erows = []
+    for i in range(n):
+        h = i % hosts
+        for j in range(deg):
+            r = (i * 2654435761 + j * 40503) % (1 << 32)
+            if r % 5 < 4:
+                t = h + hosts * ((r // 5) % (n // hosts))
+            else:
+                t = r % n
+            if t != i:
+                erows.append(
+                    (
+                        f"http://site{h}.example/p{i // hosts}",
+                        f"http://site{t % hosts}.example/p{t // hosts}",
+                    )
+                )
+    e_urls = spark.createDataFrame(erows, "src_url string, dst_url string")
+    urls = (
+        e_urls.select(F.col("src_url").alias("url"))
+        .union(e_urls.select("dst_url"))
+        .distinct()
+    )
+    v_surt = dense_rank_ids(
+        urls.select(
+            "url",
+            F.concat_ws("\x01", surt_key(F.col("url")), F.col("url")).alias("_sk"),
+        ),
+        "_sk",
+    ).select("url", "id")
+    v_rand = dense_rank_ids(
+        urls.withColumn("_hk", F.xxhash64("url")), "_hk"
+    ).select("url", "id")
+    for name, v in [("surt_dense", v_surt), ("random_dense", v_rand)]:
+        e = (
+            e_urls.join(
+                v.select(F.col("url").alias("src_url"), F.col("id").alias("src_id")),
+                "src_url",
+            )
+            .join(
+                v.select(F.col("url").alias("dst_url"), F.col("id").alias("dst_id")),
+                "dst_url",
+            )
+            .select("src_id", "dst_id")
+        )
+        r = compression_summary(e).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "corpus": "weblike_20k_80pct_intrahost",
+                    "id_order": name,
+                    "n_links": r["n_links"],
+                    "bits_per_link": r["bits_per_link"],
+                    "compression_ratio": r["compression_ratio"],
+                }
+            )
+        )
+
 
 if __name__ == "__main__":
     main()
