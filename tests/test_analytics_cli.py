@@ -125,3 +125,34 @@ def test_analytics_cli_condensation_and_local_cluster(spark, tmp_path, capsys):
     # the cluster is a sweep prefix: ranks are exactly 1..n
     ks = sorted(r["sweep_k"] for r in lc.select("sweep_k").collect())
     assert ks == list(range(1, len(ks) + 1))
+
+
+def test_analytics_cli_local_cluster_batch_dispatch(spark, tmp_path, capsys):
+    from amanogawa_spark.fixtures.pages import generate_pages
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(generate_pages(n_pages=100, seed=7).pages)
+    v = build_vertices(pages)
+    e = build_edges(pages, v)
+    v.write.mode("overwrite").parquet(str(tmp_path / "g" / "vertices"))
+    e.write.mode("overwrite").parquet(str(tmp_path / "g" / "edges"))
+    # seeds WITH query_id: batched path
+    v.select("id").limit(4).withColumn(
+        "query_id", (F.col("id") % 2).cast("long")
+    ).write.mode("overwrite").parquet(str(tmp_path / "g" / "seeds"))
+    g = str(tmp_path / "g")
+
+    meta = _run(
+        ["--graph", g, "--algo", "local_cluster", "--out", f"{g}/lcb",
+         "--tol", "1e-6", "--max-iter", "10"],
+        capsys,
+    )
+    out = spark.read.parquet(f"{g}/lcb")
+    assert "query_id" in out.columns and meta["rows"] == out.count() > 0
+    # each query's cluster is a contiguous sweep prefix
+    for q in [r["query_id"] for r in out.select("query_id").distinct().collect()]:
+        ks = sorted(
+            r["sweep_k"] for r in out.filter(F.col("query_id") == q).collect()
+        )
+        assert ks == list(range(1, len(ks) + 1)), (q, ks)

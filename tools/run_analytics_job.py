@@ -143,12 +143,15 @@ def main() -> None:
             condensation_edges(edges, comp), comp, max_rounds=max(args.max_iter, 64)
         )
     elif args.algo == "local_cluster":
-        from amanogawa_spark.graph.localcluster import local_cluster
+        from amanogawa_spark.graph.localcluster import (
+            local_cluster,
+            local_cluster_batch,
+        )
 
         seeds = spark.read.parquet(f"{args.graph}/seeds")
-        out = local_cluster(
-            edges, seeds, eps=args.tol, max_rounds=args.max_iter
-        )
+        # seeds with a query_id column run the batched multi-query path
+        fn = local_cluster_batch if "query_id" in seeds.columns else local_cluster
+        out = fn(edges, seeds, eps=args.tol, max_rounds=args.max_iter)
     else:
         raise SystemExit(f"unknown --algo {args.algo!r}")
 
