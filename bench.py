@@ -420,6 +420,26 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     results["push_ppr_8seeds"] = _timed_med("push_ppr_8seeds", _push)
 
+    # batched multi-query ACL: 8 separate seed queries pushed+swept in ONE
+    # job — per-round fixed costs amortize across the batch (measured 5.1×
+    # vs 8 sequential single-query jobs on the derived sf0.1 graph; see
+    # BENCH/BASELINE.md §5m)
+    from amanogawa_spark.graph.localcluster import ppr_sweep_cut_batch
+    from amanogawa_spark.graph.push import forward_push_ppr_batch
+
+    def _push_batch():
+        bs = None
+        for q, m in enumerate([101, 103, 107, 109, 113, 127, 131, 137]):
+            s = vertices.filter(F.col("id") % m == 0).select(
+                F.lit(q).cast("long").alias("query_id"), "id"
+            )
+            bs = s if bs is None else bs.unionAll(s)
+        ppr_sweep_cut_batch(
+            edges, forward_push_ppr_batch(edges, bs, eps=1e-6, fixed_rounds=3)
+        ).count()
+
+    results["ppr_sweep_batch8"] = _timed(_push_batch)
+
     # DSIR importance scoring over the distributed scale corpus (~100k docs
     # at sf0.1): two LM aggregates + one broadcast-ratio scoring join —
     # the corpus shuffles only its own (id, bucket) aggregate
