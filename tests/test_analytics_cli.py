@@ -156,3 +156,28 @@ def test_analytics_cli_local_cluster_batch_dispatch(spark, tmp_path, capsys):
             r["sweep_k"] for r in out.filter(F.col("query_id") == q).collect()
         )
         assert ks == list(range(1, len(ks) + 1)), (q, ks)
+
+
+def test_analytics_cli_ego(spark, tmp_path, capsys):
+    from amanogawa_spark.fixtures.pages import generate_pages
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(generate_pages(n_pages=100, seed=7).pages)
+    v = build_vertices(pages)
+    e = build_edges(pages, v)
+    v.write.mode("overwrite").parquet(str(tmp_path / "g" / "vertices"))
+    e.write.mode("overwrite").parquet(str(tmp_path / "g" / "edges"))
+    v.select("id").limit(2).write.mode("overwrite").parquet(
+        str(tmp_path / "g" / "seeds")
+    )
+    g = str(tmp_path / "g")
+
+    meta = _run(
+        ["--graph", g, "--algo", "ego", "--out", f"{g}/ego", "--k", "2"],
+        capsys,
+    )
+    out = spark.read.parquet(f"{g}/ego")
+    assert meta["rows"] == out.count() > 0
+    assert out.agg(F.max("src_hops")).collect()[0][0] <= 2
+    assert out.agg(F.max("dst_hops")).collect()[0][0] <= 2

@@ -14,7 +14,9 @@ sgns_pairs (skip-gram positives + degree^0.75 negatives over a walk
 corpus), neighbor_agg (GraphSAGE k-layer mean aggregation; reads
 ``--graph``/features parquet with (id, vec)), condensation_levels (SCC
 condensation DAG + longest-path topological levels), local_cluster (ACL
-sweep-cut around ``--graph``/seeds parquet with (id); eps via --tol).
+sweep-cut around ``--graph``/seeds parquet with (id); eps via --tol; a
+query_id seed column switches to the batched multi-query path), ego
+(induced k-hop ego network around ``--graph``/seeds; hops via --k).
 """
 
 from __future__ import annotations
@@ -129,6 +131,13 @@ def main() -> None:
 
         feats = spark.read.parquet(f"{args.graph}/features")
         out = aggregate_neighbor_features(edges, feats, layers=args.k)
+    elif args.algo == "ego":
+        from amanogawa_spark.graph.sssp import ego_network
+
+        seed_ids = [
+            r["id"] for r in spark.read.parquet(f"{args.graph}/seeds").collect()
+        ]
+        out = ego_network(edges, seed_ids, hops=args.k)
     elif args.algo == "condensation_levels":
         from amanogawa_spark.graph.condensation import (
             condensation_edges,
