@@ -123,7 +123,12 @@ def build_vertices(
             "url",
             F.concat_ws("\x01", surt_key(F.col("url")), F.col("url")).alias("_sk"),
         )
-        return dense_rank_ids(keyed, "_sk").select("url", "id")
+        ranked = dense_rank_ids(keyed, "_sk")
+        # checkpoint the projection and release the ranker cache — a bare
+        # .select() wrapper would orphan the persisted (url,_sk,id) frame
+        out = ranked.select("url", "id").localCheckpoint(eager=True)
+        ranked.unpersist()
+        return out
     if id_mode != "dense":
         raise ValueError(f"unknown id_mode: {id_mode}")
     # returned frame IS the persisted ranker output (columns url, id) — no
