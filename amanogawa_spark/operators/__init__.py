@@ -24,6 +24,10 @@ from amanogawa_spark.operators.boilerplate import (
     chunk_table,
     remove_boilerplate,
 )
+from amanogawa_spark.operators.lexicon import (
+    blocklist_filter,
+    lexicon_hits,
+)
 from amanogawa_spark.operators.pca import (
     covariance_table,
     gram_stats,
@@ -99,6 +103,8 @@ __all__ = [
     "hll_distinct",
     "hll_registers",
     "boilerplate_chunks",
+    "blocklist_filter",
+    "lexicon_hits",
     "cdc_chunks",
     "clustered",
     "clustered_write",

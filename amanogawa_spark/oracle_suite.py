@@ -5480,6 +5480,37 @@ cdeg AS (
 # least-recently-driver-certified-first via cert_ledger.json (regenerated by
 # tools/update_cert_ledger.py from CORRECTNESS_r*.json), so never-certified
 # queries always occupy the window and new additions queue automatically.
+def q_lexicon_hits(spark, sf_dir):
+    """Blocklist/lexicon tagging (operators/lexicon.py): per-doc match
+    count, matched-token fraction, and sorted matched-term set against a
+    broadcast wordlist with a multi-word phrase entry — the C4-style
+    bad-words gate as a graded feature."""
+    from amanogawa_spark.operators.lexicon import lexicon_hits
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return lexicon_hits(docs, ["slow", "hash", "fast table"])
+
+
+_LEXICON_HITS_SQL = """
+WITH lex AS (SELECT * FROM (VALUES ('slow'), ('hash'), ('fast table')) t(term)),
+docs AS (SELECT doc_id AS id,
+  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS ts
+  FROM documents WHERE doc_id < 400),
+base AS (SELECT id, CAST(len(ts) AS BIGINT) AS n_tokens, ts FROM docs),
+uni AS (SELECT id, unnest(ts) AS gram FROM base),
+bi AS (SELECT id, unnest([array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS gram FROM base),
+grams AS (SELECT id, gram FROM uni UNION ALL SELECT id, gram FROM bi),
+h AS (SELECT g.id, CAST(COUNT(*) AS BIGINT) AS hits,
+       array_to_string(list_sort(list_distinct(array_agg(g.gram))), ',') AS matched_csv
+      FROM grams g JOIN lex l ON g.gram = l.term GROUP BY g.id)
+SELECT b.id, b.n_tokens,
+  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+  ROUND(CASE WHEN b.n_tokens > 0 THEN CAST(COALESCE(h.hits, 0) AS DOUBLE) / b.n_tokens ELSE 0.0 END, 8) AS hit_frac,
+  COALESCE(h.matched_csv, '') AS matched_csv
+FROM base b LEFT JOIN h ON b.id = h.id
+"""
+
+
 QUERIES = {
     # -- round-4 third-session additions (mixing metrics) --
     "q_neighbor_mean2": q_neighbor_mean2,
@@ -5706,6 +5737,7 @@ QUERIES = {
     "q_mixture_plan": q_mixture_plan,
     "q_nf_profile": q_nf_profile,
     "q_ann_recall": q_ann_recall,
+    "q_lexicon_hits": q_lexicon_hits,
 }
 
 
@@ -7635,6 +7667,7 @@ FROM n3""",
         "ROUND(ABS(ROUND(AVG(score_r), 8) - ROUND(AVG(y), 8)), 8) AS abs_gap "
         "FROM b GROUP BY bin"
     ),
+    "q_lexicon_hits": _LEXICON_HITS_SQL,
     **_METRICS_SQL,
 }
 
