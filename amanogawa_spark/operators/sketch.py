@@ -226,3 +226,42 @@ def hll_distinct_by(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return agg.select(F.col("grp").alias(group_col), corrected.alias("estimate"))
+
+
+def hll_overlap(
+    regs_a: DataFrame, regs_b: DataFrame, p: int = 12
+) -> DataFrame:
+    """One row (est_a, est_b, est_union, est_intersection, jaccard) —
+    set-overlap estimate between two HLL sketches by inclusion-exclusion:
+    |A∩B| ≈ |A| + |B| − |A∪B|, where the union sketch is the register-wise
+    max (exact for HLL — sketch(A∪B) == merge(sketch(A), sketch(B))).
+
+    The cross-crawl profiling shape: "how many URLs did snapshot B re-see
+    from snapshot A?" over 10^12-row crawls costs three O(2^p) register
+    tables and three 1-row aggregates — the raw url sets never co-shuffle.
+    Intersection error grows as the true overlap shrinks relative to the
+    union (standard HLL inclusion-exclusion behavior); the estimate is
+    clamped at 0 so disjoint sets can't go negative. Jaccard is
+    est_intersection / est_union (0 when the union estimate is 0).
+    """
+
+    def _est(regs: DataFrame, name: str) -> DataFrame:
+        return hll_estimate(regs, p).select(F.col("estimate").alias(name))
+
+    union = hll_merge(regs_a, regs_b)
+    a = _est(regs_a, "est_a")
+    b = _est(regs_b, "est_b")
+    u = _est(union, "est_union")
+    row = a.crossJoin(b).crossJoin(u)  # three 1-row frames
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+    )
+    return row.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersection"),
+        F.when(F.col("est_union") > 0, inter / F.col("est_union"))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )

@@ -3289,6 +3289,84 @@ def _hll_by_sql(p: int = 12, round_to: int = 6) -> str:
     )
 
 
+def q_hll_overlap(spark, sf_dir):
+    """Cross-snapshot set overlap from sketches alone: |en-vocab ∩
+    de-vocab| over the documents token sets via HLL inclusion-exclusion
+    (operators/sketch.py hll_overlap) — the 'how many URLs did crawl B
+    re-see from crawl A' shape, three O(2^p) register tables instead of
+    co-shuffling two 10^12-row url sets."""
+    from amanogawa_spark.operators.sketch import hll_overlap, hll_registers
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(_norm_text_col(), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    ra = hll_registers(toks.filter(F.col("lang") == "en"), "term", p=12)
+    rb = hll_registers(toks.filter(F.col("lang") == "de"), "term", p=12)
+    out = hll_overlap(ra, rb, p=12)
+    return out.select(
+        F.round("est_a", 6).alias("est_a_r"),
+        F.round("est_b", 6).alias("est_b_r"),
+        F.round("est_union", 6).alias("est_union_r"),
+        F.round("est_intersection", 6).alias("est_inter_r"),
+        F.round("jaccard", 6).alias("jaccard_r"),
+    )
+
+
+def _hll_overlap_sql(p: int = 12, round_to: int = 6) -> str:
+    """DuckDB mirror of q_hll_overlap: identical md5 32-bit hash, integer
+    rho chain, register-wise max union, and inclusion-exclusion with the
+    same linear-counting small-range correction on each estimate."""
+    m = 1 << p
+    tail_bits = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rho_case = "CASE " + " ".join(
+        f"WHEN tail >= {1 << (tail_bits - k)} THEN {k}"
+        for k in range(1, tail_bits + 1)
+    ) + f" ELSE {tail_bits + 1} END"
+    est = (
+        f"CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} "
+        f"/ (s_present + ({m} - v_present)) <= 2.5 * {m} "
+        f"AND ({m} - v_present) > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / ({m} - v_present)) "
+        f"ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} "
+        f"/ (s_present + ({m} - v_present)) END"
+    )
+
+    def _regs(name: str, lang: str) -> str:
+        return (
+            f"h_{name} AS (SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT AS h32 "
+            f"FROM tok WHERE lang = '{lang}'), "
+            f"bt_{name} AS (SELECT h32 >> {tail_bits} AS bucket, "
+            f"h32 & {(1 << tail_bits) - 1} AS tail FROM h_{name}), "
+            f"r_{name} AS (SELECT bucket, {rho_case} AS r FROM bt_{name}), "
+            f"regs_{name} AS (SELECT bucket, CAST(MAX(r) AS BIGINT) AS rho "
+            f"FROM r_{name} GROUP BY bucket), "
+            f"a_{name} AS (SELECT SUM(POWER(2.0, -rho)) AS s_present, "
+            f"COUNT(*) AS v_present FROM regs_{name})"
+        )
+
+    return (
+        f"WITH base AS (SELECT lang, {_NORM} AS norm FROM documents), "
+        "tok0 AS (SELECT lang, unnest(string_split(norm, ' ')) AS term FROM base), "
+        "tok AS (SELECT lang, term FROM tok0 WHERE length(term) > 0), "
+        + _regs("a", "en") + ", " + _regs("b", "de") + ", "
+        "regs_u AS (SELECT bucket, MAX(rho) AS rho FROM "
+        "(SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b) GROUP BY bucket), "
+        "a_u AS (SELECT SUM(POWER(2.0, -rho)) AS s_present, COUNT(*) AS v_present FROM regs_u), "
+        f"e AS (SELECT (SELECT {est} FROM a_a) AS est_a, "
+        f"(SELECT {est} FROM a_b) AS est_b, (SELECT {est} FROM a_u) AS est_union), "
+        "f AS (SELECT est_a, est_b, est_union, "
+        "GREATEST(est_a + est_b - est_union, 0.0) AS est_inter FROM e) "
+        f"SELECT ROUND(est_a, {round_to}) AS est_a_r, "
+        f"ROUND(est_b, {round_to}) AS est_b_r, "
+        f"ROUND(est_union, {round_to}) AS est_union_r, "
+        f"ROUND(est_inter, {round_to}) AS est_inter_r, "
+        f"ROUND(CASE WHEN est_union > 0 THEN est_inter / est_union ELSE 0.0 END, "
+        f"{round_to}) AS jaccard_r FROM f"
+    )
+
+
 def q_avg_nbr_degree(spark, sf_dir):
     from amanogawa_spark.graph.metrics import avg_neighbor_degree
 
@@ -5572,6 +5650,7 @@ QUERIES = {
     "q_condensation_levels": q_condensation_levels,
     "q_classifier_train3": q_classifier_train3,
     "q_hll_by_source": q_hll_by_source,
+    "q_hll_overlap": q_hll_overlap,
     "q_host_graph": q_host_graph,
     "q_host_rank3": q_host_rank3,
     "q_powerlaw_alpha": q_powerlaw_alpha,
@@ -6953,6 +7032,7 @@ ORACLE_SQL = {
     "q_condensation_levels": _CONDENSATION_LEVELS_SQL,
     "q_classifier_train3": _classifier_train_sql(3),
     "q_hll_by_source": _hll_by_sql(12),
+    "q_hll_overlap": _hll_overlap_sql(12),
     "q_host_graph": (
         f"WITH {_EDGES_SQL.strip()},\n{_HOST_EDGES_SQL}\n"
         "SELECT src_host, dst_host, weight FROM hedges"

@@ -117,3 +117,38 @@ def test_grouped_quantiles_null_exclusion(spark):
         for r in grouped_quantiles(df, "source", "n", [0.0, 1.0]).collect()
     }
     assert got == {0.0: 2.0, 1.0: 4.0}
+
+
+def test_hll_overlap_accuracy_and_union_identity(spark):
+    """Inclusion-exclusion overlap estimate lands within HLL error of the
+    exact intersection, and the union estimate equals hll_distinct of the
+    concatenated set (register-wise max IS the union sketch)."""
+    from amanogawa_spark.operators.sketch import (
+        hll_distinct,
+        hll_overlap,
+        hll_registers,
+    )
+
+    a_vals = [f"k{i}" for i in range(4000)]
+    b_vals = [f"k{i}" for i in range(2500, 8000)]  # |A∩B| = 1500
+    da = spark.createDataFrame([(v,) for v in a_vals], "v string")
+    db = spark.createDataFrame([(v,) for v in b_vals], "v string")
+    row = hll_overlap(hll_registers(da, "v"), hll_registers(db, "v")).collect()[0]
+    # p=12 ⇒ rel err ~1.04/sqrt(4096) ≈ 1.6%; intersection error compounds
+    assert abs(row["est_a"] - 4000) / 4000 < 0.10
+    assert abs(row["est_b"] - 5500) / 5500 < 0.10
+    assert abs(row["est_union"] - 8000) / 8000 < 0.10
+    assert abs(row["est_intersection"] - 1500) / 1500 < 0.35
+    assert 0.0 <= row["jaccard"] <= 1.0
+    union_direct = hll_distinct(da.unionAll(db), "v").collect()[0]["estimate"]
+    assert row["est_union"] == union_direct
+
+
+def test_hll_overlap_disjoint_clamps_at_zero(spark):
+    from amanogawa_spark.operators.sketch import hll_overlap, hll_registers
+
+    da = spark.createDataFrame([(f"a{i}",) for i in range(1000)], "v string")
+    db = spark.createDataFrame([(f"b{i}",) for i in range(1000)], "v string")
+    row = hll_overlap(hll_registers(da, "v"), hll_registers(db, "v")).collect()[0]
+    assert row["est_intersection"] >= 0.0
+    assert row["jaccard"] < 0.05
