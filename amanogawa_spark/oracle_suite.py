@@ -1953,6 +1953,77 @@ def q_louvain1(spark, sf_dir):
     return louvain_move_round(assign, adj, deg, m2_df, 0)
 
 
+def q_refine_communities(spark, sf_dir):
+    """Leiden-style connectivity refinement
+    (:func:`~amanogawa_spark.graph.community.refine_communities`) over a
+    deterministic, deliberately-disconnected partition (id % 7 buckets):
+    every output community must be a connected component of its input
+    community's intra-edge subgraph, labeled by minimum member id. The
+    arithmetic input partition means both engines build it exactly; the
+    oracle is fixpoint recursive reachability restricted to intra edges."""
+    from amanogawa_spark.graph.community import refine_communities
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    assign = v.select("id", (F.col("id") % 7).alias("community"))
+    return refine_communities(assign, e)
+
+
+def q_refine_summary(spark, sf_dir):
+    """Split accounting for the refinement above: how many id%7 buckets
+    were internally disconnected, how many connected parts they shatter
+    into, and how many vertices changed label."""
+    from amanogawa_spark.graph.community import (
+        refine_communities,
+        refinement_summary,
+    )
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    assign = v.select("id", (F.col("id") % 7).alias("community"))
+    return refinement_summary(assign, refine_communities(assign, e))
+
+
+def _refine_sql(k: int = 7) -> str:
+    """Fixpoint reachability over intra-community (src%k == dst%k) edges;
+    component label = min reachable id (mirrors _cc_star_sql restricted
+    to the intra subgraph)."""
+    return f"""
+WITH RECURSIVE {_EDGES_SQL.strip()},
+{_VERTS_SQL.strip()},
+intra AS (SELECT src_id, dst_id FROM edges WHERE src_id % {k} = dst_id % {k}),
+sym AS (SELECT src_id AS u, dst_id AS v FROM intra
+        UNION SELECT dst_id AS u, src_id AS v FROM intra),
+reach(id, lab) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.u AS id, r.lab FROM sym s JOIN reach r ON s.v = r.id
+)
+SELECT id, MIN(lab) AS community FROM reach GROUP BY id"""
+
+
+def _refine_summary_sql(k: int = 7) -> str:
+    return f"""
+WITH RECURSIVE {_EDGES_SQL.strip()},
+{_VERTS_SQL.strip()},
+intra AS (SELECT src_id, dst_id FROM edges WHERE src_id % {k} = dst_id % {k}),
+sym AS (SELECT src_id AS u, dst_id AS v FROM intra
+        UNION SELECT dst_id AS u, src_id AS v FROM intra),
+reach(id, lab) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.u AS id, r.lab FROM sym s JOIN reach r ON s.v = r.id
+),
+ref AS (SELECT id, MIN(lab) AS ca FROM reach GROUP BY id),
+j AS (SELECT v.id, v.id % {k} AS cb, r.ca FROM verts v JOIN ref r ON v.id = r.id),
+per AS (SELECT cb, COUNT(DISTINCT ca) AS parts,
+        SUM(CASE WHEN cb != ca THEN 1 ELSE 0 END) AS mv FROM j GROUP BY cb)
+SELECT CAST(COUNT(*) AS BIGINT) AS communities_before,
+       CAST(SUM(parts) AS BIGINT) AS communities_after,
+       CAST(SUM(CASE WHEN parts > 1 THEN 1 ELSE 0 END) AS BIGINT) AS communities_split,
+       CAST(SUM(mv) AS BIGINT) AS vertices_moved FROM per"""
+
+
 def q_betweenness4(spark, sf_dir):
     """Sampled-Brandes betweenness from 4 fixed pivots, truncated at
     depth 3 (bounded so the unrolled DuckDB mirror stays tractable);
@@ -5695,6 +5766,8 @@ QUERIES = {
     "q_dup_spans": q_dup_spans,
     "q_modularity": q_modularity,
     "q_louvain1": q_louvain1,
+    "q_refine_communities": q_refine_communities,
+    "q_refine_summary": q_refine_summary,
     "q_betweenness4": q_betweenness4,
     "q_closeness2": q_closeness2,
     "q_mis1": q_mis1,
@@ -7063,6 +7136,8 @@ ORACLE_SQL = {
     "q_pq_adc": _PQ_ADC_SQL,
     "q_modularity": _MODULARITY_SQL,
     "q_louvain1": _LOUVAIN1_SQL,
+    "q_refine_communities": _refine_sql(7),
+    "q_refine_summary": _refine_summary_sql(7),
     "q_betweenness4": _betweenness_sql((0, 1, 2, 3), 3),
     "q_closeness2": _closeness2_sql(6),
     "q_linkpred_topk": _linkpred_sql(100),

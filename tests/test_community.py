@@ -145,3 +145,102 @@ def test_louvain_repartition_invariant_and_isolated(spark):
     )
     assert r1 == r2
     assert (99999, 99999) in r1
+
+
+def _cc_py(ids, edge_list):
+    """Union-find mirror: min-id-labeled components."""
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edge_list:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    out = {}
+    for i in ids:
+        r = find(i)
+        while parent[r] != r:
+            r = parent[r]
+        out[i] = r
+    # relabel to min member id (find roots are already min by merge rule)
+    return out
+
+
+def test_refine_splits_disconnected_community(spark):
+    """A 'community' holding two cliques with no edge between them must
+    shatter into the two cliques; a genuinely connected community stays
+    whole."""
+    from amanogawa_spark.graph.community import (
+        refine_communities,
+        refinement_summary,
+    )
+
+    # community 0: clique {0,1,2} + clique {10,11,12}, disconnected inside
+    # community 1: path 20-21-22, connected
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (20, 21), (21, 22)]
+    assign = [(i, 0) for i in [0, 1, 2, 10, 11, 12]] + [(i, 1) for i in [20, 21, 22]]
+    e = spark.createDataFrame(edges, "src_id long, dst_id long")
+    a = spark.createDataFrame(assign, "id long, community long")
+    got = {r["id"]: r["community"] for r in refine_communities(a, e).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20}
+    s = refinement_summary(a, refine_communities(a, e)).collect()[0]
+    assert s["communities_before"] == 2
+    assert s["communities_after"] == 3
+    assert s["communities_split"] == 1
+
+
+def test_refine_is_noop_on_connected_partition(spark):
+    """Louvain output on the two-clique graph is already connected per
+    community — refinement must not split anything (Leiden's guarantee
+    holds trivially) and must preserve the partition structure."""
+    from amanogawa_spark.graph.community import (
+        louvain,
+        refine_communities,
+        refinement_summary,
+    )
+
+    v, e = _two_cliques(spark)
+    comm = louvain(v, e, max_levels=2, rounds_per_level=4)
+    ref = refine_communities(comm, e)
+    s = refinement_summary(comm, ref).collect()[0]
+    assert s["communities_split"] == 0
+    assert s["communities_after"] == s["communities_before"]
+    # partition identical (labels are min-member on both sides)
+    before = {r["id"]: r["community"] for r in comm.collect()}
+    after = {r["id"]: r["community"] for r in ref.collect()}
+    grp_b = {}
+    grp_a = {}
+    for i, c in before.items():
+        grp_b.setdefault(c, set()).add(i)
+    for i, c in after.items():
+        grp_a.setdefault(c, set()).add(i)
+    assert sorted(grp_b.values(), key=min) == sorted(grp_a.values(), key=min)
+
+
+def test_refine_matches_unionfind_on_random_graph(spark):
+    """Refinement == per-community union-find on a random digraph with a
+    random coarse partition (strict-refinement property included)."""
+    import random
+
+    rng = random.Random(11)
+    n = 120
+    ids = list(range(n))
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    part = {i: rng.randrange(5) for i in ids}
+    intra = [(u, v) for u, v in edges if u != v and part[u] == part[v]]
+    expect = _cc_py(ids, intra)
+
+    from amanogawa_spark.graph.community import refine_communities
+
+    e = spark.createDataFrame(edges, "src_id long, dst_id long")
+    a = spark.createDataFrame(list(part.items()), "id long, community long")
+    got = {r["id"]: r["community"] for r in refine_communities(a, e).collect()}
+    assert got == expect
+    # strict refinement: every output community sits inside one input community
+    for i in ids:
+        assert part[got[i]] == part[i]
