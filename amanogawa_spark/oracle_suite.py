@@ -2024,6 +2024,141 @@ SELECT CAST(COUNT(*) AS BIGINT) AS communities_before,
        CAST(SUM(mv) AS BIGINT) AS vertices_moved FROM per"""
 
 
+def q_fiedler4(spark, sf_dir):
+    """Fiedler coordinate after 4 fixed deflated-power-iteration rounds
+    (:func:`~amanogawa_spark.graph.spectral.fiedler_vector`) on the
+    derived digraph. Deterministic md5 init + order-insensitive
+    max-|x| rescale make the fixed-round run engine-mirrorable; true
+    eigenvector convergence is pinned against numpy.linalg.eigh in
+    tests/test_spectral.py."""
+    from amanogawa_spark.graph.spectral import fiedler_vector
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return fiedler_vector(v, e, iterations=4).select(
+        "id", F.round("f", 6).alias("f_r")
+    )
+
+
+def q_spectral_cut(spark, sf_dir):
+    """Spectral bisection at the median Fiedler coordinate + cut-quality
+    row — the comparison yardstick for spinner/multilevel partitions on
+    the same graph (graph/spectral.py spectral_bisection +
+    bisection_cut_summary)."""
+    from amanogawa_spark.graph.spectral import (
+        bisection_cut_summary,
+        spectral_bisection,
+    )
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    sides = spectral_bisection(v, e, iterations=4)
+    return bisection_cut_summary(e, sides).select(
+        "cut_edges",
+        "total_edges",
+        F.round("cut_frac", 8).alias("cut_frac_r"),
+        "size_0",
+        "size_1",
+    )
+
+
+def _fiedler_cte(iters: int) -> list[str]:
+    """Shared CTE chain mirroring _fiedler_loop: sym adjacency, sqrt-deg
+    deflation vector, md5 init, per-round matvec + deflate + max-|x|
+    rescale. Final frame is x{iters}(id, u1, x). Every CTE is
+    MATERIALIZED: DuckDB inlines CTEs by default, and the repeated
+    scalar-subquery references would otherwise duplicate the whole
+    upstream chain ~4x per round (exponential plan + parquet-FD
+    blowup)."""
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
+    ]
+    parts.append(
+        "sym AS MATERIALIZED (SELECT src_id AS u, dst_id AS v FROM edges "
+        "UNION SELECT dst_id AS u, src_id AS v FROM edges)"
+    )
+    parts.append(
+        "degw AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY u)"
+    )
+    parts.append(
+        "base AS MATERIALIZED (SELECT v.id, COALESCE(dw.d, 0) AS d, "
+        "sqrt(COALESCE(dw.d, 0)) AS u1 FROM verts v LEFT JOIN degw dw ON v.id = dw.u)"
+    )
+    parts.append(
+        "adj AS MATERIALIZED (SELECT s.u, s.v, 1.0 / sqrt(du.d * dv.d) AS nw FROM sym s "
+        "JOIN degw du ON s.u = du.u JOIN degw dv ON s.v = dv.u)"
+    )
+    parts.append(
+        "x0r AS MATERIALIZED (SELECT id, u1, CASE WHEN d > 0 THEN "
+        "(('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % 1000) / 500.0 - 1.0 "
+        "ELSE 0.0 END AS x FROM base)"
+    )
+
+    def defl(src: str, name: str) -> str:
+        return (
+            f"s_{name} AS MATERIALIZED (SELECT SUM(u1 * x) AS ux, SUM(u1 * u1) AS uu FROM {src}), "
+            f"d_{name} AS MATERIALIZED (SELECT id, u1, x - CASE WHEN (SELECT uu FROM s_{name}) > 0 "
+            f"THEN (SELECT ux FROM s_{name}) / (SELECT uu FROM s_{name}) "
+            f"ELSE 0.0 END * u1 AS x FROM {src}), "
+            f"m_{name} AS MATERIALIZED (SELECT MAX(ABS(x)) AS mx FROM d_{name}), "
+            f"{name} AS MATERIALIZED (SELECT id, u1, CASE WHEN (SELECT mx FROM m_{name}) > 0 "
+            f"THEN x / (SELECT mx FROM m_{name}) ELSE 0.0 END AS x FROM d_{name})"
+        )
+
+    parts.append(defl("x0r", "x0"))
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"mv{k} AS MATERIALIZED (SELECT a.u AS id, SUM(a.nw * xp.x) AS ax FROM adj a "
+            f"JOIN x{p} xp ON a.v = xp.id GROUP BY a.u)"
+        )
+        parts.append(
+            f"y{k} AS MATERIALIZED (SELECT x.id, x.u1, (x.x + COALESCE(m.ax, 0.0)) / 2.0 AS x "
+            f"FROM x{p} x LEFT JOIN mv{k} m ON x.id = m.id)"
+        )
+        parts.append(defl(f"y{k}", f"x{k}"))
+    return parts
+
+
+def _fiedler_sql(iters: int = 4, round_to: int = 6) -> str:
+    parts = _fiedler_cte(iters)
+    return (
+        parts[0] + ",\n" + ",\n".join(parts[1:])
+        + f"\nSELECT id, ROUND(x, {round_to}) AS f_r FROM x{iters}"
+    )
+
+
+def _spectral_cut_sql(iters: int = 4, round_to: int = 8) -> str:
+    parts = _fiedler_cte(iters)
+    xf = f"x{iters}"
+    parts.append(f"med AS MATERIALIZED (SELECT quantile_cont(x, 0.5) AS m FROM {xf})")
+    parts.append(
+        f"sides AS MATERIALIZED (SELECT id, CASE WHEN x < (SELECT m FROM med) "
+        f"OR (x = (SELECT m FROM med) AND id % 2 = 0) THEN 0 ELSE 1 END AS side "
+        f"FROM {xf})"
+    )
+    parts.append(
+        "und AS (SELECT DISTINCT LEAST(src_id, dst_id) AS a, "
+        "GREATEST(src_id, dst_id) AS b FROM edges WHERE src_id != dst_id)"
+    )
+    parts.append(
+        "cut AS (SELECT CAST(SUM(CASE WHEN sa.side != sb.side THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS cut_edges, COUNT(*) AS total_edges FROM und u "
+        "JOIN sides sa ON u.a = sa.id JOIN sides sb ON u.b = sb.id)"
+    )
+    parts.append(
+        "sz AS (SELECT CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS size_0, "
+        "CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS size_1 FROM sides)"
+    )
+    return (
+        parts[0] + ",\n" + ",\n".join(parts[1:])
+        + f"\nSELECT cut_edges, total_edges, "
+        f"ROUND(cut_edges / GREATEST(total_edges, 1), {round_to}) AS cut_frac_r, "
+        "size_0, size_1 FROM cut, sz"
+    )
+
+
 def q_betweenness4(spark, sf_dir):
     """Sampled-Brandes betweenness from 4 fixed pivots, truncated at
     depth 3 (bounded so the unrolled DuckDB mirror stays tractable);
@@ -5768,6 +5903,8 @@ QUERIES = {
     "q_louvain1": q_louvain1,
     "q_refine_communities": q_refine_communities,
     "q_refine_summary": q_refine_summary,
+    "q_fiedler4": q_fiedler4,
+    "q_spectral_cut": q_spectral_cut,
     "q_betweenness4": q_betweenness4,
     "q_closeness2": q_closeness2,
     "q_mis1": q_mis1,
@@ -7138,6 +7275,8 @@ ORACLE_SQL = {
     "q_louvain1": _LOUVAIN1_SQL,
     "q_refine_communities": _refine_sql(7),
     "q_refine_summary": _refine_summary_sql(7),
+    "q_fiedler4": _fiedler_sql(4),
+    "q_spectral_cut": _spectral_cut_sql(4),
     "q_betweenness4": _betweenness_sql((0, 1, 2, 3), 3),
     "q_closeness2": _closeness2_sql(6),
     "q_linkpred_topk": _linkpred_sql(100),
