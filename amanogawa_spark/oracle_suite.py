@@ -2159,6 +2159,114 @@ def _spectral_cut_sql(iters: int = 4, round_to: int = 8) -> str:
     )
 
 
+def q_triad_census(spark, sf_dir):
+    """Full 16-type Holland–Leinhardt directed triad census
+    (:func:`~amanogawa_spark.graph.triads.triad_census`) on the derived
+    digraph: closed triads via ordered dyad-pair triangle join, open
+    2-dyad wedges via anti-join, 1-/0-dyad classes by exact
+    subtraction. Counts sum to C(n,3)."""
+    from amanogawa_spark.graph.triads import triad_census
+
+    v = derived_vertices(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return triad_census(v, e).select("triad_type", "count")
+
+
+def _triad_census_sql() -> str:
+    """DuckDB mirror of triad_census: same dyad coding, same generated
+    27-entry closed / 6-entry open lookups (imported from graph.triads,
+    so oracle and engine share one isomorphism table), same subtraction
+    identities for 012/102/003."""
+    from amanogawa_spark.graph.triads import (
+        _PATTERNS,
+        CLOSED_LOOKUP,
+        OPEN_LOOKUP,
+        TRIAD_NAMES,
+    )
+
+    closed_case = " ".join(
+        f"WHEN cab = {cab} AND cac = {cac} AND cbc = {cbc} THEN '{name}'"
+        for (cab, cac, cbc), name in CLOSED_LOOKUP.items()
+    )
+    open_case = " ".join(
+        f"WHEN r1 = '{ru}' AND r2 = '{rw}' THEN '{name}'"
+        for (ru, rw), name in OPEN_LOOKUP.items()
+    )
+
+    def dyad_content(name: str) -> tuple[int, int]:
+        s = set(_PATTERNS[name])
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        mut = sum(1 for u, v in pairs if (u, v) in s and (v, u) in s)
+        asym = sum(1 for u, v in pairs if ((u, v) in s) != ((v, u) in s))
+        return mut, asym
+
+    mut_case = " ".join(
+        f"WHEN t = '{t}' THEN {dyad_content(t)[0]}"
+        for t in TRIAD_NAMES
+        if t not in ("003", "012", "102")
+    )
+    asym_case = " ".join(
+        f"WHEN t = '{t}' THEN {dyad_content(t)[1]}"
+        for t in TRIAD_NAMES
+        if t not in ("003", "012", "102")
+    )
+    names_values = ", ".join(f"('{t}')" for t in TRIAD_NAMES)
+    return f"""
+WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)},
+{_VERTS_SQL.strip().replace('verts AS (', 'verts AS MATERIALIZED (', 1)},
+dy AS MATERIALIZED (
+  SELECT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b,
+         SUM(CASE WHEN src_id < dst_id THEN 1 ELSE 2 END) AS code
+  FROM edges GROUP BY 1, 2),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+tri AS MATERIALIZED (
+  SELECT ab.code AS cab, ac.code AS cac, bc.code AS cbc
+  FROM dy ab JOIN dy ac ON ab.a = ac.a AND ab.b < ac.b
+  JOIN dy bc ON bc.a = ab.b AND bc.b = ac.b),
+closedc AS MATERIALIZED (
+  SELECT CASE {closed_case} END AS t, COUNT(*) AS c FROM tri GROUP BY 1),
+inc AS MATERIALIZED (
+  SELECT a AS ctr, b AS nbr,
+         CASE WHEN code = 3 THEN 'mut' WHEN code = 1 THEN 'out' ELSE 'in' END AS rel
+  FROM dy
+  UNION ALL
+  SELECT b, a,
+         CASE WHEN code = 3 THEN 'mut' WHEN code = 2 THEN 'out' ELSE 'in' END
+  FROM dy),
+openc AS MATERIALIZED (
+  SELECT CASE {open_case} END AS t, COUNT(*) AS c
+  FROM (
+    SELECT LEAST(w1.rel, w2.rel) AS r1, GREATEST(w1.rel, w2.rel) AS r2
+    FROM inc w1 JOIN inc w2 ON w1.ctr = w2.ctr AND w1.nbr < w2.nbr
+    WHERE NOT EXISTS (SELECT 1 FROM dy WHERE dy.a = w1.nbr AND dy.b = w2.nbr))
+  GROUP BY 1),
+counted AS MATERIALIZED (
+  SELECT t, SUM(c) AS c FROM (SELECT * FROM closedc UNION ALL SELECT * FROM openc)
+  GROUP BY t),
+dyc AS MATERIALIZED (
+  SELECT SUM(CASE WHEN code = 3 THEN 1 ELSE 0 END) AS m,
+         SUM(CASE WHEN code <> 3 THEN 1 ELSE 0 END) AS asym FROM dy),
+used AS MATERIALIZED (
+  SELECT COALESCE(SUM(c * CASE {mut_case} ELSE 0 END), 0) AS um,
+         COALESCE(SUM(c * CASE {asym_case} ELSE 0 END), 0) AS ua,
+         COALESCE(SUM(c), 0) AS tot
+  FROM counted),
+base AS MATERIALIZED (
+  SELECT nm.t, COALESCE(cn.c, 0) AS c
+  FROM (VALUES {names_values}) nm(t) LEFT JOIN counted cn ON nm.t = cn.t),
+fin AS MATERIALIZED (
+  SELECT t, CASE
+    WHEN t = '102' THEN (SELECT m FROM dyc) * ((SELECT n FROM nn) - 2) - (SELECT um FROM used)
+    WHEN t = '012' THEN (SELECT asym FROM dyc) * ((SELECT n FROM nn) - 2) - (SELECT ua FROM used)
+    ELSE c END AS c
+  FROM base)
+SELECT t AS triad_type, CAST(CASE WHEN t = '003' THEN
+  (SELECT n * (n - 1) * (n - 2) // 6 FROM nn)
+  - (SELECT SUM(c) FROM fin WHERE t <> '003')
+  ELSE c END AS BIGINT) AS "count"
+FROM fin"""
+
+
 def q_betweenness4(spark, sf_dir):
     """Sampled-Brandes betweenness from 4 fixed pivots, truncated at
     depth 3 (bounded so the unrolled DuckDB mirror stays tractable);
@@ -5905,6 +6013,7 @@ QUERIES = {
     "q_refine_summary": q_refine_summary,
     "q_fiedler4": q_fiedler4,
     "q_spectral_cut": q_spectral_cut,
+    "q_triad_census": q_triad_census,
     "q_betweenness4": q_betweenness4,
     "q_closeness2": q_closeness2,
     "q_mis1": q_mis1,
@@ -7277,6 +7386,7 @@ ORACLE_SQL = {
     "q_refine_summary": _refine_summary_sql(7),
     "q_fiedler4": _fiedler_sql(4),
     "q_spectral_cut": _spectral_cut_sql(4),
+    "q_triad_census": _triad_census_sql(),
     "q_betweenness4": _betweenness_sql((0, 1, 2, 3), 3),
     "q_closeness2": _closeness2_sql(6),
     "q_linkpred_topk": _linkpred_sql(100),
