@@ -2267,6 +2267,134 @@ SELECT t AS triad_type, CAST(CASE WHEN t = '003' THEN
 FROM fin"""
 
 
+def _derived_weighted_dyads(spark, sf_dir):
+    """(a, b, w) canonical dyads of the derived graph with a portable
+    deterministic hash weight in [0, 1000) — shared by the MSF /
+    single-linkage queries and their DuckDB mirrors."""
+    e = derived_edges(spark, sf_dir)
+    dy = (
+        e.select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return dy.select("a", "b", ((h % 1000000) / 1000.0).alias("w"))
+
+
+_DYW_SQL = (
+    "dyw AS MATERIALIZED (SELECT a, b, "
+    "(('0x' || substr(md5(a::VARCHAR || ':' || b::VARCHAR), 1, 8))::BIGINT "
+    "% 1000000) / 1000.0 AS w FROM (SELECT DISTINCT LEAST(src_id, dst_id) AS a, "
+    "GREATEST(src_id, dst_id) AS b FROM edges) )"
+)
+
+
+def q_msf2(spark, sf_dir):
+    """Borůvka minimum-spanning-forest, 2 fixed rounds with 4-round
+    min-label contraction (:func:`~amanogawa_spark.graph.mst.
+    minimum_spanning_forest`) over the hash-weighted derived dyad graph.
+    The bounded schedule is engine-mirrorable; convergence to the true
+    MST is pinned against driver Kruskal in tests/test_mst.py."""
+    from amanogawa_spark.graph.mst import minimum_spanning_forest
+
+    v = derived_vertices(spark, sf_dir)
+    e = _derived_weighted_dyads(spark, sf_dir).select(
+        F.col("a").alias("src_id"), F.col("b").alias("dst_id"), F.col("w").alias("weight")
+    )
+    forest = minimum_spanning_forest(
+        v, e, fixed_rounds=2, contract_fixed_rounds=4
+    )
+    return forest.select("a", "b", F.round("weight", 6).alias("w_r"))
+
+
+def q_single_linkage(spark, sf_dir):
+    """Single-linkage clusters at threshold 150 via the CONVERGED minimum
+    spanning forest (Borůvka to fixpoint, then cut the forest) — the
+    oracle computes the same clusters as the transitive closure of the
+    threshold-filtered raw pair graph, which the MSF provably preserves."""
+    from amanogawa_spark.graph.mst import (
+        minimum_spanning_forest,
+        single_linkage_clusters,
+    )
+
+    v = derived_vertices(spark, sf_dir)
+    e = _derived_weighted_dyads(spark, sf_dir).select(
+        F.col("a").alias("src_id"), F.col("b").alias("dst_id"), F.col("w").alias("weight")
+    )
+    forest = minimum_spanning_forest(v, e)
+    return single_linkage_clusters(v, forest, threshold=150.0)
+
+
+def _msf_sql(rounds: int = 2, inner: int = 4) -> str:
+    """DuckDB mirror of the bounded Borůvka schedule: per-component
+    (w, a, b)-argmin picks + fixed-round min-label contraction."""
+    parts = [
+        f"WITH {_EDGES_SQL.strip().replace('edges AS (', 'edges AS MATERIALIZED (', 1)}",
+        _VERTS_SQL.strip().replace("verts AS (", "verts AS MATERIALIZED (", 1),
+        _DYW_SQL,
+        "lab0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"cr{r} AS MATERIALIZED (SELECT d.a, d.b, d.w, la.lab AS ca, lb.lab AS cb "
+            f"FROM dyw d JOIN lab{p} la ON d.a = la.id JOIN lab{p} lb ON d.b = lb.id "
+            f"WHERE la.lab <> lb.lab)"
+        )
+        parts.append(
+            f"pk{r} AS MATERIALIZED (SELECT DISTINCT w, a, b, ca, cb FROM ("
+            f"SELECT comp, w, a, b, ca, cb, ROW_NUMBER() OVER "
+            f"(PARTITION BY comp ORDER BY w, a, b) AS rn FROM ("
+            f"SELECT ca AS comp, w, a, b, ca, cb FROM cr{r} "
+            f"UNION ALL SELECT cb AS comp, w, a, b, ca, cb FROM cr{r})) WHERE rn = 1)"
+        )
+        parts.append(
+            f"c{r}e AS MATERIALIZED (SELECT ca AS src_id, cb AS dst_id FROM pk{r})"
+        )
+        parts.append(f"c{r}v AS (SELECT DISTINCT lab AS id FROM lab{p})")
+        parts.append(_cc_rounds_cte(f"c{r}e", f"c{r}v", f"c{r}", inner))
+        parts.append(
+            f"lab{r} AS MATERIALIZED (SELECT l.id, m.lab FROM lab{p} l "
+            f"JOIN c{r}l{inner} m ON l.lab = m.id)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT a, b, w FROM pk{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        parts[0] + ",\n" + ",\n".join(parts[1:])
+        + f"\nSELECT DISTINCT a, b, ROUND(w, 6) AS w_r FROM ({union})"
+    )
+
+
+def _single_linkage_sql(threshold: float = 150.0) -> str:
+    return f"""
+WITH RECURSIVE {_EDGES_SQL.strip()},
+{_VERTS_SQL.strip()},
+{_DYW_SQL},
+kept AS (SELECT a, b FROM dyw WHERE w <= {threshold}),
+sym AS (SELECT a AS u, b AS v FROM kept UNION SELECT b AS u, a AS v FROM kept),
+reach(id, lab) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.u AS id, r.lab FROM sym s JOIN reach r ON s.v = r.id
+)
+SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id"""
+
+
 def q_betweenness4(spark, sf_dir):
     """Sampled-Brandes betweenness from 4 fixed pivots, truncated at
     depth 3 (bounded so the unrolled DuckDB mirror stays tractable);
@@ -6014,6 +6142,8 @@ QUERIES = {
     "q_fiedler4": q_fiedler4,
     "q_spectral_cut": q_spectral_cut,
     "q_triad_census": q_triad_census,
+    "q_msf2": q_msf2,
+    "q_single_linkage": q_single_linkage,
     "q_betweenness4": q_betweenness4,
     "q_closeness2": q_closeness2,
     "q_mis1": q_mis1,
@@ -7387,6 +7517,8 @@ ORACLE_SQL = {
     "q_fiedler4": _fiedler_sql(4),
     "q_spectral_cut": _spectral_cut_sql(4),
     "q_triad_census": _triad_census_sql(),
+    "q_msf2": _msf_sql(2, 4),
+    "q_single_linkage": _single_linkage_sql(150.0),
     "q_betweenness4": _betweenness_sql((0, 1, 2, 3), 3),
     "q_closeness2": _closeness2_sql(6),
     "q_linkpred_topk": _linkpred_sql(100),
