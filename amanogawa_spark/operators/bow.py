@@ -274,6 +274,80 @@ def bigram_logprob_scores(
     )
 
 
+def kneser_ney_bigram_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logprob) — interpolated Kneser–Ney bigram LM.
+
+    The standard-smoothing upgrade of :func:`bigram_logprob_scores`: the
+    backoff distribution is the CONTINUATION unigram (how many distinct
+    contexts precede w2), not raw frequency — so "francisco" (frequent
+    but always after "san") stops inflating novel contexts, the failure
+    mode simple interpolation has on boilerplate-heavy web text. Model
+    (fixed discount D):
+
+        p(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+                   + D · N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    with c(w1·) = Σ_w2 c(w1,w2), N1+(w1·)/N1+(·w2) the distinct
+    continuation/context type counts and N1+(··) the total bigram type
+    count. Corpus-trained on the scoring set itself, so every scored
+    bigram has c ≥ 1 and the probability is strictly positive.
+
+    Scale: one ``arrays_zip`` explode produces bigram occurrences; the
+    count table c(w1,w2) is a map-side-combined aggregate and ALL four
+    model tables (context totals, forward types, continuation types,
+    total types) derive from that already-small TYPE table — no second
+    pass over the corpus. Scoring re-joins occurrences on w1/w2 (the
+    same keys the counts shuffled on) plus a 1-row broadcast.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    toks = F.filter(F.split(norm, " "), lambda x: F.length(x) > 0)
+    n = F.size("toks")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    bigrams = (
+        base.filter(n >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1).alias("w1"),
+                    F.slice("toks", 2, n - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cb = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("cb"))
+    ctx = cb.groupBy("w1").agg(
+        F.sum("cb").alias("c1"), F.count("*").cast("double").alias("fwd")
+    )
+    cont = cb.groupBy("w2").agg(F.count("*").cast("double").alias("rev"))
+    tot = cb.agg(F.count("*").cast("double").alias("nn"))
+
+    d = float(discount)
+    scored = (
+        bigrams.join(cb, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            F.log(
+                F.greatest(F.col("cb") - d, F.lit(0.0)) / F.col("c1")
+                + d * F.col("fwd") / F.col("c1") * F.col("rev") / F.col("nn")
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.avg("logp").alias("avg_logprob"),
+    )
+
+
 def bow_cosine_topk(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -6031,6 +6031,195 @@ FROM base b LEFT JOIN h ON b.id = h.id
 """
 
 
+def q_plsa_theta(spark, sf_dir):
+    """PLSA topic model (operators/topics.py): 3-round EM over the
+    whitespace-token doc×term counts, hash-deterministic φ init — the
+    per-doc topic mixture that feeds mixture sampling.  Oracle unrolls
+    the same EM rounds as chained SQL CTEs."""
+    from amanogawa_spark.operators.topics import doc_term_counts, plsa
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    th, _ = plsa(doc_term_counts(docs), k=3, iterations=3)
+    return th.select("id", "topic", F.round("p", 8).alias("p"))
+
+
+def q_plsa_top_terms(spark, sf_dir):
+    """Top-5 terms per PLSA topic, ranked on the ROUNDED probability so
+    both engines see identical ordering keys (ties broken by term)."""
+    from amanogawa_spark.operators.topics import (
+        doc_term_counts,
+        plsa,
+        top_topic_terms,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    _, ph = plsa(doc_term_counts(docs), k=3, iterations=3)
+    rounded = ph.select("term", "topic", F.round("p", 8).alias("p"))
+    return top_topic_terms(rounded, n=5)
+
+
+def q_plsa_perplexity(spark, sf_dir):
+    """Corpus perplexity exp(−LL/N) under the fitted PLSA model — the
+    EM quality scalar, one join pass + one aggregate (same plan shape as
+    operators/topics.perplexity, kept as a DataFrame for the driver)."""
+    from amanogawa_spark.operators.topics import doc_term_counts, plsa
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    counts = doc_term_counts(docs).localCheckpoint(eager=True)
+    th, ph = plsa(counts, k=3, iterations=3)
+    mix = (
+        counts.join(th.select("id", "topic", F.col("p").alias("pt")), "id")
+        .join(ph.select("term", "topic", F.col("p").alias("pw")), ["term", "topic"])
+        .groupBy("id", "term", "cnt")
+        .agg(F.sum(F.col("pt") * F.col("pw")).alias("pwd"))
+    )
+    return mix.agg(
+        F.round(F.exp(-F.sum(F.col("cnt") * F.log("pwd")) / F.sum("cnt")), 6).alias(
+            "perplexity"
+        )
+    )
+
+
+def _plsa_sql_ctes(k: int = 3, iters: int = 3) -> str:
+    """Shared unrolled-EM CTE chain mirroring operators/topics.plsa:
+    th{r}(id,t,p) / ph{r}(term,t,p) in long format, md5 φ init, window
+    normalizers.  MATERIALIZED like _pagerank_sql (each round's m table
+    is referenced twice)."""
+    parts = [
+        f"WITH base AS MATERIALIZED (SELECT doc_id AS id, {_NORM} AS norm "
+        "FROM documents WHERE doc_id < 200)",
+        "tok AS (SELECT id, unnest(string_split(norm, ' ')) AS term FROM base)",
+        "tc AS MATERIALIZED (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS cnt "
+        "FROM tok WHERE length(term) > 0 GROUP BY id, term)",
+        f"topics AS (SELECT CAST(unnest(range({k})) AS INT) AS t)",
+        f"th0 AS MATERIALIZED (SELECT id, t, 1.0/{k} AS p "
+        "FROM (SELECT DISTINCT id FROM tc) CROSS JOIN topics)",
+        "ph0 AS MATERIALIZED (SELECT term, t, "
+        "1.0 + (('0x' || substr(md5(term || ':' || CAST(t AS VARCHAR)), 1, 8))::BIGINT % 97) AS p "
+        "FROM (SELECT DISTINCT term FROM tc) CROSS JOIN topics)",
+    ]
+    for c in range(1, iters + 1):
+        p = c - 1
+        parts.append(
+            f"m{c} AS MATERIALIZED (SELECT j.id, j.term, j.t, "
+            f"j.cnt * j.w / SUM(j.w) OVER (PARTITION BY j.id, j.term) AS m "
+            f"FROM (SELECT c.id, c.term, c.cnt, th.t, th.p * ph.p AS w "
+            f"FROM tc c JOIN th{p} th ON c.id = th.id "
+            f"JOIN ph{p} ph ON c.term = ph.term AND ph.t = th.t) j)"
+        )
+        parts.append(
+            f"th{c} AS MATERIALIZED (SELECT id, t, s / SUM(s) OVER (PARTITION BY id) AS p "
+            f"FROM (SELECT id, t, SUM(m) AS s FROM m{c} GROUP BY id, t) g)"
+        )
+        parts.append(
+            f"ph{c} AS MATERIALIZED (SELECT term, t, s / SUM(s) OVER (PARTITION BY t) AS p "
+            f"FROM (SELECT term, t, SUM(m) AS s FROM m{c} GROUP BY term, t) g)"
+        )
+    return ",\n".join(parts)
+
+
+_PLSA_THETA_SQL = (
+    _plsa_sql_ctes()
+    + "\nSELECT id, t AS topic, ROUND(p, 8) AS p FROM th3"
+)
+
+_PLSA_TOP_TERMS_SQL = (
+    _plsa_sql_ctes()
+    + """,
+rp AS (SELECT term, t AS topic, ROUND(p, 8) AS p FROM ph3),
+rk AS (SELECT topic, term, p,
+  CAST(ROW_NUMBER() OVER (PARTITION BY topic ORDER BY p DESC, term ASC) AS INT) AS rank
+  FROM rp)
+SELECT topic, term, p, rank FROM rk WHERE rank <= 5"""
+)
+
+def q_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram LM scores (operators/bow.py):
+    continuation-count backoff, fixed dyadic discount D = 0.75 — per-doc
+    bigram count and mean log-prob value-checked."""
+    from amanogawa_spark.operators.bow import kneser_ney_bigram_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return kneser_ney_bigram_scores(docs).select(
+        "id", "n_bigrams", F.round("avg_logprob", 8).alias("avg_logprob_r")
+    )
+
+
+_KNESER_NEY_SQL = f"""
+WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents WHERE doc_id < 150),
+toks AS (SELECT id, i AS pos, w FROM (
+  SELECT id, i, trim(string_split(norm, ' ')[CAST(i + 1 AS INT)]) AS w
+  FROM base CROSS JOIN range(4096) t(i)
+  WHERE i < len(string_split(norm, ' '))) WHERE length(w) > 0),
+ren AS (SELECT id, w, ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) AS r FROM toks),
+bg AS (SELECT a.id, a.w AS w1, b.w AS w2 FROM ren a JOIN ren b ON a.id = b.id AND b.r = a.r + 1),
+cbt AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(cb) AS c1, CAST(COUNT(*) AS DOUBLE) AS fwd FROM cbt GROUP BY w1),
+cont AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS rev FROM cbt GROUP BY w2),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM cbt)
+SELECT bg.id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(AVG(ln(GREATEST(cb - 0.75, 0.0) / c1 + 0.75 * fwd / c1 * rev / nn)), 8) AS avg_logprob_r
+FROM bg JOIN cbt ON bg.w1 = cbt.w1 AND bg.w2 = cbt.w2
+JOIN ctx ON bg.w1 = ctx.w1 JOIN cont ON bg.w2 = cont.w2
+CROSS JOIN tot GROUP BY bg.id"""
+
+
+def q_topic_balanced_sample(spark, sf_dir):
+    """End-to-end topic-balanced curation: PLSA dominant topic per doc
+    (argmax on the ROUNDED θ, tie-break by topic id) feeds exact-count
+    mixture sampling — 60 docs apportioned equally across 3 topics by
+    md5 hash order.  The curation move a mixture-weights config makes on
+    lang/domain, driven by a LEARNED label instead."""
+    from amanogawa_spark.operators.sampling import mixture_sample
+    from amanogawa_spark.operators.topics import doc_term_counts, plsa
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    th, _ = plsa(doc_term_counts(docs), k=3, iterations=3)
+    w = Window.partitionBy("id").orderBy(
+        F.desc(F.round("p", 8)), F.asc("topic")
+    )
+    dom = (
+        th.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("topic").cast("string").alias("topic"),
+        )
+    )
+    return mixture_sample(
+        dom,
+        "topic",
+        {"0": 1 / 3, "1": 1 / 3, "2": 1 / 3},
+        total=60,
+        key_cols=["doc_id"],
+        hash="md5",
+    ).select("doc_id", "topic")
+
+
+_TOPIC_SAMPLE_SQL = (
+    _plsa_sql_ctes()
+    + """,
+dom AS (SELECT id AS doc_id, CAST(t AS VARCHAR) AS topic FROM (
+  SELECT id, t, ROW_NUMBER() OVER (PARTITION BY id
+    ORDER BY ROUND(p, 8) DESC, t ASC) AS rn FROM th3)
+  WHERE rn = 1),
+rk AS (SELECT doc_id, topic, ROW_NUMBER() OVER (PARTITION BY topic
+  ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn FROM dom)
+SELECT doc_id, topic FROM rk WHERE rn <= 20"""
+)
+
+
+_PLSA_PPL_SQL = (
+    _plsa_sql_ctes()
+    + """,
+mix AS (SELECT c.id, c.term, c.cnt, SUM(th.p * ph.p) AS pwd
+  FROM tc c JOIN th3 th ON c.id = th.id
+  JOIN ph3 ph ON c.term = ph.term AND ph.t = th.t
+  GROUP BY c.id, c.term, c.cnt)
+SELECT ROUND(exp(-SUM(cnt * ln(pwd)) / SUM(cnt)), 6) AS perplexity FROM mix"""
+)
+
+
 QUERIES = {
     # -- round-4 third-session additions (mixing metrics) --
     "q_neighbor_mean2": q_neighbor_mean2,
@@ -6266,6 +6455,11 @@ QUERIES = {
     "q_nf_profile": q_nf_profile,
     "q_ann_recall": q_ann_recall,
     "q_lexicon_hits": q_lexicon_hits,
+    "q_plsa_theta": q_plsa_theta,
+    "q_plsa_top_terms": q_plsa_top_terms,
+    "q_plsa_perplexity": q_plsa_perplexity,
+    "q_topic_balanced_sample": q_topic_balanced_sample,
+    "q_kneser_ney": q_kneser_ney,
 }
 
 
@@ -8204,6 +8398,11 @@ FROM n3""",
         "FROM b GROUP BY bin"
     ),
     "q_lexicon_hits": _LEXICON_HITS_SQL,
+    "q_plsa_theta": _PLSA_THETA_SQL,
+    "q_plsa_top_terms": _PLSA_TOP_TERMS_SQL,
+    "q_plsa_perplexity": _PLSA_PPL_SQL,
+    "q_topic_balanced_sample": _TOPIC_SAMPLE_SQL,
+    "q_kneser_ney": _KNESER_NEY_SQL,
     **_METRICS_SQL,
 }
 
