@@ -6220,6 +6220,178 @@ SELECT ROUND(exp(-SUM(cnt * ln(pwd)) / SUM(cnt)), 6) AS perplexity FROM mix"""
 )
 
 
+def _unigram_wc(spark, sf_dir):
+    """Shared word table for the unigram-LM queries: distinct lowercased
+    whitespace words of length ≤ 12 over documents doc_id < 150."""
+    from amanogawa_spark.operators.bpe import word_vocab
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return word_vocab(docs).filter(F.length("word") <= 12)
+
+
+def q_unigram_candidates(spark, sf_dir):
+    """Unigram-LM candidate piece inventory (operators/unigram.py):
+    corpus-weighted substring counts (length ≤ 4) over the bounded word
+    table, single chars always kept, multi-char pieces need count ≥ 3."""
+    from amanogawa_spark.operators.unigram import candidate_pieces
+
+    return candidate_pieces(_unigram_wc(spark, sf_dir), max_piece_len=4, min_count=3)
+
+
+def q_unigram_em1(spark, sf_dir):
+    """One distributed EM E-step (exact forward-backward over every
+    distinct word, count-normalized seed model): expected piece
+    occurrences — the training kernel, value-checked against the oracle's
+    prob-space DP unrolled over word positions."""
+    from amanogawa_spark.operators.unigram import (
+        candidate_pieces,
+        expected_counts,
+        seed_probs,
+    )
+
+    wc = _unigram_wc(spark, sf_dir)
+    probs = seed_probs(candidate_pieces(wc, max_piece_len=4, min_count=3))
+    return expected_counts(wc, probs, max_piece_len=4).select(
+        "piece", F.round("expcnt", 8).alias("expcnt_r")
+    )
+
+
+def q_unigram_scores(spark, sf_dir):
+    """Viterbi-best segmentation scores per document under the seed
+    model: matching the oracle's max-DP total log-prob certifies the
+    distributed encoder found the true optimum for every word."""
+    from amanogawa_spark.operators.unigram import (
+        candidate_pieces,
+        seed_probs,
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    probs = seed_probs(
+        candidate_pieces(_unigram_wc(spark, sf_dir), max_piece_len=4, min_count=3)
+    )
+    enc = unigram_encode(docs, probs, max_piece_len=4, max_word_len=12)
+    return enc.select("id", "n_words", F.round("total_logp", 6).alias("total_logp_r"))
+
+
+_UNIGRAM_BASE_SQL = f"""base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents WHERE doc_id < 150),
+tok AS (SELECT id, unnest(string_split(norm, ' ')) AS word FROM base),
+tokd AS (SELECT id, word FROM tok WHERE length(word) BETWEEN 1 AND 12),
+wrd AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(len(word) AS INT) AS n
+  FROM tokd GROUP BY word),
+sub AS (SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece, cnt
+  FROM wrd CROSS JOIN range(1, 13) t(s) CROSS JOIN range(1, 5) u(l)
+  WHERE s <= n AND l <= n - s + 1),
+pcc AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM sub GROUP BY piece
+  HAVING SUM(cnt) >= 3 OR length(piece) = 1)"""
+
+
+def _unigram_fb_sql(maxn: int = 12, klen: int = 4) -> str:
+    """Unrolled prob-space forward-backward E-step mirroring
+    operators/unigram.expected_counts (seed model = count-normalized
+    candidates): f{i}/b{i} CTEs per word position, expected occurrence
+    mass f·p·b/f(n)·cnt summed per piece."""
+    parts = [
+        "WITH " + _UNIGRAM_BASE_SQL,
+        "tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tc FROM pcc)",
+        "pc AS MATERIALIZED (SELECT piece, CAST(cnt AS DOUBLE) / tc AS pr FROM pcc CROSS JOIN tot)",
+        "f0 AS (SELECT word, 0 AS i, 1.0 AS f FROM wrd)",
+    ]
+    for i in range(1, maxn + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT word, i, f FROM f{j}" for j in range(max(0, i - klen), i)
+        )
+        parts.append(
+            f"f{i} AS MATERIALIZED (SELECT w.word, {i} AS i, SUM(fj.f * pc.pr) AS f "
+            f"FROM ({prev}) fj JOIN wrd w ON fj.word = w.word AND w.n >= {i} "
+            f"JOIN pc ON substr(w.word, CAST(fj.i + 1 AS INT), CAST({i} - fj.i AS INT)) = pc.piece "
+            f"GROUP BY w.word)"
+        )
+    parts.append(
+        "fall AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT word, i, f FROM f{j}" for j in range(0, maxn + 1))
+        + ")"
+    )
+    parts.append(
+        "fn AS MATERIALIZED (SELECT fall.word, fall.f FROM fall JOIN wrd ON fall.word = wrd.word AND fall.i = wrd.n)"
+    )
+    for i in range(maxn, -1, -1):
+        succ = " UNION ALL ".join(
+            f"SELECT word, i, b FROM b{j}"
+            for j in range(i + 1, min(maxn, i + klen) + 1)
+        )
+        rec = (
+            f" UNION ALL SELECT g.word, {i} AS i, g.b FROM ("
+            f"SELECT w.word, SUM(pc.pr * bn.b) AS b FROM ({succ}) bn "
+            f"JOIN wrd w ON bn.word = w.word AND w.n > {i} "
+            f"JOIN pc ON substr(w.word, {i} + 1, CAST(bn.i - {i} AS INT)) = pc.piece "
+            f"GROUP BY w.word) g"
+            if succ
+            else ""
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT word, {i} AS i, 1.0 AS b FROM wrd WHERE n = {i}{rec})"
+        )
+    parts.append(
+        "ball AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT word, i, b FROM b{j}" for j in range(0, maxn + 1))
+        + ")"
+    )
+    parts.append(
+        f"eocc AS (SELECT substr(w.word, CAST(fj.i + 1 AS INT), CAST(bi.i - fj.i AS INT)) AS piece, "
+        f"fj.f * pc.pr * bi.b / fn.f * w.cnt AS e "
+        f"FROM fall fj JOIN ball bi ON fj.word = bi.word AND bi.i > fj.i AND bi.i - fj.i <= {klen} "
+        f"JOIN wrd w ON fj.word = w.word JOIN fn ON w.word = fn.word "
+        f"JOIN pc ON substr(w.word, CAST(fj.i + 1 AS INT), CAST(bi.i - fj.i AS INT)) = pc.piece)"
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT piece, ROUND(SUM(e), 8) AS expcnt_r FROM eocc GROUP BY piece"
+    )
+
+
+def _unigram_viterbi_sql(maxn: int = 12, klen: int = 4) -> str:
+    """Unrolled max-DP Viterbi mirror of operators/unigram.unigram_encode
+    under the seed model: per-word best log-prob, rolled up per doc."""
+    parts = [
+        "WITH " + _UNIGRAM_BASE_SQL,
+        "tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tc FROM pcc)",
+        "pc AS MATERIALIZED (SELECT piece, ln(CAST(cnt AS DOUBLE) / tc) AS lp FROM pcc CROSS JOIN tot)",
+        "v0 AS (SELECT word, 0 AS i, 0.0 AS v FROM wrd)",
+    ]
+    for i in range(1, maxn + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT word, i, v FROM v{j}" for j in range(max(0, i - klen), i)
+        )
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT w.word, {i} AS i, MAX(vj.v + pc.lp) AS v "
+            f"FROM ({prev}) vj JOIN wrd w ON vj.word = w.word AND w.n >= {i} "
+            f"JOIN pc ON substr(w.word, CAST(vj.i + 1 AS INT), CAST({i} - vj.i AS INT)) = pc.piece "
+            f"GROUP BY w.word)"
+        )
+    parts.append(
+        "vall AS ("
+        + " UNION ALL ".join(f"SELECT word, i, v FROM v{j}" for j in range(0, maxn + 1))
+        + ")"
+    )
+    parts.append(
+        "vn AS MATERIALIZED (SELECT vall.word, vall.v FROM vall JOIN wrd ON vall.word = wrd.word AND vall.i = wrd.n)"
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT t.id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "ROUND(SUM(vn.v), 6) AS total_logp_r "
+        "FROM tokd t JOIN vn ON t.word = vn.word GROUP BY t.id"
+    )
+
+
+_UNIGRAM_CANDS_SQL = (
+    "WITH "
+    + _UNIGRAM_BASE_SQL
+    + "\nSELECT piece, cnt FROM pcc"
+)
+
+
 QUERIES = {
     # -- round-4 third-session additions (mixing metrics) --
     "q_neighbor_mean2": q_neighbor_mean2,
@@ -6460,6 +6632,9 @@ QUERIES = {
     "q_plsa_perplexity": q_plsa_perplexity,
     "q_topic_balanced_sample": q_topic_balanced_sample,
     "q_kneser_ney": q_kneser_ney,
+    "q_unigram_candidates": q_unigram_candidates,
+    "q_unigram_em1": q_unigram_em1,
+    "q_unigram_scores": q_unigram_scores,
 }
 
 
@@ -8403,6 +8578,9 @@ FROM n3""",
     "q_plsa_perplexity": _PLSA_PPL_SQL,
     "q_topic_balanced_sample": _TOPIC_SAMPLE_SQL,
     "q_kneser_ney": _KNESER_NEY_SQL,
+    "q_unigram_candidates": _UNIGRAM_CANDS_SQL,
+    "q_unigram_em1": _unigram_fb_sql(),
+    "q_unigram_scores": _unigram_viterbi_sql(),
     **_METRICS_SQL,
 }
 
