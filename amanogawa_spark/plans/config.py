@@ -43,7 +43,12 @@ operators, declaratively reachable): ``type="sample"`` (``method=
 (``url_column``, ``html_column``, ``keep_only``), ``type="url_templates"``
 (``url_column``, ``wildcard_min_distinct``, ``max_depth``,
 ``aggregate``), ``type="cdc_dedup"`` (``window``, ``modulus``,
-``hash``, ``max_dup_frac`` — set to keep-filter instead of profiling).
+``hash``, ``max_dup_frac`` — set to keep-filter instead of profiling),
+``type="topics"`` (PLSA: ``k``, ``iterations``, ``dominant`` — emit the
+per-doc argmax topic label instead of the full mixture),
+``type="unigram_encode"`` (train + Viterbi-encode the unigram-LM
+tokenizer: ``rounds``, ``vocab_size``, ``max_piece_len``, ``min_count``,
+``max_word_len``).
 Sink formats additionally accept ``cluster_by = ["col", ...]`` — a
 similarity-ordered write layout (range-sort across ``coalesce`` files;
 ``operators/ordering.py``) so near-duplicate rows share row groups.
@@ -328,6 +333,63 @@ def _flow_fn(spec: dict):
                 return df.join(keep, spec.get("id_column", "doc_id"), "left_semi")
             return out
         return _cdc
+    if t == "topics":
+        from pyspark.sql import Window
+
+        from amanogawa_spark.operators.topics import doc_term_counts, plsa
+
+        id_col = spec.get("id_column", "doc_id")
+        col = spec.get("column", "text")
+        k = int(spec.get("k", 4))
+        iterations = int(spec.get("iterations", 10))
+
+        def _topics(df):
+            th, _ = plsa(
+                doc_term_counts(df, id_col=id_col, text_col=col),
+                k=k,
+                iterations=iterations,
+            )
+            if spec.get("dominant", False):
+                w = Window.partitionBy("id").orderBy(F.desc("p"), F.asc("topic"))
+                return (
+                    th.withColumn("rn", F.row_number().over(w))
+                    .filter("rn = 1")
+                    .select(F.col("id").alias(id_col), "topic", "p")
+                )
+            return th
+
+        return _topics
+    if t == "unigram_encode":
+        from amanogawa_spark.operators.unigram import unigram_encode, unigram_train
+
+        id_col = spec.get("id_column", "doc_id")
+        col = spec.get("column", "text")
+        max_piece_len = int(spec.get("max_piece_len", 6))
+
+        def _uni(df):
+            probs = unigram_train(
+                df,
+                rounds=int(spec.get("rounds", 2)),
+                vocab_size=(
+                    int(spec["vocab_size"]) if "vocab_size" in spec else None
+                ),
+                max_piece_len=max_piece_len,
+                min_count=int(spec.get("min_count", 2)),
+                id_col=id_col,
+                text_col=col,
+            )
+            return unigram_encode(
+                df,
+                probs,
+                max_piece_len=max_piece_len,
+                id_col=id_col,
+                text_col=col,
+                max_word_len=(
+                    int(spec["max_word_len"]) if "max_word_len" in spec else None
+                ),
+            )
+
+        return _uni
     raise ValueError(f"unsupported flow type: {t!r}")
 
 

@@ -605,3 +605,77 @@ def test_sink_cluster_by_layout(spark, tmp_path):
             yield row
 
     assert out.rdd.mapPartitions(_sorted_within).count() == 120
+
+
+def test_flow_extensions_topics_unigram(spark, tmp_path):
+    """topics (PLSA dominant label) and unigram_encode flow types run
+    from TOML; planted two-vocabulary docs split cleanly by topic and
+    every encoded doc accounts for all of its words."""
+    lines = []
+    for i in range(8):
+        words = " ".join(
+            (f"alpha{j} beta{j}" if i < 4 else f"gamma{j} delta{j}")
+            for j in range(4)
+        )
+        lines.append(f'{{"doc_id": {i}, "text": "{words}"}}')
+    (tmp_path / "docs.jsonl").write_text("\n".join(lines) + "\n")
+    (tmp_path / "job.toml").write_text(
+        """
+[source.docs]
+type = "file"
+path = "docs.jsonl"
+[source.docs.format]
+type = "json"
+columns = [
+  { name = "doc_id", type = "long" },
+  { name = "text", type = "string" },
+]
+
+[flow.topiced]
+type = "topics"
+k = 2
+iterations = 15
+dominant = true
+from = "docs"
+
+[flow.encoded]
+type = "unigram_encode"
+rounds = 2
+vocab_size = 40
+max_piece_len = 4
+min_count = 2
+from = "docs"
+
+[sink.topic_out]
+type = "file"
+path = "topic_out"
+from = "topiced"
+[sink.topic_out.format]
+type = "parquet"
+
+[sink.enc_out]
+type = "file"
+path = "enc_out"
+from = "encoded"
+[sink.enc_out.format]
+type = "parquet"
+"""
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(str(tmp_path / "job.toml"), spark)
+    topics = {
+        r["doc_id"]: r["topic"]
+        for r in spark.read.parquet(str(tmp_path / "topic_out")).collect()
+    }
+    assert set(topics) == set(range(8))
+    g0 = {topics[d] for d in range(4)}
+    g1 = {topics[d] for d in range(4, 8)}
+    assert len(g0) == 1 and len(g1) == 1 and g0 != g1
+    enc = {
+        r["id"]: (r["n_words"], r["n_pieces"])
+        for r in spark.read.parquet(str(tmp_path / "enc_out")).collect()
+    }
+    assert set(enc) == set(range(8))
+    for n_words, n_pieces in enc.values():
+        assert n_words == 8 and n_pieces >= n_words
