@@ -189,3 +189,57 @@ def community_conductance(
             ).alias("conductance"),
         )
     )
+
+
+def double_sweep_lower_bound(
+    edges: DataFrame, undirected: bool = True, max_rounds: int = 64
+) -> DataFrame:
+    """One-row (start_id, ecc_start, far_id, diameter_lb) — the classic
+    double-sweep diameter lower bound (Magnien/Latapy/Habib): BFS from a
+    high-degree start vertex, then BFS again from the farthest vertex
+    found; the second eccentricity lower-bounds the true diameter and is
+    empirically tight on web-like graphs. Complements HyperANF's
+    q-effective diameter (graph/hyperball.py) with an EXACT bound.
+
+    Two frontier-bounded BFS passes (``graph/sssp.shortest_paths`` —
+    per-round cost tracks the frontier, not |V|) + two 1-row driver
+    argmax collects. Covers the start vertex's (weakly, when
+    ``undirected``) connected component; BFS is truncated at
+    ``max_rounds`` hops, so the bound is exact whenever the component's
+    eccentricities fit the cap. Deterministic: all argmaxes tie-break to
+    the smallest vertex id.
+    """
+    from amanogawa_spark.graph.sssp import bfs_levels
+
+    e = edges.select("src_id", "dst_id").filter(F.col("src_id") != F.col("dst_id"))
+    if undirected:
+        e = e.unionByName(
+            e.select(
+                F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+            )
+        ).distinct()
+    deg = e.groupBy("src_id").agg(F.count("*").alias("d"))
+    start = int(
+        deg.orderBy(F.desc("d"), F.asc("src_id")).limit(1).collect()[0]["src_id"]
+    )
+    d1 = bfs_levels(e, [start], max_rounds=max_rounds)
+    far_row = d1.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
+    far, ecc_start = int(far_row["id"]), int(far_row["dist"])
+    # second sweep: same graph when symmetric; the REVERSE graph when
+    # directed (backward BFS from the farthest vertex u yields
+    # max_v d(v→u) ≤ diameter — the standard directed double sweep; a
+    # forward sweep from a sink would bound nothing)
+    e2 = (
+        e
+        if undirected
+        else e.select(
+            F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+        )
+    )
+    d2 = bfs_levels(e2, [far], max_rounds=max_rounds)
+    lb = int(d2.agg(F.max("dist")).collect()[0][0])
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(start, ecc_start, far, lb)],
+        "start_id long, ecc_start long, far_id long, diameter_lb long",
+    )

@@ -130,3 +130,58 @@ def kmeans_centroids(
     return spark.createDataFrame(
         [(cid, c) for cid, c in enumerate(centroids)], "cid int, cv array<double>"
     )
+
+
+def simplified_silhouette(
+    v: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """(cluster, n, mean_sil) — simplified silhouette (Hruschka et al.):
+    a(i) = distance to the OWN centroid, b(i) = distance to the nearest
+    OTHER centroid, s(i) = (b−a)/max(a,b) — the O(n·k) cluster-quality
+    score that replaces the O(n²) classic silhouette at corpus scale
+    (centroid distances stand in for mean member distances).
+
+    ``centroids``: (cid, c array<double>), broadcast. Assignment ties
+    break to the smallest cid. ``round_to`` rounds each point-centroid
+    distance before the argmin — the engine-portability hook that makes
+    assignments identical across engines/layouts (same contract as
+    classifier_train's rounded trajectory).
+
+    Scale: one broadcast cross join (n·k rows, map-only), then two
+    map-side-combined struct-min aggregates keyed by point id — no
+    window, no shuffle wider than n rows.
+    """
+    pts = v.select(F.col(id_col).alias("id"), F.col(vec_col).alias("x"))
+    cents = F.broadcast(centroids.select("cid", "c"))
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+    )
+    if round_to is not None:
+        d = F.round(d, round_to)
+    pd_ = pts.crossJoin(cents).select("id", "cid", d.alias("d"))
+    first = pd_.groupBy("id").agg(F.min(F.struct("d", "cid")).alias("f"))
+    sec = (
+        pd_.join(first, "id")
+        .filter(F.col("cid") != F.col("f.cid"))
+        .groupBy("id")
+        .agg(F.min("d").alias("b"))
+    )
+    s = F.when(
+        F.greatest(F.col("f.d"), F.col("b")) > 0.0,
+        (F.col("b") - F.col("f.d")) / F.greatest(F.col("f.d"), F.col("b")),
+    ).otherwise(F.lit(0.0))
+    per_pt = first.join(sec, "id").select(
+        F.col("f.cid").alias("cluster"), s.alias("s")
+    )
+    return per_pt.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("s"), 8).alias("mean_sil"),
+    )

@@ -180,3 +180,62 @@ def perplexity_buckets(
     return base.select("id", "score", bucket.alias("bucket"), "_k").select(
         "id", "score", "bucket", lab.alias("label")
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, n_sentences, n_words, n_syllables, flesch, fk_grade) — the
+    classic readability pair (Flesch reading ease, Flesch–Kincaid grade
+    level), a standard graded feature in web-text quality filtering
+    (too-low AND too-high reading ease both correlate with non-prose:
+    word salad vs boilerplate/legalese).
+
+    Heuristics, engine-portable by construction: sentences = non-empty
+    ``[.!?]+`` splits (min 1), words = whitespace tokens of the
+    normalized text, syllables per word = count of maximal ``[aeiouy]+``
+    vowel runs (min 1 per word). All three are integer aggregates —
+    the only floats are the two final formula evaluations, so results
+    compare exactly after in-query rounding.
+
+    Scale: one explode + one map-side-combined aggregate per doc for the
+    syllable sum; sentence/word counts are zero-shuffle expressions.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"[.!?]+"),
+                lambda s: F.length(F.trim(s)) > 0,
+            )
+        ),
+        F.lit(1),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        sentences.cast("long").alias("n_sentences"),
+        F.filter(F.split(norm, " "), lambda x: F.length(x) > 0).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    syl = F.greatest(
+        F.size(F.expr("regexp_extract_all(w, '[aeiouy]+', 0)")), F.lit(1)
+    )
+    per_word = base.select(
+        "id", "n_sentences", F.explode("toks").alias("w")
+    ).select("id", "n_sentences", syl.cast("long").alias("syl"))
+    agg = per_word.groupBy("id", "n_sentences").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("syl").cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    return agg.select(
+        "id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, round_to).alias("flesch"),
+        F.round(0.39 * wps + 11.8 * spw - F.lit(15.59), round_to).alias("fk_grade"),
+    )

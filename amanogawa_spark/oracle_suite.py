@@ -6220,6 +6220,103 @@ SELECT ROUND(exp(-SUM(cnt * ln(pwd)) / SUM(cnt)), 6) AS perplexity FROM mix"""
 )
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch–Kincaid grade (operators/quality.py):
+    integer sentence/word/vowel-run-syllable counts, so the two formula
+    floats compare exactly after rounding."""
+    from amanogawa_spark.operators.quality import readability_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return readability_scores(docs)
+
+
+_READABILITY_SQL = f"""
+WITH base AS (SELECT doc_id AS id, text, {_NORM} AS norm FROM documents WHERE doc_id < 300),
+sent AS (SELECT id, GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'),
+  s -> length(trim(s)) > 0)), 1) AS ns, norm FROM base),
+tok AS (SELECT id, ns, unnest(list_filter(string_split(norm, ' '),
+  t -> length(t) > 0)) AS w FROM sent),
+pw AS (SELECT id, ns, GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1) AS syl FROM tok),
+agg AS (SELECT id, ns, CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(syl) AS BIGINT) AS n_syllables FROM pw GROUP BY id, ns)
+SELECT id, CAST(ns AS BIGINT) AS n_sentences, n_words, n_syllables,
+  ROUND(206.835 - 1.015 * (n_words / CAST(ns AS DOUBLE))
+    - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 6) AS flesch,
+  ROUND(0.39 * (n_words / CAST(ns AS DOUBLE))
+    + 11.8 * (n_syllables / CAST(n_words AS DOUBLE)) - 15.59, 6) AS fk_grade
+FROM agg"""
+
+
+def q_diameter_lb(spark, sf_dir):
+    """Double-sweep diameter lower bound (graph/metrics.py) on the
+    symmetrized derived graph — integer output, BFS capped at 40 hops;
+    the oracle's BFS is a depth-capped recursive CTE + MIN-per-vertex."""
+    from amanogawa_spark.graph.metrics import double_sweep_lower_bound
+
+    return double_sweep_lower_bound(
+        derived_edges(spark, sf_dir), undirected=True, max_rounds=40
+    )
+
+
+_DIAMETER_LB_SQL = f"""
+WITH RECURSIVE {_EDGES_SQL.strip()},
+und AS MATERIALIZED (
+  SELECT DISTINCT src_id, dst_id FROM (
+    SELECT src_id, dst_id FROM edges
+    UNION ALL SELECT dst_id AS src_id, src_id AS dst_id FROM edges)),
+deg AS (SELECT src_id AS id, COUNT(*) AS d FROM und GROUP BY src_id),
+start AS (SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 1),
+r1 AS (
+  SELECT id, 0 AS dist FROM start
+  UNION
+  SELECT e.dst_id AS id, r.dist + 1 AS dist FROM r1 r
+  JOIN und e ON r.id = e.src_id WHERE r.dist < 40),
+d1 AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM r1 GROUP BY id),
+far AS (SELECT id, dist FROM d1 ORDER BY dist DESC, id ASC LIMIT 1),
+r2 AS (
+  SELECT id, 0 AS dist FROM far
+  UNION
+  SELECT e.dst_id AS id, r.dist + 1 AS dist FROM r2 r
+  JOIN und e ON r.id = e.src_id WHERE r.dist < 40),
+d2 AS (SELECT id, MIN(dist) AS dist FROM r2 GROUP BY id)
+SELECT CAST((SELECT id FROM start) AS BIGINT) AS start_id,
+  CAST((SELECT dist FROM far) AS BIGINT) AS ecc_start,
+  CAST((SELECT id FROM far) AS BIGINT) AS far_id,
+  CAST((SELECT MAX(dist) FROM d2) AS BIGINT) AS diameter_lb"""
+
+
+def q_silhouette(spark, sf_dir):
+    """Simplified silhouette (operators/kmeans.py): cluster-quality score
+    against three fixed centroid rows (vec_id 0/7/19), distances rounded
+    to 8 before the argmin so assignments are engine-identical."""
+    from amanogawa_spark.operators.kmeans import simplified_silhouette
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id").isin(0, 7, 19)).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("c")
+    )
+    return simplified_silhouette(emb, cents, round_to=8)
+
+
+_SILHOUETTE_SQL = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS x FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cid, embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id IN (0, 7, 19)),
+pd AS (SELECT id, cid, ROUND(list_distance(x, c), 8) AS d FROM v CROSS JOIN cents),
+f AS (SELECT id, cid, d FROM (SELECT id, cid, d,
+  ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM pd) WHERE rn = 1),
+sec AS (SELECT p.id, MIN(p.d) AS b FROM pd p JOIN f ON p.id = f.id AND p.cid <> f.cid
+  GROUP BY p.id),
+pp AS (SELECT f.cid AS cluster,
+  CASE WHEN GREATEST(f.d, s.b) > 0 THEN (s.b - f.d) / GREATEST(f.d, s.b)
+       ELSE 0.0 END AS s
+  FROM f JOIN sec s ON f.id = s.id)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(s), 8) AS mean_sil
+FROM pp GROUP BY cluster"""
+
+
 def _unigram_wc(spark, sf_dir):
     """Shared word table for the unigram-LM queries: distinct lowercased
     whitespace words of length ≤ 12 over documents doc_id < 150."""
@@ -6635,6 +6732,9 @@ QUERIES = {
     "q_unigram_candidates": q_unigram_candidates,
     "q_unigram_em1": q_unigram_em1,
     "q_unigram_scores": q_unigram_scores,
+    "q_readability": q_readability,
+    "q_silhouette": q_silhouette,
+    "q_diameter_lb": q_diameter_lb,
 }
 
 
@@ -8581,6 +8681,9 @@ FROM n3""",
     "q_unigram_candidates": _UNIGRAM_CANDS_SQL,
     "q_unigram_em1": _unigram_fb_sql(),
     "q_unigram_scores": _unigram_viterbi_sql(),
+    "q_readability": _READABILITY_SQL,
+    "q_silhouette": _SILHOUETTE_SQL,
+    "q_diameter_lb": _DIAMETER_LB_SQL,
     **_METRICS_SQL,
 }
 

@@ -133,3 +133,42 @@ def test_metrics_repartition_invariant(spark):
     a = sorted(r.asDict().items() for r in rich_club(e1, [2, 5]).collect())
     b = sorted(r.asDict().items() for r in rich_club(e2, [2, 5]).collect())
     assert a == b
+
+
+def test_double_sweep_path_and_star(spark):
+    from amanogawa_spark.graph.metrics import double_sweep_lower_bound
+
+    # path 0-1-2-3-4: true diameter 4; start = smallest max-degree id (1)
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src_id long, dst_id long"
+    )
+    r = double_sweep_lower_bound(path).collect()[0]
+    assert r["start_id"] == 1
+    assert r["diameter_lb"] == 4
+    assert r["ecc_start"] == 3  # from vertex 1 the farthest is 4
+    assert r["far_id"] == 4
+
+    # star: hub 0, leaves 1..5 -> diameter 2, start at the hub
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src_id long, dst_id long"
+    )
+    r = double_sweep_lower_bound(star).collect()[0]
+    assert r["start_id"] == 0 and r["ecc_start"] == 1
+    assert r["diameter_lb"] == 2
+
+
+def test_double_sweep_directed_and_component_scope(spark):
+    from amanogawa_spark.graph.metrics import double_sweep_lower_bound
+
+    # two components: a 3-path and an isolated edge; undirected sweep
+    # stays in the start vertex's component (the larger path)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "src_id long, dst_id long"
+    )
+    r = double_sweep_lower_bound(e).collect()[0]
+    assert r["diameter_lb"] == 3
+    # directed mode: forward sweep finds the farthest sink (3), then the
+    # BACKWARD sweep from it recovers the full chain depth
+    r2 = double_sweep_lower_bound(e, undirected=False).collect()[0]
+    assert r2["far_id"] == 3
+    assert r2["diameter_lb"] == 3

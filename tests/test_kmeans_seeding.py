@@ -71,3 +71,59 @@ def test_unknown_init_rejected(spark):
     )
     with pytest.raises(ValueError):
         kmeans_centroids(df, k=2, init="bogus")
+
+
+def test_simplified_silhouette_hand_mirror(spark):
+    import math
+
+    from amanogawa_spark.operators.kmeans import simplified_silhouette
+
+    # two tight planted clusters around (0,0) and (10,10), one straggler
+    pts = [
+        (0, [0.0, 0.1]), (1, [0.1, 0.0]), (2, [0.2, 0.1]),
+        (3, [10.0, 10.1]), (4, [10.1, 9.9]),
+        (5, [5.0, 5.0]),  # equidistant-ish straggler
+    ]
+    cents = [(0, [0.1, 0.1]), (1, [10.0, 10.0])]
+    v = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    c = spark.createDataFrame(cents, "cid int, c array<double>")
+    got = {
+        r["cluster"]: (r["n"], r["mean_sil"])
+        for r in simplified_silhouette(v, c).collect()
+    }
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    per_cluster = {}
+    for _, x in pts:
+        ds = sorted((dist(x, cv), cid) for cid, cv in cents)
+        (a, cid), (b, _) = ds[0], ds[1]
+        s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        per_cluster.setdefault(cid, []).append(s)
+    want = {
+        cid: (len(ss), round(sum(ss) / len(ss), 8))
+        for cid, ss in per_cluster.items()
+    }
+    assert got == want
+    # tight clusters: silhouettes near 1 despite the straggler
+    assert got[0][1] > 0.6 and got[1][1] > 0.6
+
+
+def test_simplified_silhouette_zero_distance_and_ties(spark):
+    from amanogawa_spark.operators.kmeans import simplified_silhouette
+
+    # point ON a centroid -> a=0, s=1; point equidistant to both -> tie
+    # breaks to smaller cid with s=0
+    v = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0])], "vec_id long, embedding array<double>"
+    )
+    c = spark.createDataFrame(
+        [(0, [0.0]), (1, [2.0])], "cid int, c array<double>"
+    )
+    got = {
+        r["cluster"]: (r["n"], r["mean_sil"])
+        for r in simplified_silhouette(v, c).collect()
+    }
+    # id 0: a=0 (cid 0), b=2 -> s=1. id 1: d=(1,1) tie -> cid 0, s=0
+    assert got == {0: (2, 0.5)}

@@ -133,3 +133,47 @@ def test_unigram_lm_scores_rank_gibberish_lower(spark):
     exp0 = (lp("the") + lp("cat") + lp("sat")) / 3
     assert got[0][0] == 3 and abs(got[0][1] - exp0) < 1e-12
     assert got[2][1] < got[0][1] and got[2][1] < got[1][1]
+
+
+def test_readability_scores_hand_mirror(spark):
+    from amanogawa_spark.operators.quality import readability_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The cat sat. The dog ran! Did it?"),
+            (1, "unbroken words without terminal punctuation here"),
+            (2, "Strengths crypt tsk"),  # consonant-heavy: min-1 syllable floor
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r
+        for r in readability_scores(docs).collect()
+    }
+    assert set(got) == {0, 1, 2}
+
+    import re
+
+    def syl(w):
+        return max(len(re.findall(r"[aeiouy]+", w)), 1)
+
+    def mirror(text):
+        ns = max(sum(1 for s in re.split(r"[.!?]+", text) if s.strip()), 1)
+        ws = [w for w in re.sub(r"\s+", " ", text.strip()).lower().split(" ") if w]
+        nw, nsyl = len(ws), sum(syl(w) for w in ws)
+        fl = 206.835 - 1.015 * (nw / ns) - 84.6 * (nsyl / nw)
+        fk = 0.39 * (nw / ns) + 11.8 * (nsyl / nw) - 15.59
+        return ns, nw, nsyl, round(fl, 6), round(fk, 6)
+
+    for i, text in [(0, "The cat sat. The dog ran! Did it?"),
+                    (1, "unbroken words without terminal punctuation here"),
+                    (2, "Strengths crypt tsk")]:
+        ns, nw, nsyl, fl, fk = mirror(text)
+        r = got[i]
+        assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (ns, nw, nsyl)
+        assert r["flesch"] == fl and r["fk_grade"] == fk
+    # doc 0: 3 sentences; doc 2: strengths=1 run, crypt=1 ('y'), tsk floors at 1
+    assert got[0]["n_sentences"] == 3
+    assert got[2]["n_syllables"] == 3
