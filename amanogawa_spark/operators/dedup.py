@@ -1238,3 +1238,83 @@ def winnow_candidates(
         .agg(F.count("*").cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def hamming_neardup(
+    hashes: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "sh",
+    n_bits: int = 64,
+    bands: int = 4,
+    max_distance: int = 3,
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """(a, b, distance) — all id pairs whose fingerprints differ in at
+    most ``max_distance`` bits, WITHOUT the all-pairs join.
+
+    The generic Hamming verifier behind every bit-fingerprint near-dup
+    family: text SimHash (:func:`simhash_table`), image dHash
+    (``operators/multimodal.media_dhashes``), winnowing digests. Split
+    the ``n_bits`` fingerprint into ``bands`` equal bit-ranges; by
+    pigeonhole, two hashes within ``max_distance < bands`` bit flips
+    agree EXACTLY on at least one band — so the band-value self-join is
+    a lossless candidate generator, and one ``bit_count(xor)`` per
+    candidate verifies the true distance. Requires
+    ``max_distance < bands`` (raises otherwise: recall would silently
+    drop below 1).
+
+    Scale: the self-join is per-(band, value) bucket — the LSH-banding
+    shape; ``max_band_size`` drops degenerate hot bands (e.g. the
+    all-zeros band of near-empty inputs) exactly like
+    ``minhash_dedup``'s ``max_bucket_size`` hot-bucket guard.
+    """
+    if max_distance >= bands:
+        raise ValueError(
+            f"hamming_neardup: need max_distance < bands for exact recall "
+            f"(got distance {max_distance}, bands {bands})"
+        )
+    band_bits = (n_bits + bands - 1) // bands
+    mask = (1 << band_bits) - 1
+    h = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("h")
+    )
+    bb = h.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # logical shift: fingerprints may carry bit 63
+                        # (two's-complement-folded unsigned hashes)
+                        F.shiftrightunsigned("h", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_value"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "h", "bb.band", "bb.band_value")
+    if max_band_size is not None:
+        ok = (
+            bb.groupBy("band", "band_value")
+            .agg(F.count("*").alias("nb"))
+            .filter(F.col("nb") <= max_band_size)
+            .select("band", "band_value")
+        )
+        bb = bb.join(ok, ["band", "band_value"], "left_semi")
+    x = bb.select("band", "band_value", F.col("id").alias("a"), F.col("h").alias("ha"))
+    y = bb.select("band", "band_value", F.col("id").alias("b"), F.col("h").alias("hb"))
+    cand = (
+        x.join(y, ["band", "band_value"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "a",
+        "b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("distance"),
+    ).filter(F.col("distance") <= max_distance)

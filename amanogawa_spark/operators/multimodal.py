@@ -439,3 +439,59 @@ def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_dhash(img: np.ndarray, hash_size: int = 8) -> int:
+    """(h, w, 3) image → ``hash_size²``-bit difference hash (dHash).
+
+    Grayscale → adaptive average-pool to (hash_size, hash_size+1) → one
+    bit per horizontal gradient sign. Resolution-independent and
+    invariant to constant brightness shifts (gradients only); near
+    re-encodes land within a few bit flips, so
+    ``operators/dedup.hamming_neardup`` turns this into image near-dup
+    detection. Deterministic pure numpy — no codec dependencies.
+    """
+    gray = img @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    gh, gw = hash_size, hash_size + 1
+    ys = np.linspace(0, h, gh + 1).astype(int)
+    xs = np.linspace(0, w, gw + 1).astype(int)
+    grid = np.zeros((gh, gw), dtype=np.float64)
+    for yi in range(gh):
+        for xi in range(gw):
+            tile = gray[
+                ys[yi] : max(ys[yi + 1], ys[yi] + 1),
+                xs[xi] : max(xs[xi + 1], xs[xi] + 1),
+            ]
+            grid[yi, xi] = float(tile.mean()) if tile.size else 0.0
+    bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+    return int(sum(1 << i for i, bit in enumerate(bits) if bit))
+
+
+def media_dhashes(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """(media_id, dhash) — perceptual fingerprints for every decodable
+    image payload (PPM/PGM/PNG); rows whose codec is unavailable are
+    skipped, mirroring :func:`extract_features`'s contract. Map-only
+    Arrow stage, no shuffle; feed the result to
+    ``operators/dedup.hamming_neardup(n_bits=hash_size**2)``.
+    """
+    size = int(hash_size)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = decode_image(payload)
+                except NotImplementedError:
+                    continue
+                ids.append(mid)
+                h = image_dhash(img, size)
+                # reinterpret the unsigned bit pattern as two's-complement
+                # so a full 64-bit hash fits Spark's signed LongType
+                hs.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"media_id": ids, "dhash": hs})
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, "media_id long, dhash long"
+    )

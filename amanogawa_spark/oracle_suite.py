@@ -6247,6 +6247,47 @@ SELECT id, CAST(ns AS BIGINT) AS n_sentences, n_words, n_syllables,
 FROM agg"""
 
 
+def q_hamming_pairs(spark, sf_dir):
+    """Banded Hamming near-dup verification (operators/dedup.py
+    hamming_neardup) over the 60-bit md5 SimHash table: pigeonhole band
+    join → exact bit_count(xor) distance ≤ 3."""
+    from amanogawa_spark.operators.dedup import hamming_neardup, simhash_table
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = simhash_table(docs, hash="md5")
+    return hamming_neardup(
+        sh, id_col="id", hash_col="sh", n_bits=60, bands=4, max_distance=3
+    )
+
+
+def _hamming_pairs_sql(max_id: int = 200, max_distance: int = 3) -> str:
+    """Mirror of q_hamming_pairs: the _simhash_md5_sql fingerprint CTEs +
+    band self-join + DuckDB bit_count(xor) verification."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sh_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, sh, {b} AS band, (sh >> {b * 15}) & 32767 AS band_value FROM shs"
+        for b in range(4)
+    )
+    return f"""
+WITH base AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents WHERE doc_id < {max_id}),
+t AS (SELECT id, unnest(string_split(norm, ' ')) AS tok FROM base),
+hs AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t),
+votes AS MATERIALIZED (SELECT id, {votes} FROM hs GROUP BY id),
+shs AS MATERIALIZED (SELECT id, CAST({sh_expr} AS BIGINT) AS sh FROM votes),
+bb AS MATERIALIZED ({band_selects}),
+cand AS (SELECT DISTINCT x.id AS a, y.id AS b, x.sh AS ha, y.sh AS hb
+  FROM bb x JOIN bb y ON x.band = y.band AND x.band_value = y.band_value
+  AND x.id < y.id)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS distance
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_distance}"""
+
+
 def q_diameter_lb(spark, sf_dir):
     """Double-sweep diameter lower bound (graph/metrics.py) on the
     symmetrized derived graph — integer output, BFS capped at 40 hops;
@@ -6735,6 +6776,7 @@ QUERIES = {
     "q_readability": q_readability,
     "q_silhouette": q_silhouette,
     "q_diameter_lb": q_diameter_lb,
+    "q_hamming_pairs": q_hamming_pairs,
 }
 
 
@@ -8684,6 +8726,7 @@ FROM n3""",
     "q_readability": _READABILITY_SQL,
     "q_silhouette": _SILHOUETTE_SQL,
     "q_diameter_lb": _DIAMETER_LB_SQL,
+    "q_hamming_pairs": _hamming_pairs_sql(),
     **_METRICS_SQL,
 }
 
