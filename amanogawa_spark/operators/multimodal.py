@@ -495,3 +495,41 @@ def media_dhashes(media: DataFrame, hash_size: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, "media_id long, dhash long"
     )
+
+
+def audio_fingerprint(x: np.ndarray, n_bits: int = 64) -> int:
+    """Mono samples → ``n_bits``-bit energy-contour fingerprint: RMS
+    energy over ``n_bits + 1`` equal time bins, one bit per consecutive
+    energy INCREASE — the temporal analogue of :func:`image_dhash`
+    (sign-of-gradient bits), invariant to uniform volume scaling and
+    resampling-preserving re-encodes. Feed pairs of these to
+    ``operators/dedup.hamming_neardup`` for near-dup audio detection.
+    """
+    e = audio_features(x, n_bits + 1)
+    bits = e[1:] > e[:-1]
+    return int(sum(1 << i for i, bit in enumerate(bits) if bit))
+
+
+def media_audio_fingerprints(media: DataFrame, n_bits: int = 64) -> DataFrame:
+    """(media_id, afp) — fingerprints for every decodable WAV payload;
+    undecodable codecs are skipped (the :func:`extract_features`
+    contract). Map-only Arrow stage; two's-complement-folded into
+    LongType like :func:`media_dhashes`."""
+    bits = int(n_bits)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    x = decode_audio(payload)
+                except NotImplementedError:
+                    continue
+                h = audio_fingerprint(x, bits)
+                ids.append(mid)
+                hs.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"media_id": ids, "afp": hs})
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, "media_id long, afp long"
+    )

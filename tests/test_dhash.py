@@ -111,3 +111,60 @@ def test_hamming_neardup_exact_and_guards(spark):
     # ONLY shares degenerate bands
     guarded = hamming_neardup(df, max_distance=2, max_band_size=2).collect()
     assert len(guarded) <= len(want)
+
+
+def test_audio_fingerprint_volume_invariance_and_neardup(spark):
+    import io
+    import wave
+
+    from amanogawa_spark.operators.multimodal import (
+        audio_fingerprint,
+        decode_audio,
+        media_audio_fingerprints,
+        synth_wav,
+    )
+
+    def wav16(x: np.ndarray, rate=8000) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(
+                (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+            )
+        return buf.getvalue()
+
+    t = np.arange(16000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t) * (1 + 0.5 * np.sin(2 * np.pi * 1.3 * t))
+    fp = audio_fingerprint(decode_audio(wav16(tone)))
+    # half the volume: identical energy-contour bits
+    assert audio_fingerprint(decode_audio(wav16(tone * 0.5))) == fp
+    # tiny additive noise: few bit flips
+    noisy = tone + np.random.default_rng(4).normal(0, 0.01, tone.shape)
+    d = bin(fp ^ audio_fingerprint(decode_audio(wav16(noisy)))).count("1")
+    assert d <= 6
+    # a different envelope lands far away
+    other = 0.5 * np.sin(2 * np.pi * 440 * t) * np.linspace(0, 1, t.size)
+    far = bin(fp ^ audio_fingerprint(decode_audio(wav16(other)))).count("1")
+    assert far > d
+    rows = [
+        (0, bytearray(wav16(tone))),
+        (1, bytearray(wav16(noisy))),
+        (2, bytearray(b"ID3 not-a-wav")),
+        (3, bytearray(synth_wav(4000, seed=9))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["afp"] for r in media_audio_fingerprints(media).collect()}
+    assert set(got) == {0, 1, 3}
+    pairs = {
+        (r["a"], r["b"]): r["distance"]
+        for r in hamming_neardup(
+            media_audio_fingerprints(media),
+            id_col="media_id",
+            hash_col="afp",
+            bands=8,
+            max_distance=6,
+        ).collect()
+    }
+    assert (0, 1) in pairs
