@@ -152,3 +152,79 @@ def grouped_quantiles(
     return targets.join(ranked, ["group", "rk"]).select(
         "group", "q", F.col("x").alias("value")
     )
+
+
+def ranking_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One-row (n_pos, n_neg, auc) — Mann–Whitney ROC-AUC of a binary-
+    labeled scored set, EXACT tie handling (ties contribute ½): the
+    evaluation scalar for every ranker in the engine — link prediction,
+    quality classifiers, near-dup scorers vs labels.
+
+    AUC = [#(pos > neg) + ½·#(pos == neg)] / (n_pos·n_neg), computed
+    without any pairwise join: group rows by distinct score (map-side
+    combined), then a two-pass range-partitioned cumulative negative
+    count in score order (the ``dense_rank_ids``/``pack_sequences``
+    shape — a |partitions|-row offset collect + a per-partition window,
+    never a single-partition global sort). Exact for integer and float
+    scores alike; work scales with DISTINCT scores after the first
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    spark = scored.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lab = F.col(label_col).cast("long")
+    g = scored.groupBy(score_col).agg(
+        F.sum(lab).alias("p"),
+        F.sum(F.lit(1) - lab).alias("n"),
+    )
+    ranged = (
+        g.repartitionByRange(n_part, F.col(score_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    per = {
+        r["_pid"]: int(r["s"] or 0)
+        for r in ranged.groupBy("_pid").agg(F.sum("n").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(per):
+        offsets[pid] = acc
+        acc += per[pid]
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+            "_pid int, _off long",
+        )
+    )
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = ranged.join(offset_df, "_pid").select(
+        "p",
+        "n",
+        (F.col("_off") + F.coalesce(F.sum("n").over(win), F.lit(0))).alias("cumneg"),
+    )
+    row = cum.agg(
+        F.sum("p").alias("np"),
+        F.sum("n").alias("nn"),
+        F.sum(F.col("p") * F.col("cumneg")).alias("wins"),
+        F.sum(F.col("p") * F.col("n")).alias("ties"),
+    ).collect()[0]
+    ranged.unpersist()
+    n_pos, n_neg = int(row["np"] or 0), int(row["nn"] or 0)
+    auc = (
+        (float(row["wins"]) + 0.5 * float(row["ties"])) / (n_pos * n_neg)
+        if n_pos and n_neg
+        else float("nan")
+    )
+    return spark.createDataFrame(
+        [(n_pos, n_neg, auc)], "n_pos long, n_neg long, auc double"
+    )

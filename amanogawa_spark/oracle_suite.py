@@ -6247,6 +6247,96 @@ SELECT id, CAST(ns AS BIGINT) AS n_sentences, n_words, n_syllables,
 FROM agg"""
 
 
+def q_linkpred_auc(spark, sf_dir):
+    """Held-out link-prediction evaluation: md5-hash 20% of canonical
+    undirected edges out as test positives, score all wedge candidates
+    of the TRAIN graph by common-neighbor count, label candidates by
+    test membership, and compute the exact tie-handled Mann–Whitney AUC
+    (operators/stats.ranking_auc — integer scores make every tie block
+    exact on both engines)."""
+    from amanogawa_spark.operators.stats import ranking_auc
+
+    e = derived_edges(spark, sf_dir)
+    und = (
+        e.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "~", F.col("a").cast("string"), F.col("b").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    marked = und.select("a", "b", (h == 0).alias("is_test"))
+    test = marked.filter("is_test").select("a", "b")
+    train = marked.filter(~F.col("is_test")).select("a", "b")
+    adj = train.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        train.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    wedges = adj.join(
+        adj.select("w", F.col("u").alias("v")), "w"
+    ).filter(F.col("u") < F.col("v"))
+    cand = (
+        wedges.groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("cn"))
+        .join(
+            train.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    )
+    lab = cand.join(
+        test.select(F.col("a").alias("u"), F.col("b").alias("v"), F.lit(1).alias("label")),
+        ["u", "v"],
+        "left",
+    ).select("cn", F.coalesce("label", F.lit(0)).alias("label"))
+    return ranking_auc(lab, score_col="cn", label_col="label").select(
+        "n_pos", "n_neg", F.round("auc", 8).alias("auc_r")
+    )
+
+
+_LINKPRED_AUC_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src_id, dst_id) AS a,
+  GREATEST(src_id, dst_id) AS b FROM edges WHERE src_id <> dst_id),
+marked AS (SELECT a, b,
+  ('0x' || substr(md5(CAST(a AS VARCHAR) || '~' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 5 = 0 AS is_test
+  FROM und),
+test AS MATERIALIZED (SELECT a, b FROM marked WHERE is_test),
+train AS MATERIALIZED (SELECT a, b FROM marked WHERE NOT is_test),
+adj AS (SELECT a AS u, b AS w FROM train UNION ALL SELECT b AS u, a AS w FROM train),
+cand AS MATERIALIZED (
+  SELECT x.u, y.u AS v, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u
+  GROUP BY x.u, y.u),
+nonedge AS (SELECT c.u, c.v, c.cn FROM cand c
+  LEFT JOIN train t ON c.u = t.a AND c.v = t.b WHERE t.a IS NULL),
+lab AS (SELECT n.cn AS score,
+  CASE WHEN t.a IS NULL THEN 0 ELSE 1 END AS label
+  FROM nonedge n LEFT JOIN test t ON n.u = t.a AND n.v = t.b),
+g AS (SELECT score, SUM(label) AS p, SUM(1 - label) AS n FROM lab GROUP BY score),
+cum AS (SELECT p, n, COALESCE(SUM(n) OVER (ORDER BY score
+  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg FROM g)
+SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg,
+  ROUND((SUM(p * cumneg) + 0.5 * SUM(p * n))
+    / (CAST(SUM(p) AS DOUBLE) * SUM(n)), 8) AS auc_r
+FROM cum"""
+
+
 def q_hamming_pairs(spark, sf_dir):
     """Banded Hamming near-dup verification (operators/dedup.py
     hamming_neardup) over the 60-bit md5 SimHash table: pigeonhole band
@@ -6777,6 +6867,7 @@ QUERIES = {
     "q_silhouette": q_silhouette,
     "q_diameter_lb": q_diameter_lb,
     "q_hamming_pairs": q_hamming_pairs,
+    "q_linkpred_auc": q_linkpred_auc,
 }
 
 
@@ -8727,6 +8818,7 @@ FROM n3""",
     "q_silhouette": _SILHOUETTE_SQL,
     "q_diameter_lb": _DIAMETER_LB_SQL,
     "q_hamming_pairs": _hamming_pairs_sql(),
+    "q_linkpred_auc": _LINKPRED_AUC_SQL,
     **_METRICS_SQL,
 }
 

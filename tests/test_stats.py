@@ -152,3 +152,51 @@ def test_hll_overlap_disjoint_clamps_at_zero(spark):
     row = hll_overlap(hll_registers(da, "v"), hll_registers(db, "v")).collect()[0]
     assert row["est_intersection"] >= 0.0
     assert row["jaccard"] < 0.05
+
+
+def test_ranking_auc_matches_bruteforce(spark):
+    import random
+
+    from amanogawa_spark.operators.stats import ranking_auc
+
+    rng = random.Random(17)
+    rows = [
+        (float(rng.choice([0, 1, 2, 3, 4, 5])), rng.randrange(2))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = ranking_auc(df).collect()[0]
+    pos = [s for s, l in rows if l == 1]
+    neg = [s for s, l in rows if l == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+    assert abs(got["auc"] - want) < 1e-12
+
+
+def test_ranking_auc_edges_and_invariance(spark):
+    from amanogawa_spark.operators.stats import ranking_auc
+
+    # perfect ranker -> 1.0; inverted -> 0.0; constant -> 0.5
+    perfect = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "score double, label int"
+    )
+    assert ranking_auc(perfect).collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(4.0, 0), (3.0, 0), (2.0, 1), (1.0, 1)], "score double, label int"
+    )
+    assert ranking_auc(inverted).collect()[0]["auc"] == 0.0
+    const = spark.createDataFrame(
+        [(1.0, 0), (1.0, 1), (1.0, 0), (1.0, 1)], "score double, label int"
+    )
+    assert ranking_auc(const).collect()[0]["auc"] == 0.5
+    # repartitioning must not change the result
+    import random
+
+    rng = random.Random(3)
+    rows = [(rng.random(), rng.randrange(2)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    a = ranking_auc(df).collect()[0]
+    b = ranking_auc(df.repartition(13), num_partitions=5).collect()[0]
+    assert a["auc"] == b["auc"] and a["n_pos"] == b["n_pos"]
