@@ -76,28 +76,34 @@ def kmeans_centroids(
     Empty clusters keep their previous centroid (standard Lloyd fallback).
     Stops when the max centroid L2 shift <= tol or after max_iter.
 
-    ``init``: 'hash' (default — seeded xxhash64-smallest rows) or
+    ``init``: 'hash' (default — seeded xxhash64-smallest rows),
     'min_id' (the k id-smallest rows; hash-free, so an external SQL
     engine can reproduce the whole training run — the value-oracle
-    path).  Both compile to TakeOrderedAndProject, no global window.
+    path), or 'parallel' (k-means|| oversampling,
+    :func:`parallel_seed_centroids` — d²-weighted candidates, the
+    quality init at scale). The row-pick inits compile to
+    TakeOrderedAndProject, no global window.
     """
     v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    if init == "min_id":
-        init_rows = (
-            v.orderBy(F.asc("id")).limit(k).select("id", "v", F.col("id").alias("_h"))
-        ).collect()
-    elif init == "hash":
-        init_rows = seed_vectors(v, k, seed).collect()
+    if init == "parallel":
+        centroids = parallel_seed_centroids(v, k)
     else:
-        raise ValueError(f"unknown init mode: {init!r}")
-    centroids = [
-        list(r["v"]) for r in sorted(init_rows, key=lambda r: (r["_h"], r["id"]))
-    ][:k]
-    if len(centroids) < k:
-        raise ValueError(f"need >= {k} rows for k={k} init, got {len(centroids)}")
+        if init == "min_id":
+            init_rows = (
+                v.orderBy(F.asc("id")).limit(k).select("id", "v", F.col("id").alias("_h"))
+            ).collect()
+        elif init == "hash":
+            init_rows = seed_vectors(v, k, seed).collect()
+        else:
+            raise ValueError(f"unknown init mode: {init!r}")
+        centroids = [
+            list(r["v"]) for r in sorted(init_rows, key=lambda r: (r["_h"], r["id"]))
+        ][:k]
+        if len(centroids) < k:
+            raise ValueError(f"need >= {k} rows for k={k} init, got {len(centroids)}")
 
     for _ in range(max_iter):
         assigned = v.select("id", "v", _assign_cid(F.col("v"), centroids).alias("cid"))
@@ -185,3 +191,111 @@ def simplified_silhouette(
         F.count("*").cast("long").alias("n"),
         F.round(F.avg("s"), 8).alias("mean_sil"),
     )
+
+
+def _min_d2_expr(vec, centroids: list[list[float]], round_to: int | None = None):
+    """min_c ||v − c||² over literal centroids — sequential-fold per dim
+    (matches an external engine's list fold), optionally rounded for
+    engine-portable thresholds."""
+    dists = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        dists.append(d)
+    out = F.least(*dists) if len(dists) > 1 else dists[0]
+    return F.round(out, round_to) if round_to is not None else out
+
+
+def parallel_seed_centroids(
+    v: DataFrame,
+    k: int,
+    rounds: int = 3,
+    oversample: int | None = None,
+    local_iters: int = 5,
+    round_to: int = 8,
+) -> list[list[float]]:
+    """k-means|| initialization (Bahmani et al., VLDB'12) — the published
+    scale answer to k-means++'s sequential seeding: instead of k
+    dependent driver round-trips, ``rounds`` (≈ O(log φ), 3–5 suffices)
+    passes each sample ~``oversample`` (default 2k) points INDEPENDENTLY
+    with probability min(1, l·d²(x,C)/φ), then the small weighted
+    candidate set is reduced to k centroids by a driver-local weighted
+    Lloyd.
+
+    Deterministic and engine-portable: the start candidate is the min-id
+    row, the per-round coin is md5(id~round)/2³², and d²/φ/thresholds
+    round to ``round_to``/6 decimals — so reruns, repartitionings, and
+    the DuckDB oracle (q_kmeanspp_round1 mirrors round one) agree
+    exactly. Per round: one map-only scoring pass over the vectors
+    (candidate literals in-plan), a 1-row φ collect, and an O(l)
+    candidate collect — the corpus never reshuffles. The final weighted
+    Lloyd touches only the O(l·rounds) candidates.
+    """
+    l = oversample or 2 * k
+    first = v.orderBy(F.asc("id")).limit(1).collect()
+    if not first:
+        raise ValueError("parallel_seed_centroids: empty input")
+    cands: list[list[float]] = [list(first[0]["v"])]
+    for r in range(rounds):
+        scored = v.select(
+            "id", "v", _min_d2_expr(F.col("v"), cands, round_to).alias("d2")
+        )
+        phi = scored.agg(F.round(F.sum("d2"), 6).alias("s")).collect()[0]["s"]
+        if not phi or phi <= 0.0:
+            break
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "~", F.col("id").cast("string"), F.lit(str(r))
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 32))
+        )
+        thresh = F.round(F.lit(float(l)) * F.col("d2") / F.lit(float(phi)), round_to)
+        picked = scored.filter(u < thresh).orderBy("id").select("v").collect()
+        cands.extend(list(row["v"]) for row in picked)
+    assigned = v.select(_assign_cid(F.col("v"), cands).alias("cid"))
+    wts = {
+        r["cid"]: r["n"]
+        for r in assigned.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    import numpy as np
+
+    C = np.array(cands, dtype=np.float64)
+    w = np.array([wts.get(i, 0) for i in range(len(cands))], dtype=np.float64)
+    if len(cands) < k:
+        raise ValueError(
+            f"k-means|| produced {len(cands)} candidates < k={k}; raise "
+            f"oversample/rounds"
+        )
+    # local init: deterministic weighted farthest-point (the k-means++
+    # shape the paper prescribes for the reduce step — picking the k
+    # heaviest candidates alone can drop a whole cluster when two heavy
+    # candidates land in the same one)
+    chosen = [max(range(len(cands)), key=lambda i: (w[i], -i))]
+    while len(chosen) < k:
+        d2c = ((C[:, None, :] - C[chosen][None, :, :]) ** 2).sum(-1).min(1)
+        gain = w * d2c
+        nxt = max(range(len(cands)), key=lambda i: (gain[i], -i))
+        chosen.append(nxt)
+    cent = C[chosen].copy()
+    for _ in range(local_iters):
+        d = ((C[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            m = (a == j) & (w > 0)
+            if m.any():
+                cent[j] = (C[m] * w[m, None]).sum(0) / w[m].sum()
+    return [[float(x) for x in c] for c in cent]

@@ -6247,6 +6247,53 @@ SELECT id, CAST(ns AS BIGINT) AS n_sentences, n_words, n_syllables,
 FROM agg"""
 
 
+def q_kmeanspp_round1(spark, sf_dir):
+    """First k-means|| oversampling round (operators/kmeans.py
+    parallel_seed_centroids): min-id seed, d² to the seed rounded to 8,
+    φ rounded to 6, md5(id~round)/2³² coin vs the rounded l·d²/φ
+    threshold (l = 16) — the engine-portable sampling kernel; the local
+    weighted-Lloyd reduce is pytest-pinned."""
+    from amanogawa_spark.operators.kmeans import _min_d2_expr
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    first = emb.orderBy(F.asc("id")).limit(1).collect()[0]["v"]
+    scored = emb.select(
+        "id", _min_d2_expr(F.col("v"), [list(first)], 8).alias("d2")
+    )
+    phi = float(
+        scored.agg(F.round(F.sum("d2"), 6).alias("s")).collect()[0]["s"]
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("~", F.col("id").cast("string"), F.lit("0"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    thresh = F.round(F.lit(16.0) * F.col("d2") / F.lit(phi), 8)
+    return scored.filter(u < thresh).select("id", F.col("d2").alias("d2_r"))
+
+
+_KMEANSPP_R1_SQL = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS x FROM embeddings),
+seed AS (SELECT x AS c FROM v ORDER BY id ASC LIMIT 1),
+sc AS MATERIALIZED (SELECT id, ROUND(list_inner_product(x, x)
+  - 2 * list_inner_product(x, c) + list_inner_product(c, c), 8) AS d2
+  FROM v CROSS JOIN seed),
+phi AS (SELECT ROUND(SUM(d2), 6) AS s FROM sc)
+SELECT id, d2 AS d2_r FROM sc CROSS JOIN phi
+WHERE ('0x' || substr(md5(CAST(id AS VARCHAR) || '~0'), 1, 8))::BIGINT
+  / 4294967296.0 < ROUND(16 * d2 / s, 8)"""
+
+
 def q_linkpred_auc(spark, sf_dir):
     """Held-out link-prediction evaluation: md5-hash 20% of canonical
     undirected edges out as test positives, score all wedge candidates
@@ -6868,6 +6915,7 @@ QUERIES = {
     "q_diameter_lb": q_diameter_lb,
     "q_hamming_pairs": q_hamming_pairs,
     "q_linkpred_auc": q_linkpred_auc,
+    "q_kmeanspp_round1": q_kmeanspp_round1,
 }
 
 
@@ -8819,6 +8867,7 @@ FROM n3""",
     "q_diameter_lb": _DIAMETER_LB_SQL,
     "q_hamming_pairs": _hamming_pairs_sql(),
     "q_linkpred_auc": _LINKPRED_AUC_SQL,
+    "q_kmeanspp_round1": _KMEANSPP_R1_SQL,
     **_METRICS_SQL,
 }
 

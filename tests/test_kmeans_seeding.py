@@ -127,3 +127,71 @@ def test_simplified_silhouette_zero_distance_and_ties(spark):
     }
     # id 0: a=0 (cid 0), b=2 -> s=1. id 1: d=(1,1) tie -> cid 0, s=0
     assert got == {0: (2, 0.5)}
+
+
+def _planted(spark, k=4, per=30, dim=6, spread=0.05):
+    import random
+
+    rng = random.Random(42)
+    centers = [[float(10 * (c + 1)) * ((d % k == c) + 0.1) for d in range(dim)] for c in range(k)]
+    rows = []
+    i = 0
+    for c, ctr in enumerate(centers):
+        for _ in range(per):
+            rows.append(
+                (i, [x + rng.uniform(-spread, spread) for x in ctr])
+            )
+            i += 1
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        centers,
+    )
+
+
+def test_parallel_seed_recovers_planted_clusters(spark):
+    import math
+
+    from amanogawa_spark.operators.kmeans import kmeans_centroids
+
+    df, centers = _planted(spark)
+    got = kmeans_centroids(df, k=4, max_iter=8, init="parallel")
+    cents = [list(r["cv"]) for r in got.collect()]
+    assert len(cents) == 4
+    # every planted center has a recovered centroid close to it
+    for ctr in centers:
+        best = min(
+            math.dist(ctr, cv) for cv in cents
+        )
+        assert best < 1.0, (ctr, best)
+
+
+def test_parallel_seed_deterministic_and_invariant(spark):
+    from amanogawa_spark.operators.kmeans import parallel_seed_centroids
+    from pyspark.sql import functions as F
+
+    df, _ = _planted(spark, k=3, per=20)
+    v = df.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = parallel_seed_centroids(v, k=3, rounds=2)
+    b = parallel_seed_centroids(v.repartition(9), k=3, rounds=2)
+    assert a == b
+
+
+def test_parallel_seed_guards(spark):
+    from pyspark.sql import functions as F
+
+    from amanogawa_spark.operators.kmeans import parallel_seed_centroids
+
+    empty = spark.createDataFrame([], "id long, v array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parallel_seed_centroids(empty, k=2)
+    # two identical points: phi hits 0, candidates < k -> loud error
+    two = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0])], "id long, v array<double>"
+    )
+    with _pytest.raises(ValueError):
+        parallel_seed_centroids(two, k=3)
