@@ -181,3 +181,22 @@ def test_analytics_cli_ego(spark, tmp_path, capsys):
     assert meta["rows"] == out.count() > 0
     assert out.agg(F.max("src_hops")).collect()[0][0] <= 2
     assert out.agg(F.max("dst_hops")).collect()[0][0] <= 2
+
+
+def test_analytics_cli_diameter(spark, tmp_path, capsys):
+    from amanogawa_spark.fixtures.pages import generate_pages
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+
+    pages = spark.createDataFrame(generate_pages(n_pages=100, seed=7).pages)
+    v = build_vertices(pages)
+    e = build_edges(pages, v)
+    v.write.mode("overwrite").parquet(str(tmp_path / "g" / "vertices"))
+    e.write.mode("overwrite").parquet(str(tmp_path / "g" / "edges"))
+    g = str(tmp_path / "g")
+
+    meta = _run(
+        ["--graph", g, "--algo", "diameter", "--out", f"{g}/diam"], capsys
+    )
+    assert meta["rows"] == 1
+    row = spark.read.parquet(f"{g}/diam").collect()[0]
+    assert row["diameter_lb"] >= row["ecc_start"] >= 1

@@ -16,7 +16,8 @@ corpus), neighbor_agg (GraphSAGE k-layer mean aggregation; reads
 condensation DAG + longest-path topological levels), local_cluster (ACL
 sweep-cut around ``--graph``/seeds parquet with (id); eps via --tol; a
 query_id seed column switches to the batched multi-query path), ego
-(induced k-hop ego network around ``--graph``/seeds; hops via --k).
+(induced k-hop ego network around ``--graph``/seeds; hops via --k),
+diameter (double-sweep exact lower bound; one summary row).
 """
 
 from __future__ import annotations
@@ -161,6 +162,10 @@ def main() -> None:
         # seeds with a query_id column run the batched multi-query path
         fn = local_cluster_batch if "query_id" in seeds.columns else local_cluster
         out = fn(edges, seeds, eps=args.tol, max_rounds=args.max_iter)
+    elif args.algo == "diameter":
+        from amanogawa_spark.graph.metrics import double_sweep_lower_bound
+
+        out = double_sweep_lower_bound(edges, max_rounds=max(args.max_iter, 64))
     else:
         raise SystemExit(f"unknown --algo {args.algo!r}")
 
