@@ -8872,6 +8872,21 @@ FROM n3""",
 }
 
 
+# Longest-waiting uncertified queries (the round-3 verdict's explicit
+# driver-certification backlog): while uncertified they outrank other
+# never-certified queries in the rotation; once a CORRECTNESS round
+# certifies them the ledger entry retires them from the window naturally.
+_CERT_PRIORITY = {
+    "q_semdedup", "q_bm25_topk", "q_ivfpq_adc", "q_bpe_pairs",
+    "q_bpe_apply3", "q_spinner1", "q_node2vec2", "q_salsa2", "q_coloring2",
+    "q_matching1", "q_landmark_est", "q_exact_quantiles",
+    "q_value_histogram", "q_edge_diff", "q_degree_deltas", "q_diff_summary",
+    "q_anchor_terms", "q_crawl_frontier", "q_containment",
+    "q_remove_dup_spans", "q_dup_representatives", "q_posting_lists",
+    "q_bigram_lm", "q_classifier_scores",
+}
+
+
 def _rotation_order(mapping: dict) -> dict:
     """Reorder a query mapping least-recently-driver-certified-first.
 
@@ -8880,9 +8895,11 @@ def _rotation_order(mapping: dict) -> dict:
     (regenerated by ``tools/update_cert_ledger.py`` from the repo's
     ``CORRECTNESS_r*.json`` artifacts) maps each query to the last round a
     driver row certified it green; queries absent from the ledger sort as
-    round 0 and therefore always land inside the window.  Ties break by
-    name so the order is fully deterministic.  Any future query addition
-    queues automatically — no hand-reordering of the literals above.
+    round 0 and therefore always land inside the window — with the
+    ``_CERT_PRIORITY`` backlog ahead of other uncertified queries, then
+    name order, so the rotation is fully deterministic.  Any future query
+    addition queues automatically — no hand-reordering of the literals
+    above.
     """
     import json
     from pathlib import Path
@@ -8892,7 +8909,16 @@ def _rotation_order(mapping: dict) -> dict:
         ledger = json.loads(ledger_path.read_text())
     except (OSError, ValueError):
         ledger = {}
-    return dict(sorted(mapping.items(), key=lambda kv: (ledger.get(kv[0], 0), kv[0])))
+    return dict(
+        sorted(
+            mapping.items(),
+            key=lambda kv: (
+                ledger.get(kv[0], 0),
+                kv[0] not in _CERT_PRIORITY,
+                kv[0],
+            ),
+        )
+    )
 
 
 ORACLE_SQL["q_ann_recall"] = (
