@@ -1318,3 +1318,86 @@ def hamming_neardup(
         "b",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("distance"),
     ).filter(F.col("distance") <= max_distance)
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_count: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus-wide exact line-level dedup (the C4/Dolma line-dedup step):
+    every line whose (normalized) form occurs >= ``min_count`` times across
+    the WHOLE corpus is removed from every document except its first
+    occurrence — the smallest ``(id, line_no)`` — and each document's text
+    is reassembled from its surviving lines.
+
+    Returns ``(id, clean_text, n_lines, n_removed)`` — one row per input
+    document (documents that lose every line come back with
+    ``clean_text=''``).
+
+    Complements :func:`remove_duplicated_spans` (token n-gram spans): the
+    unit here is a whole delimiter-bounded line, the keep-first contract
+    preserves one canonical occurrence corpus-wide (span removal cuts ALL
+    occurrences), and boilerplate lines (nav bars, cookie banners) are the
+    target. The reference engine has no dedup beyond `to_graph`'s edge
+    dedup (to_graph.cpp:82-86); this is the training-data-pipeline
+    extension demanded at 100 TB.
+
+    Scale: two shuffles — one hash aggregate keyed on a 128-bit line
+    fingerprint (same two-halves construction as :func:`exact_duplicates`;
+    the grouping key is the hash, never the line bytes, so hub lines cost
+    16 bytes of key), and one reassembly aggregate keyed on ``id``. The
+    first-occurrence argmin rides the line aggregate as a min-struct, so
+    no window over the corpus and no driver collect anywhere.
+    """
+    line_raw = F.col("__line")
+    line_key = normalized_text(line_raw) if normalize else line_raw
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias(
+            "line_no", "__line"
+        ),
+    ).select(
+        "id",
+        "line_no",
+        line_raw.alias("line"),
+        F.struct(
+            F.xxhash64(F.lit(1), line_key).alias("h1"),
+            F.xxhash64(F.lit(2), line_key).alias("h2"),
+        ).alias("lk"),
+    )
+    occ = lines.groupBy("lk").agg(
+        F.min(F.struct("id", "line_no")).alias("first_occ"),
+        F.count("*").alias("cnt"),
+    )
+    kept = (
+        lines.join(occ, "lk")
+        .filter(
+            (F.col("cnt") < F.lit(min_count))
+            | (
+                (F.col("first_occ.id") == F.col("id"))
+                & (F.col("first_occ.line_no") == F.col("line_no"))
+            )
+        )
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                delimiter,
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    return totals.join(kept, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

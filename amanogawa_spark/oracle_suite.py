@@ -8937,3 +8937,58 @@ ORACLE_SQL["q_ann_recall"] = (
 
 QUERIES = _rotation_order(QUERIES)
 ORACLE_SQL = _rotation_order(ORACLE_SQL)
+
+
+# --- round-4 tenth-session additions -------------------------------------
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide exact line-level dedup (operators/dedup.py line_dedup):
+    documents are re-lined into 2-token pseudo-lines (the word-soup corpus
+    has no newlines), then every line repeated anywhere in the corpus is
+    dropped except its first (min (doc_id, line_no)) occurrence and the
+    text reassembled. Value-checks clean_text, n_lines, n_removed."""
+    from amanogawa_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.split(_norm_text_col(), " ")
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(2)).cast("long") - F.lit(1),
+                ),
+                lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup(lined, delimiter="\n", min_count=2)
+
+
+_LINE_DEDUP_SQL = f"""
+WITH base AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks
+  FROM documents WHERE doc_id < 300),
+chunks AS (SELECT id, i AS line_no,
+    array_to_string(list_slice(toks, 2 * i + 1, 2 * i + 2), ' ') AS line
+  FROM base, LATERAL unnest(range(0, CAST(ceil(len(toks) / 2.0) AS BIGINT))) AS t(i)),
+marked AS (SELECT id, line_no, line,
+    ROW_NUMBER() OVER (PARTITION BY line ORDER BY id, line_no) AS rn,
+    COUNT(*) OVER (PARTITION BY line) AS cnt FROM chunks),
+kept AS (SELECT id, line_no, line FROM marked WHERE cnt < 2 OR rn = 1),
+reb AS (SELECT id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+    COUNT(*) AS n_kept FROM kept GROUP BY id),
+tot AS (SELECT id, COUNT(*) AS n_lines FROM chunks GROUP BY id)
+SELECT tot.id AS doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+  CAST(tot.n_lines AS BIGINT) AS n_lines,
+  CAST(tot.n_lines - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot LEFT JOIN reb ON tot.id = reb.id"""
+
+
+QUERIES["q_line_dedup"] = q_line_dedup
+ORACLE_SQL["q_line_dedup"] = _LINE_DEDUP_SQL
+
+QUERIES = _rotation_order(QUERIES)
+ORACLE_SQL = _rotation_order(ORACLE_SQL)

@@ -299,3 +299,51 @@ def test_select_representatives_keeps_best_scored(spark):
     )  # id 7 unscored -> ranks last in its cluster
     got = {r["id"]: r["keep"] for r in select_representatives(clusters, scores).collect()}
     assert got == {1: False, 2: True, 3: False, 7: False, 8: True}
+
+
+def test_line_dedup_keep_first_occurrence(spark):
+    from amanogawa_spark.operators.dedup import line_dedup
+
+    docs = [
+        (1, "alpha\nCOMMON LINE\nbeta"),
+        (2, "common line\ngamma\ncommon line"),
+        (3, "delta\ncommon   LINE"),
+        (4, "unique only"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: tuple(r)[1:] for r in line_dedup(df).collect()}
+    # "common line" (normalized) occurs 4x; only the first (doc 1, line 1)
+    # survives, with its ORIGINAL bytes — dedup keys on normalized text but
+    # emits the raw line
+    assert got[1] == ("alpha\nCOMMON LINE\nbeta", 3, 0)
+    assert got[2] == ("gamma", 3, 2)
+    assert got[3] == ("delta", 2, 1)
+    assert got[4] == ("unique only", 1, 0)
+
+
+def test_line_dedup_full_removal_and_min_count(spark):
+    from amanogawa_spark.operators.dedup import line_dedup
+
+    docs = [(0, "x\ny"), (1, "x\ny"), (2, "x\ny")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: tuple(r)[1:] for r in line_dedup(df).collect()}
+    # doc 0 holds both first occurrences; docs 1-2 lose every line but
+    # still come back as rows with empty text
+    assert got[0] == ("x\ny", 2, 0)
+    assert got[1] == ("", 2, 2) and got[2] == ("", 2, 2)
+    # min_count=4: three occurrences are below the removal threshold
+    kept_all = {r["doc_id"]: r["n_removed"] for r in line_dedup(df, min_count=4).collect()}
+    assert kept_all == {0: 0, 1: 0, 2: 0}
+
+
+def test_line_dedup_repartition_invariant(spark):
+    from amanogawa_spark.operators.dedup import line_dedup
+
+    docs = [(i, f"shared line\nuniq {i}\nshared line") for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = sorted(tuple(r) for r in line_dedup(df).collect())
+    b = sorted(tuple(r) for r in line_dedup(df.repartition(7, "text")).collect())
+    assert a == b
+    # exactly one "shared line" survives corpus-wide (doc 0 had the min id)
+    survivors = [r for r in a if "shared line" in r[1]]
+    assert len(survivors) == 1 and survivors[0][0] == 0
