@@ -8990,5 +8990,25 @@ FROM tot LEFT JOIN reb ON tot.id = reb.id"""
 QUERIES["q_line_dedup"] = q_line_dedup
 ORACLE_SQL["q_line_dedup"] = _LINE_DEDUP_SQL
 
+
+def q_rmat_edges(spark, sf_dir):
+    """Deterministic distributed R-MAT generation (graph/generate.py
+    rmat_edges, md5 hash family): 256 edges over 64 vertices at scale=6 —
+    every quadrant draw mirrors bit-for-bit in SQL, so the whole edge
+    table value-checks. The zero-input generator behind scale rehearsals."""
+    from amanogawa_spark.graph.generate import rmat_edges
+
+    return rmat_edges(spark, scale=6, edge_factor=4, seed=11, hash="md5")
+
+
+def _rmat_sql_q():
+    from amanogawa_spark.graph.generate import rmat_sql
+
+    return rmat_sql(6, 4, seed=11)
+
+
+QUERIES["q_rmat_edges"] = q_rmat_edges
+ORACLE_SQL["q_rmat_edges"] = _rmat_sql_q()
+
 QUERIES = _rotation_order(QUERIES)
 ORACLE_SQL = _rotation_order(ORACLE_SQL)
