@@ -9010,5 +9010,68 @@ def _rmat_sql_q():
 QUERIES["q_rmat_edges"] = q_rmat_edges
 ORACLE_SQL["q_rmat_edges"] = _rmat_sql_q()
 
+
+def q_mc_pagerank(spark, sf_dir):
+    """Monte-Carlo complete-path PageRank (graph/montecarlo.py,
+    Avrachenkov et al. 2007): 2 geometric walks per vertex, 3-step cap,
+    md5 coins — visit counts AND the scaled rank estimate value-check
+    against an unrolled SQL replay of every coin and neighbor draw."""
+    from amanogawa_spark.graph.montecarlo import pagerank_montecarlo
+
+    e = derived_edges(spark, sf_dir, 200)
+    out = pagerank_montecarlo(
+        e, alpha=0.85, walks_per_vertex=2, max_len=3, hash="md5"
+    )
+    return out.select("id", "visits", F.round("pr_est", 8).alias("pr_est_r"))
+
+
+def _mc_pagerank_sql(m: int = 200, length: int = 3, wpv: int = 2, alpha: float = 0.85) -> str:
+    vals = ", ".join(f"({i})" for i in range(wpv))
+
+    def coin(k: int) -> str:
+        return (
+            f"((('0x' || substr(md5(start_id::VARCHAR || '~' || "
+            f"walk_no::VARCHAR || '~{k}~stop'), 1, 8))::BIGINT + 0.5) "
+            f"/ 4294967296.0) < CAST({alpha} AS DOUBLE)"
+        )
+
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT l_orderkey % {m} AS src_id, "
+        f"l_partkey % {m} AS dst_id FROM lineitem "
+        f"WHERE l_orderkey % {m} <> l_partkey % {m})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM ("
+        "SELECT src_id AS id FROM edges UNION ALL SELECT dst_id FROM edges))",
+        "s0 AS MATERIALIZED (SELECT id AS start_id, walk_no, id AS v "
+        f"FROM verts CROSS JOIN (VALUES {vals}) wn(walk_no))",
+    ]
+    for k in range(1, length + 1):
+        parts.append(
+            f"a{k} AS (SELECT start_id, walk_no, v FROM s{k - 1} WHERE {coin(k)})"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT start_id, walk_no, v FROM ("
+            f"SELECT w.start_id, w.walk_no, e.dst_id AS v, ROW_NUMBER() OVER ("
+            f"PARTITION BY w.start_id, w.walk_no ORDER BY "
+            f"md5(w.start_id::VARCHAR || '~' || w.walk_no::VARCHAR || '~{k}~' || e.dst_id::VARCHAR) ASC, "
+            f"e.dst_id ASC) AS rn "
+            f"FROM a{k} w JOIN edges e ON w.v = e.src_id) WHERE rn = 1)"
+        )
+    visits = " UNION ALL ".join(f"SELECT v FROM s{k}" for k in range(length + 1))
+    return (
+        ",\n".join(parts)
+        + f",\nvisits AS (SELECT v FROM ({visits})),"
+        + "\ncnt AS (SELECT v, COUNT(*) AS visits FROM visits GROUP BY v),"
+        + "\nnn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)"
+        + "\nSELECT verts.id, CAST(COALESCE(cnt.visits, 0) AS BIGINT) AS visits, "
+        + f"ROUND(CAST(COALESCE(cnt.visits, 0) AS BIGINT) * "
+        + f"((CAST(1.0 AS DOUBLE) - CAST({alpha} AS DOUBLE)) / "
+        + f"((SELECT n FROM nn) * CAST({wpv} AS DOUBLE))), 8) AS pr_est_r "
+        + "FROM verts LEFT JOIN cnt ON verts.id = cnt.v"
+    )
+
+
+QUERIES["q_mc_pagerank"] = q_mc_pagerank
+ORACLE_SQL["q_mc_pagerank"] = _mc_pagerank_sql()
+
 QUERIES = _rotation_order(QUERIES)
 ORACLE_SQL = _rotation_order(ORACLE_SQL)
