@@ -340,3 +340,63 @@ def bpe_reference_train(
         merges.append((a, b))
         vocab = {w: _merge_pass(s, a, b) for w, s in vocab.items()}
     return merges
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Tokenizer evaluation: per-group (e.g. per-``lang``) fertility —
+    subword tokens emitted per whitespace word — plus chars-per-token.
+
+    The standard multilingual-tokenizer diagnostic (a BPE vocabulary
+    trained on one language segments others into many more pieces, which
+    directly inflates their training/serving token cost), reported as
+    (group, n_words, n_tokens, n_chars, fertility_r, chars_per_token_r).
+
+    Scale: one corpus pass produces (group, word, cnt); the merge list is
+    then applied to the DISTINCT word table only (Zipf: distinct words are
+    orders of magnitude smaller than occurrences) and joined back — the
+    corpus text is never re-encoded per group, and the final result is
+    O(groups) rows from one map-side-combined aggregate.
+    """
+    grp = (F.col(group_col) if group_col else F.lit("all")).alias("grp")
+    words = (
+        docs.select(
+            grp,
+            F.explode(
+                F.split(
+                    F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
+                    " ",
+                )
+            ).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("grp", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    distinct_words = words.select("word").distinct().withColumn("cnt", F.lit(1))
+    enc = apply_merges(to_symbols(distinct_words), merges).select(
+        "word",
+        F.size("syms").alias("n_sub"),
+        F.length("word").alias("n_chars_w"),
+    )
+    agg = (
+        words.join(enc, "word")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("n_chars_w")).alias("n_chars"),
+        )
+    )
+    return agg.select(
+        F.col("grp").alias(group_col or "grp"),
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens") / F.col("n_words"), 8).alias("fertility_r"),
+        F.round(F.col("n_chars") / F.col("n_tokens"), 8).alias("chars_per_token_r"),
+    )

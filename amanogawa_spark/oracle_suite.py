@@ -9073,5 +9073,39 @@ def _mc_pagerank_sql(m: int = 200, length: int = 3, wpv: int = 2, alpha: float =
 QUERIES["q_mc_pagerank"] = q_mc_pagerank
 ORACLE_SQL["q_mc_pagerank"] = _mc_pagerank_sql()
 
+
+def q_tok_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility + chars-per-token (operators/
+    bpe.py tokenizer_fertility) under the 3 fixed replace-equivalent
+    merges — the multilingual tokenizer-cost diagnostic."""
+    from amanogawa_spark.operators.bpe import tokenizer_fertility
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return tokenizer_fertility(docs, _BPE_MERGES3, group_col="lang")
+
+
+_TOK_FERTILITY_SQL = f"""
+WITH base AS (SELECT lang, {_NORM} AS norm FROM documents WHERE doc_id < 150),
+tok AS (SELECT lang, unnest(string_split(norm, ' ')) AS word FROM base),
+wc AS (SELECT lang, word, COUNT(*) AS cnt FROM tok
+  WHERE length(word) > 0 GROUP BY lang, word),
+dw AS (SELECT DISTINCT word FROM wc),
+spaced AS (SELECT word, ' ' || array_to_string(
+    list_transform(range(length(word)), i -> substr(word, CAST(i + 1 AS INT), 1)),
+    ' ') || ' ' AS s FROM dw),
+enc AS (SELECT word, len(string_split(trim(replace(replace(replace(s,
+    ' s p ', ' sp '), ' sp a ', ' spa '), ' a r ', ' ar ')), ' ')) AS n_sub,
+  length(word) AS n_chars_w FROM spaced)
+SELECT wc.lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+  CAST(SUM(cnt * n_sub) AS BIGINT) AS n_tokens,
+  CAST(SUM(cnt * n_chars_w) AS BIGINT) AS n_chars,
+  ROUND(CAST(SUM(cnt * n_sub) AS BIGINT) / CAST(SUM(cnt) AS DOUBLE), 8) AS fertility_r,
+  ROUND(CAST(SUM(cnt * n_chars_w) AS BIGINT) / CAST(SUM(cnt * n_sub) AS DOUBLE), 8) AS chars_per_token_r
+FROM wc JOIN enc USING (word) GROUP BY wc.lang"""
+
+
+QUERIES["q_tok_fertility"] = q_tok_fertility
+ORACLE_SQL["q_tok_fertility"] = _TOK_FERTILITY_SQL
+
 QUERIES = _rotation_order(QUERIES)
 ORACLE_SQL = _rotation_order(ORACLE_SQL)

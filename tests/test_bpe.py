@@ -132,3 +132,29 @@ def test_bpe_train_local_32k_merges_fast():
     dt = time.time() - t0
     assert len(merges) > 5_000  # vocabulary yields many thousand merges
     assert dt < 120, f"local merge loop too slow: {dt:.1f}s"
+
+
+def test_tokenizer_fertility_hand_mirror(spark):
+    from amanogawa_spark.operators.bpe import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "spar spar ar"),
+            (1, "en", "par"),
+            (2, "ja", "sp sp sp"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    merges = [("s", "p"), ("sp", "a"), ("a", "r")]
+    got = {r["lang"]: tuple(r)[1:] for r in tokenizer_fertility(docs, merges, group_col="lang").collect()}
+    # en: "spar" -> [spa, r] (2 subwords) x2 words, "ar" -> [ar] (1), "par" -> [p, ar] (2)
+    #     words=4, tokens=2+2+1+2=7, chars=4+4+2+3=13
+    assert got["en"][:3] == (4, 7, 13)
+    assert abs(got["en"][3] - round(7 / 4, 8)) < 1e-9
+    assert abs(got["en"][4] - round(13 / 7, 8)) < 1e-9
+    # ja: "sp" -> [sp] once per word: words=3, tokens=3, chars=6
+    assert got["ja"][:3] == (3, 3, 6)
+    # corpus-level (no group): one row labelled 'all'
+    allrow = tokenizer_fertility(docs, merges).collect()
+    assert len(allrow) == 1 and allrow[0]["grp"] == "all"
+    assert allrow[0]["n_words"] == 7 and allrow[0]["n_tokens"] == 10
