@@ -9107,5 +9107,64 @@ FROM wc JOIN enc USING (word) GROUP BY wc.lang"""
 QUERIES["q_tok_fertility"] = q_tok_fertility
 ORACLE_SQL["q_tok_fertility"] = _TOK_FERTILITY_SQL
 
+
+def q_ranking_eval(spark, sf_dir):
+    """Per-query graded retrieval eval (operators/ranking.py
+    ranking_metrics): NDCG@10 / MRR@10 / P@10 / R@10 with per-lang
+    candidate lists scored by n_chars and modulo-derived graded qrels."""
+    from amanogawa_spark.operators.ranking import ranking_metrics
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    results = docs.select(
+        F.col("lang").alias("query_id"),
+        F.col("doc_id"),
+        F.col("n_chars").cast("double").alias("score"),
+    )
+    qrels = docs.filter(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 3 == 0)
+    ).select(
+        F.col("lang").alias("query_id"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0, 2).otherwise(1).alias("rel"),
+    )
+    return ranking_metrics(results, qrels, k=10)
+
+
+_RANKING_EVAL_SQL = """
+WITH res AS (SELECT lang AS q, doc_id AS d, CAST(n_chars AS DOUBLE) AS s
+  FROM documents WHERE doc_id < 400),
+qr AS (SELECT lang AS q, doc_id AS d,
+    CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS DOUBLE) AS rel
+  FROM documents WHERE doc_id < 400 AND (doc_id % 7 = 0 OR doc_id % 3 = 0)),
+top AS (SELECT q, d, rank FROM (
+    SELECT q, d, ROW_NUMBER() OVER (PARTITION BY q ORDER BY s DESC, d ASC) AS rank
+    FROM res) WHERE rank <= 10),
+hits AS (SELECT t.q, t.rank, COALESCE(qr.rel, CAST(0.0 AS DOUBLE)) AS rel
+  FROM top t LEFT JOIN qr ON t.q = qr.q AND t.d = qr.d),
+got AS (SELECT q,
+    SUM((power(CAST(2.0 AS DOUBLE), rel) - 1.0)
+        / log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg,
+    MAX(CASE WHEN rel >= 1.0 THEN CAST(1.0 AS DOUBLE) / rank ELSE CAST(0.0 AS DOUBLE) END) AS mrr,
+    SUM(CASE WHEN rel >= 1.0 THEN 1 ELSE 0 END) AS n_hit
+  FROM hits GROUP BY q),
+ideal AS (SELECT q,
+    SUM(CASE WHEN irank <= 10 THEN (power(CAST(2.0 AS DOUBLE), rel) - 1.0)
+        / log2(CAST(irank AS DOUBLE) + 1.0) ELSE CAST(0.0 AS DOUBLE) END) AS idcg,
+    COUNT(*) AS n_rel
+  FROM (SELECT q, d, rel, ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, d ASC) AS irank
+        FROM qr) GROUP BY q)
+SELECT got.q AS query_id,
+  ROUND(CASE WHEN COALESCE(ideal.idcg, CAST(0.0 AS DOUBLE)) > 0.0
+    THEN got.dcg / ideal.idcg ELSE CAST(0.0 AS DOUBLE) END, 8) AS ndcg_r,
+  ROUND(got.mrr, 8) AS mrr_r,
+  ROUND(got.n_hit / CAST(10.0 AS DOUBLE), 8) AS precision_r,
+  ROUND(CASE WHEN COALESCE(ideal.n_rel, 0) > 0
+    THEN got.n_hit / CAST(ideal.n_rel AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 8) AS recall_r
+FROM got LEFT JOIN ideal ON got.q = ideal.q"""
+
+
+QUERIES["q_ranking_eval"] = q_ranking_eval
+ORACLE_SQL["q_ranking_eval"] = _RANKING_EVAL_SQL
+
 QUERIES = _rotation_order(QUERIES)
 ORACLE_SQL = _rotation_order(ORACLE_SQL)
