@@ -9166,5 +9166,77 @@ FROM got LEFT JOIN ideal ON got.q = ideal.q"""
 QUERIES["q_ranking_eval"] = q_ranking_eval
 ORACLE_SQL["q_ranking_eval"] = _RANKING_EVAL_SQL
 
+
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov distance (operators/drift.py
+    ks_statistic) between the doc-length distributions of two snapshot
+    halves — the recrawl distribution-drift alarm."""
+    from amanogawa_spark.operators.drift import ks_statistic
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") < 250)
+    b = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 500))
+    return ks_statistic(a, b, "n_chars")
+
+
+_KS_DRIFT_SQL = """
+WITH g AS (SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+    SELECT n_chars AS v, 1 AS ca, 0 AS cb FROM documents
+      WHERE doc_id < 250 AND n_chars IS NOT NULL
+    UNION ALL
+    SELECT n_chars AS v, 0, 1 FROM documents
+      WHERE doc_id >= 250 AND doc_id < 500 AND n_chars IS NOT NULL
+  ) GROUP BY v),
+tot AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb FROM g),
+c AS (SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb FROM g)
+SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+  CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+  ROUND(MAX(ABS(cca / (SELECT na FROM tot) - ccb / (SELECT nb FROM tot))), 8) AS ks_r
+FROM c"""
+
+
+def q_psi_drift(spark, sf_dir):
+    """Per-bin Population Stability Index decomposition (operators/
+    drift.py psi_bins) on the same snapshot halves, fixed length-grid
+    breaks + Laplace smoothing — WHERE the length distribution moved."""
+    from amanogawa_spark.operators.drift import psi_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") < 250)
+    b = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 500))
+    return psi_bins(a, b, "n_chars", breaks=[150.0, 250.0, 350.0, 450.0])
+
+
+def _psi_sql() -> str:
+    breaks = [150.0, 250.0, 350.0, 450.0]
+    n_bins = len(breaks) + 1
+    bin_expr = " + ".join(
+        f"(CASE WHEN n_chars >= {t} THEN 1 ELSE 0 END)" for t in breaks
+    )
+    side = (
+        "SELECT ({be}) AS bin, COUNT(*) AS n FROM documents "
+        "WHERE {pred} AND n_chars IS NOT NULL GROUP BY 1"
+    )
+    return f"""
+WITH sa AS ({side.format(be=bin_expr, pred='doc_id < 250')}),
+sb AS ({side.format(be=bin_expr, pred='doc_id >= 250 AND doc_id < 500')}),
+grid AS (SELECT CAST(unnest(range({n_bins})) AS INT) AS bin),
+j AS (SELECT grid.bin, COALESCE(sa.n, 0) AS n_a, COALESCE(sb.n, 0) AS n_b
+  FROM grid LEFT JOIN sa ON grid.bin = sa.bin LEFT JOIN sb ON grid.bin = sb.bin),
+tot AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb FROM j)
+SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  ROUND(((CAST(n_a AS DOUBLE) + CAST(0.5 AS DOUBLE)) / ((SELECT ta FROM tot) + CAST({0.5 * n_bins} AS DOUBLE))
+    - (CAST(n_b AS DOUBLE) + CAST(0.5 AS DOUBLE)) / ((SELECT tb FROM tot) + CAST({0.5 * n_bins} AS DOUBLE)))
+    * ln(((CAST(n_a AS DOUBLE) + CAST(0.5 AS DOUBLE)) / ((SELECT ta FROM tot) + CAST({0.5 * n_bins} AS DOUBLE)))
+       / ((CAST(n_b AS DOUBLE) + CAST(0.5 AS DOUBLE)) / ((SELECT tb FROM tot) + CAST({0.5 * n_bins} AS DOUBLE)))), 8) AS psi_term_r
+FROM j"""
+
+
+QUERIES["q_ks_drift"] = q_ks_drift
+ORACLE_SQL["q_ks_drift"] = _KS_DRIFT_SQL
+QUERIES["q_psi_drift"] = q_psi_drift
+ORACLE_SQL["q_psi_drift"] = _psi_sql()
+
 QUERIES = _rotation_order(QUERIES)
 ORACLE_SQL = _rotation_order(ORACLE_SQL)
