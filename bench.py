@@ -606,6 +606,43 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     rnd_lbl.unpersist()
     cpart["labels"].unpersist()
 
+    # --- round-4 tenth-session probes: zero-input generation + MC ranks ----
+    # R-MAT generation rate: the zero-input scale fixture — one
+    # whole-stage-codegen projection, no shuffle, no scan; this is the
+    # per-core edge-synthesis floor for 10^12-edge rehearsals.
+    from amanogawa_spark.graph.generate import rmat_edges
+
+    rmat = {}
+
+    def _rmat():
+        df = rmat_edges(spark, scale=21, edge_factor=16)  # 33.5M edges
+        rmat["edges"] = df.count()
+
+    results["rmat_generate"] = _timed_med("rmat_generate", _rmat)
+    results["rmat_edges_per_sec"] = round(rmat["edges"] / results["rmat_generate"], 2)
+
+    # Monte-Carlo PageRank (graph/montecarlo.py): barrier-free approximate
+    # ranks on the converge-probe graph; quality = top-50 overlap vs the
+    # 1e-6-converged vector. Total work is n·R/(1-α) visits REGARDLESS of
+    # iteration count — the sandbox wall is round-barrier latency, which
+    # amortizes at cluster scale.
+    from amanogawa_spark.graph.montecarlo import pagerank_montecarlo
+
+    mc = {}
+
+    def _mc():
+        est = pagerank_montecarlo(edges, walks_per_vertex=4, max_len=16)
+        mc["top"] = {
+            r["id"] for r in est.orderBy(F.desc("pr_est")).limit(50).collect()
+        }
+
+    results["mc_pagerank"] = _timed(_mc)
+    exact_top = {
+        r["id"]
+        for r in pr_res["ranks"].orderBy(F.desc("rank")).limit(50).collect()
+    }
+    results["mc_top50_overlap_metric"] = round(len(mc["top"] & exact_top) / 50.0, 4)
+
     # --- end-to-end curation superjob (tools/run_curation_job.py) on the
     # locality corpus: extract → exact+MinHash dedup → graph → PageRank
     # (capped at 15 iterations so the row is cross-round comparable) →
