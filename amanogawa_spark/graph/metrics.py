@@ -243,3 +243,59 @@ def double_sweep_lower_bound(
         [(start, ecc_start, far, lb)],
         "start_id long, ecc_start long, far_id long, diameter_lb long",
     )
+
+
+def concentration_profile(
+    scores: DataFrame,
+    score_col: str = "score",
+    id_col: str = "id",
+) -> DataFrame:
+    """One row (n, gini_r, top1pct_share_r, top10pct_share_r) — inequality
+    of a non-negative per-vertex quantity (degree, PageRank mass, crawl
+    budget): the Gini coefficient plus the share held by the top 1% / 10%.
+
+    The standard webgraph concentration summary (rank mass and in-degree
+    are famously Zipf-concentrated; a sudden Gini shift between crawls
+    flags spam farms or extraction regressions — pairs with
+    ``operators/drift.py`` and :func:`powerlaw_alpha`).
+
+    Gini via the sorted-index identity ``G = 2·Σ i·x_(i) / (n·Σx)
+    − (n+1)/n`` with ascending index ``i = n − pos`` taken from the
+    range-partitioned two-pass ranker (:func:`amanogawa_spark.graph.
+    rankcorr.rank_positions` — no single-partition window, no driver-side
+    value collect; the only driver scalar is ``n``).
+    """
+    import math
+
+    from amanogawa_spark.graph.rankcorr import rank_positions
+
+    vals = scores.select(
+        F.col(id_col).alias("id"), F.col(score_col).cast("double").alias("x")
+    )
+    pos = rank_positions(vals, "x", "id")
+    j = vals.join(pos, "id")
+    n = j.count()
+    if n == 0:
+        return scores.sparkSession.createDataFrame(
+            [(0, float("nan"), float("nan"), float("nan"))],
+            "n long, gini_r double, top1pct_share_r double, top10pct_share_r double",
+        )
+    k1 = math.ceil(0.01 * float(n))
+    k10 = math.ceil(0.10 * float(n))
+    nf = float(n)
+    agg = j.agg(
+        F.sum("x").alias("tot"),
+        F.sum((F.lit(nf) - F.col("pos")) * F.col("x")).alias("s"),
+        F.sum(F.when(F.col("pos") < F.lit(k1), F.col("x")).otherwise(0.0)).alias("s1"),
+        F.sum(F.when(F.col("pos") < F.lit(k10), F.col("x")).otherwise(0.0)).alias("s10"),
+    )
+    return agg.select(
+        F.lit(n).cast("long").alias("n"),
+        F.round(
+            F.lit(2.0) * F.col("s") / (F.lit(nf) * F.col("tot"))
+            - (F.lit(nf) + F.lit(1.0)) / F.lit(nf),
+            8,
+        ).alias("gini_r"),
+        F.round(F.col("s1") / F.col("tot"), 8).alias("top1pct_share_r"),
+        F.round(F.col("s10") / F.col("tot"), 8).alias("top10pct_share_r"),
+    )

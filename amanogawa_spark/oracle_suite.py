@@ -9238,5 +9238,36 @@ ORACLE_SQL["q_ks_drift"] = _KS_DRIFT_SQL
 QUERIES["q_psi_drift"] = q_psi_drift
 ORACLE_SQL["q_psi_drift"] = _psi_sql()
 
+
+def q_degree_gini(spark, sf_dir):
+    """Out-degree concentration profile (graph/metrics.py
+    concentration_profile): Gini + top-1%/10% degree share on the derived
+    graph — the webgraph inequality summary."""
+    from amanogawa_spark.graph.metrics import concentration_profile
+
+    e = derived_edges(spark, sf_dir)
+    deg = e.groupBy("src_id").agg(F.count("*").cast("double").alias("score"))
+    return concentration_profile(deg, "score", "src_id")
+
+
+_DEGREE_GINI_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+deg AS (SELECT src_id AS id, CAST(COUNT(*) AS DOUBLE) AS x FROM edges GROUP BY src_id),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, id ASC) - 1 AS pos FROM deg),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nf, COUNT(*) AS n FROM deg)
+SELECT (SELECT n FROM nn) AS n,
+  ROUND(CAST(2.0 AS DOUBLE) * SUM(((SELECT nf FROM nn) - pos) * x)
+      / ((SELECT nf FROM nn) * SUM(x))
+    - ((SELECT nf FROM nn) + CAST(1.0 AS DOUBLE)) / (SELECT nf FROM nn), 8) AS gini_r,
+  ROUND(SUM(CASE WHEN pos < CEIL(CAST(0.01 AS DOUBLE) * (SELECT nf FROM nn))
+      THEN x ELSE CAST(0.0 AS DOUBLE) END) / SUM(x), 8) AS top1pct_share_r,
+  ROUND(SUM(CASE WHEN pos < CEIL(CAST(0.10 AS DOUBLE) * (SELECT nf FROM nn))
+      THEN x ELSE CAST(0.0 AS DOUBLE) END) / SUM(x), 8) AS top10pct_share_r
+FROM r"""
+
+
+QUERIES["q_degree_gini"] = q_degree_gini
+ORACLE_SQL["q_degree_gini"] = _DEGREE_GINI_SQL
+
 QUERIES = _rotation_order(QUERIES)
 ORACLE_SQL = _rotation_order(ORACLE_SQL)

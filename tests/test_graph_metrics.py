@@ -172,3 +172,29 @@ def test_double_sweep_directed_and_component_scope(spark):
     r2 = double_sweep_lower_bound(e, undirected=False).collect()[0]
     assert r2["far_id"] == 3
     assert r2["diameter_lb"] == 3
+
+
+def test_concentration_profile_gini(spark):
+    from amanogawa_spark.graph.metrics import concentration_profile
+
+    # uniform distribution -> Gini 0, each decile holds 10%
+    uni = spark.createDataFrame([(i, 5.0) for i in range(100)], ["id", "score"])
+    row = concentration_profile(uni).collect()[0]
+    assert row["n"] == 100
+    assert abs(row["gini_r"]) < 1e-9
+    assert abs(row["top10pct_share_r"] - 0.10) < 1e-9
+
+    # one vertex holds everything -> Gini = (n-1)/n, top shares = 1
+    spike = spark.createDataFrame(
+        [(0, 50.0)] + [(i, 0.0) for i in range(1, 10)], ["id", "score"]
+    )
+    row = concentration_profile(spike).collect()[0]
+    assert abs(row["gini_r"] - 0.9) < 1e-8
+    assert row["top1pct_share_r"] == 1.0 and row["top10pct_share_r"] == 1.0
+
+    # hand-computed small case: x = [1,2,3,4] ascending
+    # G = 2*(1*1+2*2+3*3+4*4)/(4*10) - 5/4 = 60/40 - 1.25 = 0.25
+    h = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)], ["id", "score"]
+    )
+    assert abs(concentration_profile(h).collect()[0]["gini_r"] - 0.25) < 1e-8
