@@ -44,6 +44,8 @@ operators, declaratively reachable): ``type="sample"`` (``method=
 (``url_column``, ``wildcard_min_distinct``, ``max_depth``,
 ``aggregate``), ``type="cdc_dedup"`` (``window``, ``modulus``,
 ``hash``, ``max_dup_frac`` — set to keep-filter instead of profiling),
+``type="line_dedup"`` (corpus-wide keep-first line dedup: ``delimiter``,
+``min_count``; text column replaced by the cleaned text),
 ``type="topics"`` (PLSA: ``k``, ``iterations``, ``dominant`` — emit the
 per-doc argmax topic label instead of the full mixture),
 ``type="unigram_encode"`` (train + Viterbi-encode the unigram-LM
@@ -228,6 +230,24 @@ def _flow_fn(spec: dict):
         from amanogawa_spark.operators.dedup import dedup_exact
 
         return lambda df: dedup_exact(df, id_col=id_col, text_col=col)
+    if t == "line_dedup":
+        from amanogawa_spark.operators.dedup import line_dedup
+
+        ld_id = spec.get("id_column", "doc_id")
+        ld_col = spec.get("column", "text")
+        ld_delim = spec.get("delimiter", "\n")
+        ld_min = int(spec.get("min_count", 2))
+
+        def _line_dedup(df):
+            cleaned = line_dedup(
+                df, id_col=ld_id, text_col=ld_col,
+                delimiter=ld_delim, min_count=ld_min,
+            )
+            return df.drop(ld_col).join(
+                cleaned.select(ld_id, F.col("clean_text").alias(ld_col)), ld_id
+            )
+
+        return _line_dedup
     if t == "tfidf":
         from amanogawa_spark.operators.bow import tf_idf
 

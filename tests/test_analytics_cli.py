@@ -200,3 +200,39 @@ def test_analytics_cli_diameter(spark, tmp_path, capsys):
     assert meta["rows"] == 1
     row = spark.read.parquet(f"{g}/diam").collect()[0]
     assert row["diameter_lb"] >= row["ecc_start"] >= 1
+
+
+def test_analytics_cli_mc_pagerank_and_gini(spark, tmp_path, capsys):
+    from amanogawa_spark.fixtures.pages import generate_pages
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+
+    pages = spark.createDataFrame(generate_pages(n_pages=100, seed=7).pages)
+    v = build_vertices(pages)
+    e = build_edges(pages, v)
+    v.write.mode("overwrite").parquet(str(tmp_path / "g" / "vertices"))
+    e.write.mode("overwrite").parquet(str(tmp_path / "g" / "edges"))
+    g = str(tmp_path / "g")
+
+    meta = _run(
+        ["--graph", g, "--algo", "mc_pagerank", "--out", f"{g}/mc",
+         "--k", "2", "--max-iter", "6"],
+        capsys,
+    )
+    # contract: ranks cover the EDGE graph's vertex set (src ∪ dst) —
+    # fully isolated vertices carry no link signal
+    n_verts = (
+        e.selectExpr("src_id AS id").union(e.selectExpr("dst_id AS id")).distinct().count()
+    )
+    assert meta["rows"] == n_verts
+    mc = spark.read.parquet(f"{g}/mc")
+    assert set(mc.columns) == {"id", "visits", "pr_est"}
+    # every vertex carries at least its own start visits
+    assert mc.filter("visits < 2").count() == 0
+
+    meta = _run(
+        ["--graph", g, "--algo", "degree_gini", "--out", f"{g}/gini"], capsys
+    )
+    assert meta["rows"] == 1
+    row = spark.read.parquet(f"{g}/gini").collect()[0]
+    assert 0.0 <= row["gini_r"] <= 1.0
+    assert row["top10pct_share_r"] >= 0.10 - 1e-9

@@ -679,3 +679,46 @@ type = "parquet"
     assert set(enc) == set(range(8))
     for n_words, n_pieces in enc.values():
         assert n_words == 8 and n_pieces >= n_words
+
+
+def test_line_dedup_flow_type(spark, tmp_path):
+    """line_dedup as a declarative curation flow: repeated lines vanish
+    corpus-wide except their first occurrence; text column is replaced,
+    other columns ride through."""
+    rows = [
+        (0, "en", "keep me\nboilerplate footer"),
+        (1, "en", "boilerplate footer\nunique middle\nboilerplate footer"),
+        (2, "ja", "boilerplate footer"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, lang string, text string").write.parquet(
+        str(tmp_path / "ld_pq")
+    )
+    (tmp_path / "ld.toml").write_text(
+        """
+[source]
+type = "file"
+path = "ld_pq"
+[source.format]
+type = "parquet"
+
+[flow.clean]
+type = "line_dedup"
+
+[sink]
+type = "file"
+path = "ld_out"
+from = "clean"
+[sink.format]
+type = "parquet"
+"""
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(str(tmp_path / "ld.toml"), spark)
+    got = {
+        r["doc_id"]: (r["lang"], r["text"])
+        for r in spark.read.parquet(str(tmp_path / "ld_out")).collect()
+    }
+    assert got[0] == ("en", "keep me\nboilerplate footer")
+    assert got[1] == ("en", "unique middle")
+    assert got[2] == ("ja", "")

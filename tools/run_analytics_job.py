@@ -17,7 +17,10 @@ condensation DAG + longest-path topological levels), local_cluster (ACL
 sweep-cut around ``--graph``/seeds parquet with (id); eps via --tol; a
 query_id seed column switches to the batched multi-query path), ego
 (induced k-hop ego network around ``--graph``/seeds; hops via --k),
-diameter (double-sweep exact lower bound; one summary row).
+diameter (double-sweep exact lower bound; one summary row), mc_pagerank
+(Monte-Carlo complete-path ranks; walks/vertex via --k, cap via
+--max-iter), degree_gini (out-degree concentration profile: Gini +
+top-1%/10% share; one summary row).
 """
 
 from __future__ import annotations
@@ -166,6 +169,23 @@ def main() -> None:
         from amanogawa_spark.graph.metrics import double_sweep_lower_bound
 
         out = double_sweep_lower_bound(edges, max_rounds=max(args.max_iter, 64))
+    elif args.algo == "mc_pagerank":
+        from amanogawa_spark.graph.montecarlo import pagerank_montecarlo
+
+        out = pagerank_montecarlo(
+            edges,
+            walks_per_vertex=max(args.k, 1),
+            max_len=min(args.max_iter, 64),
+        )
+    elif args.algo == "degree_gini":
+        from pyspark.sql import functions as F
+
+        from amanogawa_spark.graph.metrics import concentration_profile
+
+        deg = edges.groupBy("src_id").agg(
+            F.count("*").cast("double").alias("score")
+        )
+        out = concentration_profile(deg, "score", "src_id")
     else:
         raise SystemExit(f"unknown --algo {args.algo!r}")
 
