@@ -21,6 +21,8 @@ from amanogawa_spark.graph.localcluster import local_cluster, ppr_sweep_cut
 from amanogawa_spark.graph.sssp import bfs_levels, shortest_paths
 from amanogawa_spark.graph.walks import node2vec_walks, random_walks, skipgram_pairs
 from amanogawa_spark.graph.generate import rmat_edges
+from amanogawa_spark.graph.blockrank import blockrank, blockrank_init
+from amanogawa_spark.graph.montecarlo import pagerank_montecarlo
 from amanogawa_spark.graph.anchors import anchor_edges, anchor_top_terms
 from amanogawa_spark.graph.coloring import jp_coloring
 from amanogawa_spark.graph.diff import degree_deltas, diff_summary, edge_diff
@@ -172,4 +174,7 @@ __all__ = [
     "adjacency_gap_bits",
     "compression_summary",
     "rmat_edges",
+    "blockrank",
+    "blockrank_init",
+    "pagerank_montecarlo",
 ]

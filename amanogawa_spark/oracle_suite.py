@@ -9269,5 +9269,94 @@ FROM r"""
 QUERIES["q_degree_gini"] = q_degree_gini
 ORACLE_SQL["q_degree_gini"] = _DEGREE_GINI_SQL
 
+
+def q_blockrank2(spark, sf_dir):
+    """BlockRank initial vector (graph/blockrank.py, Kamvar et al. '03):
+    2 local per-block PageRank rounds + 2 rounds of the local-rank-
+    weighted quotient chain with block-size-proportional teleport, blocks
+    = id % 16 — the block-structure warm start, value-checked per id."""
+    from amanogawa_spark.graph.blockrank import blockrank_init
+
+    e = derived_edges(spark, sf_dir)
+    verts = derived_vertices(spark, sf_dir)
+    blocks = verts.select("id", (F.col("id") % 16).alias("blk"))
+    init = blockrank_init(e, blocks, local_iters=2, block_iters=2)
+    return init.select("id", F.round("rank", 8).alias("rank_r"))
+
+
+def _blockrank_sql(local_iters: int = 2, block_iters: int = 2) -> str:
+    D = "CAST(0.85 AS DOUBLE)"
+    T = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    parts = [
+        f"WITH {_EDGES_SQL.strip()}",
+        _VERTS_SQL.strip(),
+        "b AS (SELECT id, id % 16 AS blk FROM verts)",
+        "nb AS (SELECT blk, CAST(COUNT(*) AS DOUBLE) AS n FROM b GROUP BY blk)",
+        "intra AS (SELECT e.src_id, e.dst_id FROM edges e "
+        "JOIN b b1 ON e.src_id = b1.id JOIN b b2 ON e.dst_id = b2.id "
+        "WHERE b1.blk = b2.blk)",
+        "iod AS (SELECT src_id, CAST(COUNT(*) AS DOUBLE) AS od FROM intra GROUP BY src_id)",
+        "l0 AS (SELECT b.id, b.blk, CAST(1.0 AS DOUBLE) / nb.n AS r FROM b JOIN nb USING (blk))",
+    ]
+    for k in range(1, local_iters + 1):
+        p = k - 1
+        parts.append(
+            f"lc{k} AS (SELECT i.dst_id AS id, SUM(l.r / iod.od) AS m "
+            f"FROM intra i JOIN l{p} l ON i.src_id = l.id "
+            f"JOIN iod ON i.src_id = iod.src_id GROUP BY i.dst_id)"
+        )
+        parts.append(
+            f"ld{k} AS (SELECT l.blk, SUM(CASE WHEN iod.src_id IS NULL THEN l.r "
+            f"ELSE CAST(0.0 AS DOUBLE) END) AS dm FROM l{p} l "
+            f"LEFT JOIN iod ON l.id = iod.src_id GROUP BY l.blk)"
+        )
+        parts.append(
+            f"l{k} AS (SELECT b.id, b.blk, {T} / nb.n + {D} * "
+            f"(COALESCE(c.m, CAST(0.0 AS DOUBLE)) + d.dm / nb.n) AS r "
+            f"FROM b JOIN nb USING (blk) LEFT JOIN lc{k} c ON b.id = c.id "
+            f"JOIN ld{k} d ON b.blk = d.blk)"
+        )
+    L = f"l{local_iters}"
+    parts += [
+        "god AS (SELECT src_id, CAST(COUNT(*) AS DOUBLE) AS gd FROM edges GROUP BY src_id)",
+        f"q AS (SELECT b1.blk AS bs, b2.blk AS bd, SUM(l.r / god.gd) AS w "
+        f"FROM edges e JOIN b b1 ON e.src_id = b1.id JOIN b b2 ON e.dst_id = b2.id "
+        f"JOIN {L} l ON e.src_id = l.id JOIN god ON e.src_id = god.src_id "
+        f"GROUP BY b1.blk, b2.blk)",
+        "qow AS (SELECT bs, SUM(w) AS ow FROM q GROUP BY bs)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM b)",
+        "qv AS (SELECT blk, CAST(cnt AS DOUBLE) / (SELECT n FROM nn) AS s FROM "
+        "(SELECT blk, COUNT(*) AS cnt FROM b GROUP BY blk))",
+        "q0 AS (SELECT blk, s AS r FROM qv)",
+    ]
+    for k in range(1, block_iters + 1):
+        p = k - 1
+        parts.append(
+            f"qc{k} AS (SELECT q.bd AS blk, SUM(r.r * q.w / qow.ow) AS m "
+            f"FROM q JOIN q{p} r ON q.bs = r.blk JOIN qow ON q.bs = qow.bs "
+            f"GROUP BY q.bd)"
+        )
+        parts.append(
+            f"qd{k} AS (SELECT SUM(CASE WHEN qow.bs IS NULL THEN r.r "
+            f"ELSE CAST(0.0 AS DOUBLE) END) AS dm FROM q{p} r "
+            f"LEFT JOIN qow ON r.blk = qow.bs)"
+        )
+        parts.append(
+            f"q{k} AS (SELECT qv.blk, {T} * qv.s + {D} * "
+            f"(COALESCE(c.m, CAST(0.0 AS DOUBLE)) + "
+            f"COALESCE((SELECT dm FROM qd{k}), CAST(0.0 AS DOUBLE)) * qv.s) AS r "
+            f"FROM qv LEFT JOIN qc{k} c ON qv.blk = c.blk)"
+        )
+    Q = f"q{block_iters}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT l.id, ROUND(l.r * q.r, 8) AS rank_r "
+        + f"FROM {L} l JOIN {Q} q ON l.blk = q.blk"
+    )
+
+
+QUERIES["q_blockrank2"] = q_blockrank2
+ORACLE_SQL["q_blockrank2"] = _blockrank_sql()
+
 QUERIES = _rotation_order(QUERIES)
 ORACLE_SQL = _rotation_order(ORACLE_SQL)
