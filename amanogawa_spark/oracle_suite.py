@@ -9358,5 +9358,75 @@ def _blockrank_sql(local_iters: int = 2, block_iters: int = 2) -> str:
 QUERIES["q_blockrank2"] = q_blockrank2
 ORACLE_SQL["q_blockrank2"] = _blockrank_sql()
 
+
+def q_window_psi(spark, sf_dir):
+    """Per-window PSI vs a frozen baseline histogram (streaming/monitor.py
+    window_psi — the batch post-aggregation the streaming drift monitor
+    feeds): daily event-value windows against the even-event baseline."""
+    from amanogawa_spark.operators.drift import _bin_of
+    from amanogawa_spark.streaming.monitor import baseline_bins, window_psi
+
+    breaks = [10.0, 30.0, 60.0, 120.0]
+    ev = _t(spark, sf_dir, "events")
+    baseline = baseline_bins(
+        ev.filter(F.col("event_id") % 2 == 0), "value", breaks
+    )
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.window("ts", "1 day"), _bin_of(F.col("value"), breaks).alias("bin")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "bin",
+            "n",
+        )
+    )
+    out = window_psi(counts, baseline, breaks)
+    # F.window emits timestamp_ntz in Spark 4; align with the table's tz type
+    return out.select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        F.col("window_end").cast("timestamp").alias("window_end"),
+        "n",
+        "psi_r",
+    )
+
+
+def _window_psi_sql() -> str:
+    breaks = [10.0, 30.0, 60.0, 120.0]
+    n_bins = len(breaks) + 1
+    be = " + ".join(f"(CASE WHEN value >= {t} THEN 1 ELSE 0 END)" for t in breaks)
+    sk = f"CAST({0.5 * n_bins} AS DOUBLE)"
+    return f"""
+WITH binned AS (SELECT time_bucket(INTERVAL '1 day', ts) AS ws, ({be}) AS bin
+  FROM events WHERE value IS NOT NULL),
+counts AS (SELECT ws, bin, COUNT(*) AS n FROM binned GROUP BY ws, bin),
+grid AS (SELECT CAST(unnest(range({n_bins})) AS INT) AS bin),
+basec AS (SELECT ({be}) AS bin, COUNT(*) AS n FROM events
+  WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+bb AS (SELECT grid.bin, COALESCE(basec.n, 0) AS n_b FROM grid
+  LEFT JOIN basec ON grid.bin = basec.bin),
+tb AS (SELECT CAST(SUM(n_b) AS DOUBLE) AS t FROM bb),
+wins AS (SELECT DISTINCT ws FROM counts),
+fullb AS (SELECT wins.ws, grid.bin, COALESCE(c.n, 0) AS n
+  FROM wins CROSS JOIN grid LEFT JOIN counts c
+  ON wins.ws = c.ws AND grid.bin = c.bin),
+wt AS (SELECT ws, SUM(n) AS n_w FROM fullb GROUP BY ws),
+j AS (SELECT f.ws, f.bin, f.n, wt.n_w, bb.n_b
+  FROM fullb f JOIN wt ON f.ws = wt.ws JOIN bb ON f.bin = bb.bin)
+SELECT ws AS window_start, ws + INTERVAL '1 day' AS window_end,
+  CAST(MAX(n_w) AS BIGINT) AS n,
+  ROUND(SUM(((n + CAST(0.5 AS DOUBLE)) / (n_w + {sk})
+      - (n_b + CAST(0.5 AS DOUBLE)) / ((SELECT t FROM tb) + {sk}))
+    * ln(((n + CAST(0.5 AS DOUBLE)) / (n_w + {sk}))
+      / ((n_b + CAST(0.5 AS DOUBLE)) / ((SELECT t FROM tb) + {sk})))), 8) AS psi_r
+FROM j GROUP BY ws"""
+
+
+QUERIES["q_window_psi"] = q_window_psi
+ORACLE_SQL["q_window_psi"] = _window_psi_sql()
+
 QUERIES = _rotation_order(QUERIES)
 ORACLE_SQL = _rotation_order(ORACLE_SQL)

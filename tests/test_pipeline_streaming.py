@@ -293,3 +293,60 @@ def test_streaming_neardup_bands_matches_batch_mirror(spark, tmp_path):
         seen.update(by_doc[doc])
     assert got == want
     assert want[0] is True and want[1] is False and want[2] is True
+
+
+def test_streaming_psi_matches_hand_mirror(spark, tmp_path):
+    """Windowed streaming histogram + batch PSI post-agg == a numpy-style
+    hand mirror per window (same Laplace smoothing as operators/drift)."""
+    import datetime as dt
+    import math
+
+    from amanogawa_spark.streaming.events import run_stream_once
+    from amanogawa_spark.streaming.monitor import (
+        baseline_bins,
+        streaming_bin_counts,
+        window_psi,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    breaks = [2.0, 5.0]
+
+    def ev(i, minute, value):
+        return (i, t0 + dt.timedelta(minutes=minute), 1, "q", float(value), "{}")
+
+    # window 1 (min 0-4): values skewed low; window 2 (min 5-9): skewed high
+    w1 = [ev(i, 1, v) for i, v in enumerate([1, 1, 1, 3, 6])]
+    w2 = [ev(10 + i, 6, v) for i, v in enumerate([6, 6, 6, 3, 1])]
+    spark.createDataFrame(
+        w1 + w2,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "ev"))
+
+    base = spark.createDataFrame(
+        [(float(v),) for v in [1, 1, 3, 3, 6, 6]], ["value"]
+    )
+    baseline = baseline_bins(base, "value", breaks)
+    assert {(r["bin"], r["n_b"]) for r in baseline.collect()} == {(0, 2), (1, 2), (2, 2)}
+
+    counts = streaming_bin_counts(
+        spark, str(tmp_path / "ev"), "value", breaks, window="5 minutes"
+    )
+    name = run_stream_once(counts, "psi_counts")
+    got = window_psi(spark.table(name), baseline, breaks).collect()
+    rows = {r["window_start"].minute: (r["n"], r["psi_r"]) for r in got}
+    assert set(rows) == {0, 5}
+
+    def hand_psi(counts_by_bin, base_by_bin, n_bins=3, s=0.5):
+        na, nb = sum(counts_by_bin), sum(base_by_bin)
+        tot = 0.0
+        for ca, cb in zip(counts_by_bin, base_by_bin):
+            pa = (ca + s) / (na + s * n_bins)
+            pb = (cb + s) / (nb + s * n_bins)
+            tot += (pa - pb) * math.log(pa / pb)
+        return round(tot, 8)
+
+    # w1 bins: [3 under-2, 1 mid, 1 over-5]; w2: [1, 1, 3]
+    assert rows[0][0] == 5 and abs(rows[0][1] - hand_psi([3, 1, 1], [2, 2, 2])) < 1e-8
+    assert rows[5][0] == 5 and abs(rows[5][1] - hand_psi([1, 1, 3], [2, 2, 2])) < 1e-8
+    # the skew directions differ but both windows drift from the flat baseline
+    assert rows[0][1] > 0 and rows[5][1] > 0
