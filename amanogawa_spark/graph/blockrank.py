@@ -19,6 +19,17 @@ compose. Blocks come from the caller — host ids
 (``functions/url.py host_of``), SURT prefixes, or a computed partition
 map (``graph/partition.py``).
 
+Structure-conditional, not universal (measured, BENCH/BASELINE.md): the
+init assumes within-block inflow is shaped like the block's own link
+structure. On graphs where cross-block links concentrate inflow
+adversarially (the bench locality fixture's preferential-to-prefix
+links), the init's small residual lies along the SLOW inter-component
+eigenmode and iterations-to-1e-6 regress vs a cold start even though the
+absolute error stays smaller for the first ~30 rounds. Probe your graph
+(two cheap fixed-iteration runs) before defaulting to it; on hub-skewed
+host-local graphs — the common web shape — it saves ~25% of the global
+rounds (bench `blockrank_iters_saved_metric`).
+
 The reference engine stops at edge emission
 (`plugin/flow/to_graph/to_graph.cpp:174-196`); the whole PageRank family
 is an engine addition for the link-graph north rule.

@@ -32,6 +32,12 @@ def main() -> None:
         "the power iteration for incremental recrawls",
     )
     ap.add_argument(
+        "--blockrank", action="store_true",
+        help="no previous ranks? warm-start from the BlockRank init "
+        "(graph/blockrank.py): per-host local PageRank × size-teleport "
+        "quotient rank — cuts global iterations on host-local graphs",
+    )
+    ap.add_argument(
         "--adaptive", action="store_true",
         help="keep AQE enabled inside the iteration loop (default off — "
         "see graph/iter_conf.py; opt in for AQE skew-splitting)",
@@ -63,6 +69,16 @@ def main() -> None:
         CheckpointManager(spark, args.checkpoint_dir) if args.checkpoint_dir else None
     )
     warm = spark.read.parquet(args.warm_ranks) if args.warm_ranks else None
+    if warm is None and args.blockrank:
+        from pyspark.sql import functions as F
+
+        from amanogawa_spark.functions.url import host_of
+        from amanogawa_spark.graph.blockrank import blockrank_init
+
+        blocks = vertices.select("id", host_of(F.col("url")).alias("blk"))
+        warm = blockrank_init(
+            edges, blocks, damping=args.damping, local_iters=4, block_iters=8
+        )
     res = pagerank(
         vertices,
         edges,
