@@ -85,6 +85,7 @@ def pagerank_montecarlo(
         edges.select(F.col("src_id").alias("id"))
         .unionAll(edges.select(F.col("dst_id").alias("id")))
         .distinct()
+        .persist()  # read 3x: walk starts, |V| scalar, final left join
     )
     starts = verts.select(
         F.col("id").alias("start_id"),
@@ -123,8 +124,14 @@ def pagerank_montecarlo(
     counted = visits.groupBy(F.col("vertex_id").alias("id")).agg(
         F.count("*").alias("visits")
     )
-    return verts.join(counted, "id", "left").select(
+    out = verts.join(counted, "id", "left").select(
         "id",
         F.coalesce("visits", F.lit(0)).alias("visits"),
         (F.coalesce("visits", F.lit(0)) * F.lit(scale_f)).alias("pr_est"),
     )
+    # materialize the O(V) result, then release the verts cache — leaving it
+    # pinned for the session is the cache-leak pattern ADVICE flagged on
+    # other operators
+    out = out.localCheckpoint(eager=True)
+    verts.unpersist()
+    return out

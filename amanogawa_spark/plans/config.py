@@ -12,7 +12,9 @@ Supported component types (reference parity; ``example/*.toml``):
 
 - ``[source.<name>] type="file"`` with ``[.format] type="csv"|"json"``
   (declared ``columns``, ``delimiter``, ``skip_header``, ``skip_columns``,
-  ``data_type``), or ``type="xml"`` with ``format.columns``.
+  ``data_type``), or ``type="xml"`` with ``format.columns``; or
+  ``type="rmat"`` (``scale``, ``edge_factor``, ``a/b/c``, ``seed`` — the
+  zero-input synthetic edge source for scale rehearsals).
 - ``[flow.<name>] type="filter"|"filter_row"`` (optional ``column/op/cond``
   predicate — the reference's filter is a parameterless stub, so a bare
   filter is identity), ``type="filter_column"`` (``columns`` projection),
@@ -93,6 +95,23 @@ def _resolve_path(path: str, base_dir: str) -> str:
 def _source_fn(spec: dict, base_dir: str):
     fmt = dict(spec.get("format", {}))
     src_type = spec.get("type", "file")
+    if src_type == "rmat":
+        # zero-input synthetic edge source (graph/generate.py): scale
+        # rehearsals without staging any parquet — (edge_id, src_id, dst_id)
+        from amanogawa_spark.graph.generate import rmat_edges
+
+        return lambda spark: rmat_edges(
+            spark,
+            scale=int(spec["scale"]),
+            edge_factor=int(spec.get("edge_factor", 16)),
+            a=float(spec.get("a", 0.57)),
+            b=float(spec.get("b", 0.19)),
+            c=float(spec.get("c", 0.19)),
+            seed=int(spec.get("seed", 0)),
+            num_partitions=(
+                int(spec["partitions"]) if "partitions" in spec else None
+            ),
+        )
     fmt_type = fmt.get("type") or (src_type if src_type != "file" else None)
     path = _resolve_path(spec["path"], base_dir)
     if fmt_type is None:  # dispatch on suffix like the reference's format probe

@@ -860,6 +860,8 @@ def run_scaling(levels=(8, 32)) -> dict:
             f"local[{hi}]_edges_iter_per_sec": tput_hi,
             f"local[{lo}]_sec": outs[lo]["seconds"],
             f"local[{hi}]_sec": outs[hi]["seconds"],
+            f"local[{lo}]_calibration": outs[lo].get("calibration_before", -1.0),
+            f"local[{hi}]_calibration": outs[hi].get("calibration_before", -1.0),
             "n_edges": outs[hi]["n_edges"],
             "iterations": outs[hi]["iterations"],
         },
@@ -890,12 +892,19 @@ def run_single_pagerank() -> dict:
 
     work_dir = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/amanogawa_scaling")
     spark = get_spark(cpus=CPUS, app_name=f"pr_scaling_{CPUS}")
+    # fixed-work host-speed probes bracketing the measured leg: a leg whose
+    # calibration departs the quiet band (0.35-0.45 s) ran in a noisy host
+    # window and the cross-leg efficiency ratio is not interpretable without
+    # them (measured: an identical-code local[8] leg read 374.5 s vs 228.6 s
+    # across windows — efficiency 0.60 vs 0.94 from host noise alone)
+    cal_before = calibration_probe(spark)
     vertices = spark.read.parquet(os.path.join(work_dir, "vertices.parquet"))
     edges = spark.read.parquet(os.path.join(work_dir, "edges.parquet"))
     n_edges = edges.count()
     t0 = time.time()
     res = pagerank(vertices, edges, tol=-1.0, max_iter=SCALING_ITERS)
     dt = time.time() - t0
+    cal_after = calibration_probe(spark)
     spark.stop()
     return {
         "seconds": round(dt, 3),
@@ -903,6 +912,8 @@ def run_single_pagerank() -> dict:
         "n_edges": n_edges,
         "edges_iter_per_sec": round(n_edges * res.iterations / dt, 2),
         "cpus": CPUS,
+        "calibration_before": round(cal_before, 3),
+        "calibration_after": round(cal_after, 3),
     }
 
 

@@ -96,3 +96,28 @@ def test_example_clustered_archive(spark, tmp_path):
             yield row
 
     assert out.rdd.mapPartitions(_sorted_within).count() == out.count()
+
+
+def test_example_boilerplate_line_dedup(spark, tmp_path):
+    footer = "cookie consent banner text"
+    rows = [
+        (0, f"real article zero\n{footer}"),
+        (1, f"real article one\n{footer}"),
+        (2, footer),          # only boilerplate -> becomes empty
+        (3, footer),          # after line removal 2 and 3 are exact dups
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "docs_pq")
+    )
+    from amanogawa_spark.plans.config import run_config
+
+    run_config(_stage(tmp_path, "boilerplate_line_dedup.toml"), spark)
+    out = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out_clean")).collect()
+    }
+    # doc 0 keeps the first footer occurrence; doc 1 loses it; docs 2/3
+    # collapse to one empty survivor via the chained exact dedup
+    assert out[0] == f"real article zero\n{footer}"
+    assert out[1] == "real article one"
+    assert 2 in out and out[2] == "" and 3 not in out
