@@ -44,10 +44,15 @@ def test_never_certified_queries_lead_the_window():
 
 
 def test_order_is_least_recently_certified_first():
-    from amanogawa_spark.oracle_suite import QUERIES
+    """Policy order: (last-certified round, backlog-priority, name) — the
+    _CERT_PRIORITY backlog (round-3 verdict item #1) outranks other
+    equally-uncertified queries inside the same round bucket."""
+    from amanogawa_spark.oracle_suite import _CERT_PRIORITY, QUERIES
 
     ledger = _ledger()
-    keys = [(ledger.get(n, 0), n) for n in QUERIES]
+    keys = [
+        (ledger.get(n, 0), n not in _CERT_PRIORITY, n) for n in QUERIES
+    ]
     assert keys == sorted(keys)
 
 
