@@ -8887,28 +8887,64 @@ _CERT_PRIORITY = {
 }
 
 
+def _derive_cert_ledger() -> dict:
+    """Build the certification ledger straight from ``CORRECTNESS_r*.json``.
+
+    The driver drops ``CORRECTNESS_rN.json`` into the repo root AFTER the
+    builder's end-of-round commit, so a committed ``cert_ledger.json``
+    snapshot can never be in sync at a round boundary (round-4 verdict
+    item #7).  Deriving the ledger from the artifacts at import time makes
+    the rotation self-updating: the moment a new driver artifact exists,
+    its 50 green rows leave the window.  ``tools/update_cert_ledger.py``
+    still writes ``cert_ledger.json`` as a human-readable debugging view,
+    and that file serves as the fallback when the package is imported away
+    from a repo checkout (no CORRECTNESS artifacts visible).
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    here = Path(__file__).resolve().parent
+    ledger: dict = {}
+    for path in sorted(here.parent.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if not row.get("rows_match") or not row.get("schema_match"):
+                continue
+            hm = row.get("hash_match")
+            if hm is not None and hm is not True:
+                continue
+            ledger[name] = max(ledger.get(name, 0), rnd)
+    if ledger:
+        return ledger
+    try:
+        return json.loads((here / "cert_ledger.json").read_text())
+    except (OSError, ValueError):
+        return {}
+
+
 def _rotation_order(mapping: dict) -> dict:
     """Reorder a query mapping least-recently-driver-certified-first.
 
     The correctness driver runs only the FIRST 50 entries it receives, so
-    dict order IS the certification rotation.  ``cert_ledger.json``
-    (regenerated by ``tools/update_cert_ledger.py`` from the repo's
-    ``CORRECTNESS_r*.json`` artifacts) maps each query to the last round a
-    driver row certified it green; queries absent from the ledger sort as
-    round 0 and therefore always land inside the window — with the
-    ``_CERT_PRIORITY`` backlog ahead of other uncertified queries, then
-    name order, so the rotation is fully deterministic.  Any future query
-    addition queues automatically — no hand-reordering of the literals
-    above.
+    dict order IS the certification rotation.  ``_derive_cert_ledger``
+    maps each query to the last round a driver row certified it green;
+    queries absent from the ledger sort as round 0 and therefore always
+    land inside the window — with the ``_CERT_PRIORITY`` backlog ahead of
+    other uncertified queries, then name order, so the rotation is fully
+    deterministic.  Any future query addition queues automatically — no
+    hand-reordering of the literals above.
     """
-    import json
-    from pathlib import Path
-
-    ledger_path = Path(__file__).resolve().parent / "cert_ledger.json"
-    try:
-        ledger = json.loads(ledger_path.read_text())
-    except (OSError, ValueError):
-        ledger = {}
+    ledger = _derive_cert_ledger()
     return dict(
         sorted(
             mapping.items(),

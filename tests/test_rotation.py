@@ -22,7 +22,12 @@ DRIVER_CAP = 50
 
 
 def _ledger():
-    return json.loads((REPO / "amanogawa_spark" / "cert_ledger.json").read_text())
+    # The rotation derives its ledger from the CORRECTNESS_r*.json
+    # artifacts at import time (cert_ledger.json is only a fallback /
+    # debugging view), so the tests must compare against the same source.
+    from amanogawa_spark.oracle_suite import _derive_cert_ledger
+
+    return _derive_cert_ledger()
 
 
 def test_never_certified_queries_lead_the_window():
@@ -64,10 +69,23 @@ def test_oracle_sql_order_matches_queries_order():
     assert sql_names == q_names
 
 
-def test_ledger_tool_reproduces_committed_ledger():
+def test_ledger_tool_matches_derived_ledger():
+    """The debugging-view tool and the import-time derivation must agree on
+    the artifacts currently on disk.  (The committed cert_ledger.json file
+    is intentionally NOT compared: the driver drops CORRECTNESS_rN.json
+    after the end-of-round commit, so a committed snapshot can be one
+    round stale at every round boundary — the round-4 failure mode.)"""
     from update_cert_ledger import build_ledger
 
     assert build_ledger() == _ledger()
+
+
+def test_fallback_ledger_file_is_valid_json_mapping():
+    data = json.loads(
+        (REPO / "amanogawa_spark" / "cert_ledger.json").read_text()
+    )
+    assert isinstance(data, dict)
+    assert all(isinstance(v, int) for v in data.values())
 
 
 def test_every_registered_query_is_known_to_the_entry_point():
