@@ -85,6 +85,10 @@ def rmat_edges(
     O(scale) codegen'd expressions per row; 10^12 edges is just a bigger
     range split across executors.
     """
+    if min(a, b, c) < 0.0 or max(a, b, c) > 1.0:
+        # individually out-of-range probabilities (e.g. a=0.9, b=-0.2)
+        # could pass the sum check yet invert the quadrant thresholds
+        raise ValueError("rmat_edges: a, b, c must each be in [0, 1]")
     if not 0.0 < a + b + c <= 1.0:
         raise ValueError("rmat_edges: a+b+c must be in (0, 1]")
     m = edge_factor << scale

@@ -36,7 +36,13 @@ from amanogawa_spark.graph.walks import _step_score
 
 def _stop_coin(step: int, hash: str, seed: int):
     """Deterministic continuation uniform for (start_id, walk_no, step) —
-    independent of the neighbor draw (different tag), u = (h32+0.5)/2^32."""
+    independent of the neighbor draw (different tag), u = (h32+0.5)/2^32.
+
+    NOTE: the ``md5`` branch deliberately ignores ``seed`` (as does the
+    shared ``_step_score``): it exists solely for bit-parity with the
+    seedless DuckDB SQL oracle, so ``hash='md5'`` always produces the same
+    walks regardless of ``seed``. Use the default ``xxhash64`` branch when
+    seed-variation matters."""
     if hash == "md5":
         h = F.conv(
             F.substring(
@@ -72,6 +78,7 @@ def pagerank_montecarlo(
     max_len: int = 64,
     hash: str = "xxhash64",
     seed: int = 7,
+    renormalize: bool = False,
 ) -> DataFrame:
     """(id, visits, pr_est) — complete-path MC PageRank over every vertex
     of ``edges`` (src ∪ dst, so dangling vertices get their start visits).
@@ -80,6 +87,19 @@ def pagerank_montecarlo(
     α^max_len of the mass (α=0.85, L=64 → <1e-4). One edge join per step,
     but the frontier shrinks ×α each round and the loop breaks at the
     first empty checkpoint, so total work ≈ ``n·R/(1-α)`` visit rows.
+
+    Bias vs the iterative solver (``graph/pagerank.py``): walks TERMINATE
+    at dangling vertices here, while the solver redistributes dangling
+    mass uniformly — so on dangling-heavy graphs ``sum(pr_est) < 1`` and
+    every estimate is systematically low, on top of the geometric-tail
+    (α^max_len) and sampling (stderr) error. Pass ``renormalize=True`` to
+    rescale ``pr_est`` by the total estimated mass so scores sum to 1 and
+    are comparable to the converged solver; the default ``False`` keeps
+    the raw complete-path estimator (and parity with the SQL oracle).
+
+    ``seed`` only varies the walks under the default ``hash='xxhash64'``;
+    the ``md5`` branch is seedless by design (oracle parity — see
+    ``_stop_coin``).
     """
     verts = (
         edges.select(F.col("src_id").alias("id"))
@@ -134,4 +154,11 @@ def pagerank_montecarlo(
     # other operators
     out = out.localCheckpoint(eager=True)
     verts.unpersist()
+    if renormalize:
+        # 1-row scalar over the already-materialized O(V) result
+        total_mass = out.agg(F.sum("pr_est")).first()[0] or 0.0
+        if total_mass > 0.0:
+            out = out.withColumn(
+                "pr_est", F.col("pr_est") / F.lit(float(total_mass))
+            )
     return out

@@ -1352,14 +1352,29 @@ def line_dedup(
     16 bytes of key), and one reassembly aggregate keyed on ``id``. The
     first-occurrence argmin rides the line aggregate as a min-struct, so
     no window over the corpus and no driver collect anywhere.
+
+    ``delimiter`` is treated as a LITERAL separator on both the split and
+    the reassembly side (it is regex-escaped before reaching ``F.split``,
+    which would otherwise interpret it as a Java regex while
+    ``F.array_join`` treats it literally — a metachar delimiter like
+    ``'|'`` would split per character and reassemble different text).
+    NULL ``text_col`` values are coalesced to ``''`` so such documents
+    still produce their contracted one output row (``F.split(NULL)``
+    yields NULL and ``posexplode`` would silently drop the document).
     """
+    import re as _re
+
     line_raw = F.col("__line")
     line_key = normalized_text(line_raw) if normalize else line_raw
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias(
-            "line_no", "__line"
-        ),
+        F.posexplode(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(_re.escape(delimiter)),
+                -1,
+            )
+        ).alias("line_no", "__line"),
     ).select(
         "id",
         "line_no",

@@ -262,9 +262,14 @@ def _flow_fn(spec: dict):
                 df, id_col=ld_id, text_col=ld_col,
                 delimiter=ld_delim, min_count=ld_min,
             )
+            # Left join + coalesce: no document may vanish from the
+            # pipeline even if it produced no line_dedup row (defense in
+            # depth on top of line_dedup's one-row-per-document contract).
             return df.drop(ld_col).join(
-                cleaned.select(ld_id, F.col("clean_text").alias(ld_col)), ld_id
-            )
+                cleaned.select(ld_id, F.col("clean_text").alias(ld_col)),
+                ld_id,
+                "left",
+            ).withColumn(ld_col, F.coalesce(F.col(ld_col), F.lit("")))
 
         return _line_dedup
     if t == "tfidf":

@@ -69,3 +69,36 @@ def test_mc_pagerank_deterministic_and_counts_dangling_starts(spark):
     by_id = {r[0]: r[1] for r in a}
     assert by_id[3] >= 4  # 4 start visits even with zero out-degree
     assert all(v >= 4 for v in by_id.values())
+
+
+def test_mc_pagerank_renormalize_sums_to_one(spark):
+    # dangling-heavy graph: raw complete-path estimates sum well below 1
+    # (walks die at dangling vertices); renormalize=True rescales to unit
+    # mass without changing the ranking
+    e = spark.createDataFrame(
+        [(0, 3), (1, 3), (2, 3), (0, 4), (1, 4)], ["src_id", "dst_id"]
+    )
+    raw = pagerank_montecarlo(e, walks_per_vertex=8, max_len=8)
+    norm = pagerank_montecarlo(e, walks_per_vertex=8, max_len=8, renormalize=True)
+    raw_total = raw.agg(F.sum("pr_est")).first()[0]
+    norm_total = norm.agg(F.sum("pr_est")).first()[0]
+    assert raw_total < 0.999  # documented downward bias
+    assert abs(norm_total - 1.0) < 1e-9
+    raw_rank = [r["id"] for r in raw.orderBy(F.desc("pr_est"), "id").collect()]
+    norm_rank = [r["id"] for r in norm.orderBy(F.desc("pr_est"), "id").collect()]
+    assert raw_rank == norm_rank
+
+
+def test_mc_pagerank_md5_seed_is_documented_noop(spark):
+    # oracle-parity contract: md5 walks ignore seed; xxhash64 honors it
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src_id", "dst_id"])
+    m1 = sorted(tuple(r) for r in pagerank_montecarlo(
+        e, walks_per_vertex=4, max_len=6, hash="md5", seed=1).collect())
+    m2 = sorted(tuple(r) for r in pagerank_montecarlo(
+        e, walks_per_vertex=4, max_len=6, hash="md5", seed=99).collect())
+    assert m1 == m2
+    x1 = sorted(tuple(r) for r in pagerank_montecarlo(
+        e, walks_per_vertex=4, max_len=16, seed=1).collect())
+    x2 = sorted(tuple(r) for r in pagerank_montecarlo(
+        e, walks_per_vertex=4, max_len=16, seed=99).collect())
+    assert x1 != x2

@@ -46,3 +46,15 @@ def test_rmat_degree_skew(spark):
 def test_rmat_plan_is_shuffle_free(spark):
     plan = rmat_edges(spark, scale=12, edge_factor=16)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_rmat_rejects_individually_invalid_probabilities(spark):
+    import pytest
+
+    from amanogawa_spark.graph.generate import rmat_edges
+
+    # sums to 0.9 (passes the old check) but b < 0 inverts thresholds
+    with pytest.raises(ValueError, match="each"):
+        rmat_edges(spark, scale=3, edge_factor=2, a=0.9, b=-0.2, c=0.2)
+    with pytest.raises(ValueError, match="each"):
+        rmat_edges(spark, scale=3, edge_factor=2, a=1.2, b=-0.3, c=0.05)

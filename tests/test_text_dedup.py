@@ -336,6 +336,37 @@ def test_line_dedup_full_removal_and_min_count(spark):
     assert kept_all == {0: 0, 1: 0, 2: 0}
 
 
+def test_line_dedup_null_text_keeps_document(spark):
+    """A NULL text document must still yield its one contracted output row
+    (F.split(NULL) would otherwise drop it from totals AND the output —
+    silent data loss through the config line_dedup flow)."""
+    from amanogawa_spark.operators.dedup import line_dedup
+
+    docs = [(0, "x\ny"), (1, None), (2, "x\nz")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in line_dedup(df).collect()}
+    assert set(got) == {0, 1, 2}
+    # NULL text is treated as the empty document: one (empty) line
+    assert got[1][0] == "" and got[1][1] == 1
+
+
+def test_line_dedup_metachar_delimiter_is_literal(spark):
+    """Regex-metachar delimiters split literally: '|' must NOT split per
+    character, and surviving text must reassemble byte-identically."""
+    from amanogawa_spark.operators.dedup import line_dedup
+
+    docs = [(0, "alpha|beta|gamma"), (1, "alpha|delta")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: tuple(r)[1:] for r in line_dedup(df, delimiter="|").collect()}
+    # "alpha" occurs twice -> doc 0 keeps it (first occurrence), doc 1 loses it
+    assert got[0] == ("alpha|beta|gamma", 3, 0)
+    assert got[1] == ("delta", 2, 1)
+    # round-trip sanity: a doc with no duplicated lines is byte-identical
+    solo = spark.createDataFrame([(9, "a.b|c.d")], ["doc_id", "text"])
+    (row,) = line_dedup(solo, delimiter="|").collect()
+    assert row["clean_text"] == "a.b|c.d" and row["n_lines"] == 2
+
+
 def test_line_dedup_repartition_invariant(spark):
     from amanogawa_spark.operators.dedup import line_dedup
 
