@@ -351,6 +351,7 @@ def community_partition(
     lpa_rounds: int = 5,
     refine_rounds: int = 0,
     work_dir: str | None = None,
+    head_row_budget: int = 100_000,
 ) -> DataFrame:
     """(id, pid): community-driven balanced partitioning — find the
     graph's natural communities with synchronous LPA, then FIRST-FIT-
@@ -365,30 +366,44 @@ def community_partition(
     community must not blow the balance), and ``refine_rounds`` optional
     Spinner sweeps polish the boundary afterwards.
 
-    Driver footprint is the community size table, NOT the vertex set. At
-    10^12 vertices web communities (hosts) number ~10^8; if that ever
-    exceeds driver memory, aggregate the tail below a size floor into
-    hash-assigned bins first — only the head needs exact packing.
+    Driver footprint is HARD-BOUNDED by ``head_row_budget``: only the
+    ``head_row_budget`` LARGEST communities are collected (a
+    TakeOrdered, never a full collect) and exactly packed; every smaller
+    community — the tail, at 10^12 vertices potentially ~10^8 host
+    communities — is assigned a bin by a deterministic label hash
+    entirely in-plan, whole-community-at-a-time so locality is kept. The
+    head's FFD pre-loads each bin with the tail's expected uniform share
+    (tail_mass/k), so exact packing accounts for the hashed mass. Since
+    balance only needs exactness for communities big enough to matter
+    (> n·slack/k would overflow a bin; anything tiny hashes uniformly),
+    the default 100k-row head is far more than the O(k/slack) communities
+    that can individually threaten balance.
     """
     from amanogawa_spark.graph.lpa import label_propagation
 
     labels = label_propagation(
         vertices.select("id"), edges, max_rounds=lpa_rounds
     )
-    sizes = sorted(
-        (
-            (int(r["cnt"]), int(r["label"]))
-            for r in labels.groupBy("label")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        ),
-        key=lambda t: (-t[0], t[1]),  # count desc, label ASC on ties
-    )
-    n = sum(c for c, _ in sizes)
+    sizes_df = labels.groupBy("label").agg(F.count("*").alias("cnt"))
+    sizes_df = sizes_df.localCheckpoint(eager=True)  # reused: head + scalar
+    n = sizes_df.agg(F.sum("cnt")).first()[0] or 0
     if n == 0:
         return vertices.select("id", F.lit(0).cast("int").alias("pid")).limit(0)
-    capacity = (-(-n // k)) * balance_slack
-    bins = [0.0] * k
+    # bounded collect: TakeOrderedAndProject of the head, count desc /
+    # label asc — identical order to the old full sort for any corpus
+    # whose community count fits the budget
+    head_rows = (
+        sizes_df.orderBy(F.desc("cnt"), F.asc("label"))
+        .limit(head_row_budget)
+        .collect()
+    )
+    sizes = [(int(r["cnt"]), int(r["label"])) for r in head_rows]
+    head_mass = sum(c for c, _ in sizes)
+    tail_mass = int(n) - head_mass
+    capacity = (-(-int(n) // k)) * balance_slack
+    # each bin starts pre-loaded with the tail's expected hash share so
+    # the exact head packing accounts for the in-plan tail assignment
+    bins = [tail_mass / float(k)] * k
     assign: list[tuple[int, int]] = []  # (label, pid); pid -1 = split by hash
     for cnt, lab in sizes:
         if cnt > capacity:
@@ -406,9 +421,15 @@ def community_partition(
     amap = F.broadcast(
         spark.createDataFrame(assign, "label long, pid int")
     )
-    out = labels.join(amap, "label").select(
+    # head labels join their packed pid; tail labels (left join miss) get
+    # a whole-community hash bin — deterministic, no driver row involved
+    tail_pid = F.pmod(
+        F.xxhash64(F.col("label"), F.lit("cpart_tail")), F.lit(k)
+    ).cast("int")
+    out = labels.join(amap, "label", "left").select(
         "id",
-        F.when(F.col("pid") >= 0, F.col("pid"))
+        F.when(F.col("pid").isNull(), tail_pid)
+        .when(F.col("pid") >= 0, F.col("pid"))
         .otherwise(_init_pid(k))
         .cast("int")
         .alias("pid"),

@@ -121,3 +121,70 @@ def test_contract_matching_composes_weights(spark):
     got = {(r["src_id"], r["dst_id"]): r["weight"]
            for r in contract_matching(e, m).collect()}
     assert got == {(0, 2): 7}  # 3 + 4; the intra-pair edge (w=7) drops
+
+
+def _many_communities(n_comm=12, size=5):
+    # n_comm disjoint cliques, no bridges: LPA recovers each exactly
+    pairs = []
+    for c in range(n_comm):
+        base = c * 1000
+        pairs += [
+            (base + a, base + b) for a in range(size) for b in range(size) if a < b
+        ]
+    return pairs
+
+
+def test_community_partition_head_budget_bounds_collect(spark):
+    """head_row_budget caps the driver collect: with 12 communities and a
+    budget of 3 only the 3 largest are exactly packed; the other 9 are
+    hash-binned in-plan, whole community per bin, and every vertex still
+    gets exactly one pid in [0, k)."""
+    from amanogawa_spark.graph.partition import community_partition
+
+    v, e = _g(spark, _many_communities())
+    out = community_partition(v, e, k=4, lpa_rounds=4, head_row_budget=3)
+    rows = out.collect()
+    assert len(rows) == v.count()  # one assignment per vertex, none lost
+    assert all(0 <= r["pid"] < 4 for r in rows)
+    # whole communities stay together (tail hash is per-label)
+    by_comm = {}
+    for r in rows:
+        by_comm.setdefault(r["id"] // 1000, set()).add(r["pid"])
+    assert all(len(pids) == 1 for pids in by_comm.values())
+
+
+def test_community_partition_budget_at_least_ncomm_matches_unbounded(spark):
+    from amanogawa_spark.graph.partition import community_partition
+
+    v, e = _g(spark, _many_communities(n_comm=6))
+    a = sorted(
+        tuple(r)
+        for r in community_partition(
+            v, e, k=3, lpa_rounds=4, head_row_budget=100_000
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in community_partition(
+            v, e, k=3, lpa_rounds=4, head_row_budget=6
+        ).collect()
+    )
+    assert a == b
+
+
+def test_community_partition_head_collect_is_take_ordered(spark):
+    """The head derivation must compile to a TakeOrdered (bounded driver
+    rows), never a full sort+collect."""
+    v, e = _g(spark, _many_communities(n_comm=4))
+    from amanogawa_spark.graph.lpa import label_propagation
+
+    labels = label_propagation(v.select("id"), e, max_rounds=2)
+    sizes_df = labels.groupBy("label").agg(F.count("*").alias("cnt"))
+    plan = (
+        sizes_df.orderBy(F.desc("cnt"), F.asc("label"))
+        .limit(3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
