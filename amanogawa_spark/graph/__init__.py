@@ -75,6 +75,7 @@ from amanogawa_spark.graph.redirects import (
     rewrite_edges,
 )
 from amanogawa_spark.graph.partition import (
+    community_partition,
     edge_cut,
     multilevel_partition,
     spinner_partition,
@@ -149,6 +150,7 @@ __all__ = [
     "rank_positions",
     "spearman_rho",
     "top_k_overlap",
+    "community_partition",
     "spinner_partition",
     "multilevel_partition",
     "edge_cut",

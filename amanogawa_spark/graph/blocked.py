@@ -1,5 +1,6 @@
 """Layout-aware ("blocked") PageRank — the consumer of the partition map.
 
+``community_partition`` (the default partitioner on web-shaped graphs) /
 ``multilevel_partition`` / ``spinner_partition`` compute a low-cut
 vertex→pid map; this module is where that map pays rent.  The edge table
 is persisted hash-partitioned on ``(spid, salt)`` — the src vertex's

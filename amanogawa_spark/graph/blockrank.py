@@ -238,14 +238,43 @@ def blockrank(
     max_iter: int = 100,
     local_iters: int = 3,
     block_iters: int = 3,
+    warm_min_edges: int = 10_000_000,
+    edge_count: int | None = None,
+    gate_info: dict | None = None,
     **pagerank_kwargs,
 ) -> PageRankResult:
     """Full BlockRank: global PageRank warm-started from
     :func:`blockrank_init`. Converges to the SAME fixpoint as the cold
     solver (pytest-pinned allclose) in fewer edge-sized global iterations
     — the local phase touches only intra-block edges and the quotient
-    phase only O(|blocks|²)-bounded rollup rows."""
-    init = blockrank_init(edges, blocks, damping, local_iters, block_iters)
+    phase only O(|blocks|²)-bounded rollup rows.
+
+    Work gate (same pattern as SCC's ``trim_min_vertices``): the init
+    phase costs a fixed ladder of ~``local_iters + block_iters`` tiny
+    barrier jobs, which only pays for itself when each SAVED global
+    iteration moves enough edge bytes — measured crossover is well above
+    sandbox scale (BENCH_r04: warm 78.7 s vs cold 41.1 s at ~120k edges
+    despite saving 19% of iterations). Below ``warm_min_edges`` the warm
+    start is auto-skipped and the cold solver runs, so a default caller
+    on a small graph never pays init wall for nothing; pass
+    ``warm_min_edges=0`` to force the warm start (what the bench's
+    iteration-count probe does), or ``edge_count`` to supply a known
+    count and skip the gate's count job. ``gate_info`` (a caller dict)
+    gets ``{"edges", "warm_min_edges", "warm_start"}`` recorded into it.
+    """
+    n_edges = edge_count if edge_count is not None else edges.count()
+    warm = n_edges >= warm_min_edges or warm_min_edges <= 0
+    if gate_info is not None:
+        gate_info.update(
+            edges=int(n_edges),
+            warm_min_edges=int(warm_min_edges),
+            warm_start=bool(warm),
+        )
+    init = (
+        blockrank_init(edges, blocks, damping, local_iters, block_iters)
+        if warm
+        else None
+    )
     return pagerank(
         vertices,
         edges,

@@ -23,7 +23,9 @@ from pyspark.storagelevel import StorageLevel
 @dataclass
 class TriangleResult:
     total: int
-    per_vertex: DataFrame  # (id long, triangles long) — vertices in >=1 triangle
+    # (id long, triangles long) — vertices in >=1 triangle; None when the
+    # scale gate auto-routed to the DOULION estimate (total-only)
+    per_vertex: DataFrame | None
 
 
 def _oriented_edges(edges: DataFrame) -> DataFrame:
@@ -56,9 +58,48 @@ def _oriented_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> TriangleResult:
+def triangle_count(
+    edges: DataFrame,
+    max_exact_edges: int = 50_000_000,
+    on_large: str = "error",
+    doulion_p: float = 0.1,
+) -> TriangleResult:
+    """Exact triangle count — with a scale gate.
+
+    The exact wedge join materializes O(m^{3/2}) rows through a shuffle;
+    measured to exceed single-box disk (>180 GB spill) at 5·10^7 skewed
+    edges (BENCH/BASELINE.md §3b). Above ``max_exact_edges`` undirected
+    edges the default is therefore to REFUSE with guidance rather than
+    fill the cluster's disks:
+
+    - ``on_large='error'`` (default): raise ValueError naming the
+      web-scale alternatives.
+    - ``on_large='approx'``: auto-route to DOULION
+      (:func:`triangle_total_approx` at ``doulion_p``) — the returned
+      ``total`` is the (unbiased) estimate rounded to int and
+      ``per_vertex`` is ``None`` (no per-vertex counts on that path).
+    - ``on_large='exact'``: override the gate and run the exact join
+      anyway.
+    """
+    if on_large not in ("error", "approx", "exact"):
+        raise ValueError("triangle_count: on_large must be error|approx|exact")
     oriented = _oriented_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    oriented.count()
+    m = oriented.count()
+    if m > max_exact_edges and on_large != "exact":
+        oriented.unpersist()
+        if on_large == "error":
+            raise ValueError(
+                f"triangle_count: {m} undirected edges exceeds the exact-"
+                f"join gate ({max_exact_edges}); the O(m^1.5) wedge "
+                "shuffle is a measured disk-filler at this scale. Use "
+                "triangle_total_approx (DOULION, unbiased), pass "
+                "on_large='approx' to auto-route, or on_large='exact' to "
+                "override."
+            )
+        est = triangle_total_approx(edges, p=doulion_p).first()
+        return TriangleResult(
+            total=int(round(est["n_triangles_est"])), per_vertex=None
+        )
     e1 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("x"))
     e2 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("y"))
     wedges = e1.join(e2, "pivot").filter(F.col("x") < F.col("y"))

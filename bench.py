@@ -687,17 +687,30 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     br_blocks = br_verts.select(
         "id", (F.col("id") / bs).cast("long").alias("blk")
     ).persist()
-    br_edges.count(), br_blocks.count()
+    n_br_edges = br_edges.count()
+    br_blocks.count()
     br = {}
+    gate: dict = {}
 
     def _br_cold():
-        res = pagerank(br_verts, br_edges, tol=1e-6, max_iter=80)
-        br["cold_iters"] = res.iterations
-
-    def _br_warm():
+        # the DEFAULT blockrank path: the work gate auto-skips the warm
+        # start below warm_min_edges, so a default caller at sandbox scale
+        # pays cold wall (this row), never the init-barrier ladder
         res = blockrank(
             br_verts, br_edges, br_blocks,
             tol=1e-6, max_iter=80, local_iters=8, block_iters=30,
+            edge_count=n_br_edges, gate_info=gate,
+        )
+        br["cold_iters"] = res.iterations
+
+    def _br_warm():
+        # warm_min_edges=0 forces the warm start: iterations saved is the
+        # scale-transferable number (each saved round is an edge-sized
+        # shuffle at 10^12 edges; init touches only intra-block edges)
+        res = blockrank(
+            br_verts, br_edges, br_blocks,
+            tol=1e-6, max_iter=80, local_iters=8, block_iters=30,
+            warm_min_edges=0, edge_count=n_br_edges,
         )
         br["warm_iters"] = res.iterations
 
@@ -708,6 +721,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     results["blockrank_iters_saved_metric"] = round(
         1.0 - br["warm_iters"] / br["cold_iters"], 4
     )
+    # gate record: 1.0 = default path auto-skipped the warm start here
+    results["blockrank_gate_auto_skip_metric"] = float(not gate["warm_start"])
+    results["blockrank_gate_min_edges"] = float(gate["warm_min_edges"])
     for fr in (br_blocks, br_verts, br_edges):
         fr.unpersist()
 

@@ -66,7 +66,8 @@ def test_blockrank_same_fixpoint_fewer_iterations(spark, blocky):
     v, e, blocks = blocky
     cold = pagerank(v, e, tol=1e-6, max_iter=80)
     warm = blockrank(
-        v, e, blocks, tol=1e-6, max_iter=80, local_iters=6, block_iters=12
+        v, e, blocks, tol=1e-6, max_iter=80, local_iters=6, block_iters=12,
+        warm_min_edges=0,  # force the warm start below the work gate
     )
     # identical fixpoint (the init cannot change the attractor)
     c = {r["id"]: r[1] for r in cold.ranks.collect()}
@@ -76,3 +77,29 @@ def test_blockrank_same_fixpoint_fewer_iterations(spark, blocky):
     assert warm.iterations < cold.iterations
     # and its very first delta must be far below the cold start's
     assert warm.history[0]["l1_delta"] < 0.3 * cold.history[0]["l1_delta"]
+
+
+def test_blockrank_work_gate_auto_skips_small_graphs(spark, blocky):
+    """Below warm_min_edges the init phase is skipped entirely (its fixed
+    barrier-job ladder loses wall at small scale, BENCH_r04: warm 78.7 s
+    vs cold 41.1 s) and blockrank degrades to the cold solver; gate_info
+    records the decision."""
+    v, e, blocks = blocky
+    cold = pagerank(v, e, tol=1e-6, max_iter=80)
+    gate: dict = {}
+    gated = blockrank(
+        v, e, blocks, tol=1e-6, max_iter=80, gate_info=gate
+    )
+    assert gate["warm_start"] is False
+    assert gate["edges"] == e.count() and gate["warm_min_edges"] == 10_000_000
+    # identical to cold: same iteration count and same first-round delta
+    assert gated.iterations == cold.iterations
+    assert abs(gated.history[0]["l1_delta"] - cold.history[0]["l1_delta"]) < 1e-12
+    # forcing via warm_min_edges=0 flips the gate
+    gate2: dict = {}
+    forced = blockrank(
+        v, e, blocks, tol=1e-6, max_iter=3, local_iters=2, block_iters=4,
+        warm_min_edges=0, edge_count=42, gate_info=gate2,
+    )
+    assert gate2["warm_start"] is True and gate2["edges"] == 42
+    assert forced.history[0]["l1_delta"] < cold.history[0]["l1_delta"]

@@ -235,3 +235,28 @@ def test_components_incremental_warm_start(spark):
     cold = {r.id: r.component for r in connected_components(v1, e2).collect()}
     expected = components_bfs(11, set(day1 + new_edges))
     assert warm == cold == expected
+
+
+def test_triangle_count_scale_gate_routing(spark):
+    """Above max_exact_edges the exact wedge join is a measured disk-filler
+    (BENCH §3b): default refuses with guidance, 'approx' auto-routes to
+    DOULION (total-only), 'exact' overrides."""
+    import pytest
+
+    from amanogawa_spark.graph.triangles import triangle_count
+
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], ["src_id", "dst_id"]
+    )
+    with pytest.raises(ValueError, match="DOULION|approx"):
+        triangle_count(tri, max_exact_edges=2)
+    routed = triangle_count(tri, max_exact_edges=2, on_large="approx", doulion_p=1.0)
+    # p=1.0 keeps every edge: the DOULION "estimate" is the exact count
+    assert routed.total == 1 and routed.per_vertex is None
+    forced = triangle_count(tri, max_exact_edges=2, on_large="exact")
+    assert forced.total == 1 and forced.per_vertex is not None
+    # under the gate nothing changes
+    normal = triangle_count(tri)
+    assert normal.total == 1
+    with pytest.raises(ValueError, match="on_large"):
+        triangle_count(tri, on_large="bogus")

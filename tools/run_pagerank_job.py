@@ -38,6 +38,13 @@ def main() -> None:
         "quotient rank — cuts global iterations on host-local graphs",
     )
     ap.add_argument(
+        "--blockrank-min-edges", type=int, default=10_000_000,
+        help="work gate for --blockrank: below this edge count the init's "
+        "fixed barrier-job ladder costs more wall than the saved global "
+        "iterations recoup (measured, BENCH_r04), so the warm start is "
+        "skipped with a notice; 0 forces it",
+    )
+    ap.add_argument(
         "--adaptive", action="store_true",
         help="keep AQE enabled inside the iteration loop (default off — "
         "see graph/iter_conf.py; opt in for AQE skew-splitting)",
@@ -70,15 +77,24 @@ def main() -> None:
     )
     warm = spark.read.parquet(args.warm_ranks) if args.warm_ranks else None
     if warm is None and args.blockrank:
-        from pyspark.sql import functions as F
+        n_edges = edges.count()
+        if 0 < args.blockrank_min_edges > n_edges:
+            print(
+                f"blockrank: auto-skipping warm start — {n_edges} edges is "
+                f"below the work gate ({args.blockrank_min_edges}); the "
+                "init barrier ladder would cost more wall than the saved "
+                "iterations recoup (--blockrank-min-edges 0 forces it)"
+            )
+        else:
+            from pyspark.sql import functions as F
 
-        from amanogawa_spark.functions.url import host_of
-        from amanogawa_spark.graph.blockrank import blockrank_init
+            from amanogawa_spark.functions.url import host_of
+            from amanogawa_spark.graph.blockrank import blockrank_init
 
-        blocks = vertices.select("id", host_of(F.col("url")).alias("blk"))
-        warm = blockrank_init(
-            edges, blocks, damping=args.damping, local_iters=4, block_iters=8
-        )
+            blocks = vertices.select("id", host_of(F.col("url")).alias("blk"))
+            warm = blockrank_init(
+                edges, blocks, damping=args.damping, local_iters=4, block_iters=8
+            )
     res = pagerank(
         vertices,
         edges,
