@@ -46,6 +46,7 @@ class BlockedPageRankResult:
     ranks: DataFrame
     iterations: int
     seconds: float
+    delta: float = -1.0  # final L1 delta (-1 when never measured)
 
 
 def _with_conf(spark, key: str, value: str):
@@ -114,13 +115,31 @@ def blocked_pagerank(
     num_partitions: int | None = None,
     prebuilt_edges: DataFrame | None = None,
     on_layout_ready=None,
+    tol: float = -1.0,
+    initial_ranks: DataFrame | None = None,
+    checkpoint=None,
+    checkpoint_every: int = 5,
 ) -> BlockedPageRankResult:
-    """Fixed-iteration PageRank over the pid-clustered edge layout.
+    """PageRank over the pid-clustered edge layout — fixed-iteration by
+    default, convergent when ``tol > 0``.
 
     Same fixed point as ``pagerank(vertices, edges, tol=-1, max_iter=k)``;
     the execution shape is the layout-aware one described in the module
     docstring. Returns the rank vector plus wall seconds for the
     iteration loop (excluding the one-time layout build).
+
+    Convergence costs NO extra pass: each rank frame carries the previous
+    iteration's rank as ``old_rank``, so the per-iteration dangling-mass
+    action also returns the L1 delta of the last transition. ``tol <= 0``
+    (the default) keeps the historical fixed-``max_iter`` contract.
+
+    ``initial_ranks`` (id, rank) warm-starts the vector (normalized to
+    unit mass, missing vertices filled uniformly). ``checkpoint``
+    (a :class:`~amanogawa_spark.checkpoint.CheckpointManager`) makes
+    every ``checkpoint_every``-th iteration durable and resumes from the
+    latest snapshot on re-invocation — the same contract as the classic
+    solver, so the curation superjob can run its PageRank stage on the
+    clustered layout without losing kill-resume.
     """
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -167,7 +186,32 @@ def blocked_pagerank(
         )
     base = (1.0 - damping) / n
 
-    ranks = verts.select("id", "pid", "salt", "dang", F.lit(1.0 / n).alias("rank"))
+    start_iter = 0
+    resume_ranks = None
+    if checkpoint is not None:
+        last = checkpoint.latest_iteration()
+        if last is not None:
+            resume_ranks = checkpoint.load(last)
+            start_iter = last
+    warm_src = resume_ranks if resume_ranks is not None else initial_ranks
+    if warm_src is not None:
+        warm = verts.join(
+            warm_src.select("id", F.col("rank").alias("_r0")), "id", "left"
+        ).select(
+            "id", "pid", "salt", "dang",
+            F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"),
+        ).localCheckpoint(eager=True)
+        mass = warm.agg(F.sum("rank")).collect()[0][0] or 1.0
+        ranks = warm.select(
+            "id", "pid", "salt", "dang", (F.col("rank") / F.lit(mass)).alias("rank")
+        )
+    else:
+        ranks = verts.select(
+            "id", "pid", "salt", "dang", F.lit(1.0 / n).alias("rank")
+        )
+    # old_rank carries the previous iteration's value so the per-iteration
+    # dangling-mass action returns the L1 delta for free (no extra pass)
+    ranks = ranks.withColumn("old_rank", F.col("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     if on_layout_ready is not None:
         # everything above is one-time layout build; everything below is
@@ -175,14 +219,21 @@ def blocked_pagerank(
         on_layout_ready()
 
     t0 = time.time()
+    it = start_iter
+    delta = float("inf")
     with _with_conf(
         spark, "spark.sql.requireAllClusterKeysForCoPartition", "false"
     ), iteration_conf(spark, disable_aqe=True):
-        for _ in range(max_iter):
-            dm = (
-                ranks.agg(F.sum(F.col("rank") * F.col("dang"))).collect()[0][0]
-                or 0.0
-            )
+        while it < max_iter:
+            stats = ranks.agg(
+                F.sum(F.col("rank") * F.col("dang")).alias("dm"),
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("dl"),
+            ).collect()[0]
+            dm = stats["dm"] or 0.0
+            if it > start_iter:
+                delta = stats["dl"] or 0.0
+                if tol > 0 and delta <= tol:
+                    break
             r = ranks.select(
                 F.col("pid").alias("spid"),
                 "salt",
@@ -199,7 +250,7 @@ def blocked_pagerank(
                 .agg(F.sum("contrib").alias("in_mass"))
             )
             nxt = (
-                verts.join(contribs.hint("shuffle_hash"), "id", "left")
+                ranks.join(contribs.hint("shuffle_hash"), "id", "left")
                 .select(
                     "id",
                     "pid",
@@ -210,16 +261,42 @@ def blocked_pagerank(
                         + F.lit(damping)
                         * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dm / n))
                     ).alias("rank"),
+                    F.col("rank").alias("old_rank"),
                 )
-                .localCheckpoint(eager=True)
             )
+            it += 1
+            if checkpoint is not None and it % checkpoint_every == 0:
+                saved = checkpoint.save(nxt.select("id", "rank"), it)
+                checkpoint.log_metrics(it, dangling_mass=float(dm))
+                nxt = (
+                    ranks.select("id", "pid", "salt", "dang",
+                                 F.col("rank").alias("old_rank"))
+                    .join(saved.hint("shuffle_hash"), "id")
+                    .select("id", "pid", "salt", "dang", "rank", "old_rank")
+                    .localCheckpoint(eager=True)
+                )
+            else:
+                nxt = nxt.localCheckpoint(eager=True)
             ranks = nxt
+        # final transition's delta when the loop exhausted max_iter
+        if tol > 0 and it == max_iter and it > start_iter:
+            delta = (
+                ranks.agg(
+                    F.sum(F.abs(F.col("rank") - F.col("old_rank")))
+                ).collect()[0][0]
+                or 0.0
+            )
     secs = time.time() - t0
     out = ranks.select("id", "rank")
     verts.unpersist()
     if prebuilt_edges is None:
         e.unpersist()
-    return BlockedPageRankResult(ranks=out, iterations=max_iter, seconds=secs)
+    return BlockedPageRankResult(
+        ranks=out,
+        iterations=it,
+        seconds=secs,
+        delta=float(delta) if delta != float("inf") else -1.0,
+    )
 
 
 def iteration_join_plan(e: DataFrame, ranks_like: DataFrame) -> str:

@@ -113,3 +113,70 @@ def test_clustered_layout_reduces_agg_partials(spark):
 
     clu, ran = partial_rows(clustered), partial_rows(rnd)
     assert clu < ran * 0.7, (clu, ran)
+
+
+def test_blocked_pagerank_tol_converges_to_classic_fixpoint(spark):
+    """tol>0 turns the fixed-iteration layout loop into a convergent
+    solver: same fixpoint as pagerank() at the same tol, iteration count
+    reported, delta <= tol."""
+    from amanogawa_spark.graph.blocked import blocked_pagerank
+    from amanogawa_spark.graph.pagerank import pagerank
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(30) for b in ((a + 1) % 30, (a * 7) % 30) if a != b],
+        ["src_id", "dst_id"],
+    )
+    v = e.select(F.col("src_id").alias("id")).union(e.select("dst_id")).distinct()
+    lbl = v.select("id", (F.col("id") % 3).cast("int").alias("pid"))
+    classic = pagerank(v, e, tol=1e-8, max_iter=100)
+    blocked = blocked_pagerank(v, e, lbl, tol=1e-8, max_iter=100)
+    assert 0 < blocked.iterations < 100
+    assert 0 <= blocked.delta <= 1e-8
+    c = {r["id"]: r["rank"] for r in classic.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in blocked.ranks.collect()}
+    assert max(abs(c[i] - b[i]) for i in c) < 1e-7
+
+
+def test_blocked_pagerank_checkpoint_resume_equals_uninterrupted(spark, tmp_path):
+    """Kill-resume contract on the layout path: a run resumed from the
+    latest durable snapshot finishes with EXACTLY the ranks of an
+    uninterrupted run (same total iteration count)."""
+    from amanogawa_spark.checkpoint import CheckpointManager
+    from amanogawa_spark.graph.blocked import blocked_pagerank
+
+    e = spark.createDataFrame(
+        [(a, (a * 5 + 1) % 40) for a in range(40)] + [(0, 7), (7, 13)],
+        ["src_id", "dst_id"],
+    )
+    v = e.select(F.col("src_id").alias("id")).union(e.select("dst_id")).distinct()
+    lbl = v.select("id", (F.col("id") % 4).cast("int").alias("pid"))
+
+    full = blocked_pagerank(v, e, lbl, max_iter=9)
+    # interrupted: run 6 iterations with checkpoint_every=3 (snapshot at 3
+    # and 6), then "resume" with max_iter=9 — picks up at 6, runs 3 more
+    ck = CheckpointManager(spark, str(tmp_path / "ck"))
+    blocked_pagerank(v, e, lbl, max_iter=6, checkpoint=ck, checkpoint_every=3)
+    assert ck.latest_iteration() == 6
+    resumed = blocked_pagerank(
+        v, e, lbl, max_iter=9, checkpoint=ck, checkpoint_every=3
+    )
+    assert resumed.iterations == 9
+    f = {r["id"]: r["rank"] for r in full.ranks.collect()}
+    r2 = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
+    assert max(abs(f[i] - r2[i]) for i in f) < 1e-12
+
+
+def test_blocked_pagerank_warm_start_normalizes(spark):
+    from amanogawa_spark.graph.blocked import blocked_pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src_id", "dst_id"])
+    v = e.select(F.col("src_id").alias("id")).union(e.select("dst_id")).distinct()
+    lbl = v.select("id", F.lit(0).cast("int").alias("pid"))
+    init = spark.createDataFrame([(0, 10.0), (1, 30.0)], ["id", "rank"])
+    res = blocked_pagerank(v, e, lbl, max_iter=0, initial_ranks=init)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    # normalized to unit mass; vertex 2 filled uniformly (1/3) pre-norm
+    total = 10.0 + 30.0 + 1.0 / 3.0
+    assert abs(got[0] - 10.0 / total) < 1e-12
+    assert abs(got[1] - 30.0 / total) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-12

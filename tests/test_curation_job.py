@@ -126,3 +126,48 @@ def test_quality_gate_and_mixture_drop_rows(spark, tmp_path, pages_path):
     assert rep["curated_rows"] == curated.count()
     langs = {r["lang"] for r in curated.select("lang").distinct().collect()}
     assert langs == {"en"}
+
+
+def test_pid_layout_run_matches_classic(spark, tmp_path, pages_path):
+    """--layout pid (surt ids + community partition map + pid-clustered
+    durable edge layout + layout-aware convergent PageRank) produces the
+    same curated corpus as the classic path: same doc set, same packing,
+    ranks equal within solver tolerance."""
+    classic = run(
+        _args(pages_path, str(tmp_path / "work_e"), str(tmp_path / "out_e")),
+        spark=spark,
+    )
+    pid = run(
+        _args(
+            pages_path, str(tmp_path / "work_f"), str(tmp_path / "out_f"),
+            layout="pid", layout_k=4, id_mode="hash",
+        ),
+        spark=spark,
+    )
+    assert "partition_map" in pid["stages"] and "edges_blocked" in pid["stages"]
+    assert "partition_map" not in classic["stages"]
+    assert pid["pagerank_delta"] <= 1e-6
+    want = _curated(spark, str(tmp_path / "out_e"))
+    got = _curated(spark, str(tmp_path / "out_f"))
+    assert set(got) == set(want)
+    for k in want:
+        wu, wl, wr, ws, wo = want[k]
+        gu, gl, gr, gs, go = got[k]
+        assert (gu, gl, gs, go) == (wu, wl, ws, wo)
+        assert gr == pytest.approx(wr, abs=1e-5)  # both within tol of fixpoint
+
+
+def test_surt_id_mode_runs_end_to_end(spark, tmp_path, pages_path):
+    rep = run(
+        _args(
+            pages_path, str(tmp_path / "work_g"), str(tmp_path / "out_g"),
+            id_mode="surt",
+        ),
+        spark=spark,
+    )
+    assert rep["curated_rows"] > 100
+    # surt mode yields dense 0..N-1 ids
+    v = spark.read.parquet(str(tmp_path / "work_g") + "/graph_vertices")
+    n = v.count()
+    assert v.agg(F.min("id")).first()[0] == 0
+    assert v.agg(F.max("id")).first()[0] == n - 1

@@ -122,36 +122,82 @@ def run(args, spark=None) -> dict:
     )
 
     # 4. link graph over the FULL crawl (dedup curates text, not links)
+    id_mode = getattr(args, "id_mode", "hash")
     vertices = stage(
         "graph_vertices",
-        {"v": 1},
-        lambda: build_vertices(pages, id_mode="hash"),
+        {"v": 1, "id_mode": id_mode},
+        lambda: build_vertices(pages, id_mode=id_mode),
     )
     edges = stage(
         "graph_edges",
-        {"v": 1},
+        {"v": 1, "id_mode": id_mode},
         lambda: build_edges(pages, vertices),
     )
+
+    # 4b. optional pid layout (--layout pid): community partition map +
+    # durable pid-clustered edge layout; the PageRank stage then runs the
+    # layout-aware loop (graph/blocked.py) whose per-iteration map-side
+    # combine emits ~V/k partials per partition instead of ~V — the 42%
+    # shuffle-bytes reduction measured in BENCH_r04, now composed into
+    # the end-to-end job
+    layout = getattr(args, "layout", "classic")
+    blocked_layout = None
+    pmap = None
+    if layout == "pid":
+        from amanogawa_spark.graph.blocked import blocked_edges, blocked_pagerank
+        from amanogawa_spark.graph.partition import community_partition
+
+        layout_k = getattr(args, "layout_k", 32)
+        pmap = stage(
+            "partition_map",
+            {"v": 1, "k": layout_k, "lpa_rounds": 4},
+            lambda: community_partition(
+                vertices.select("id"), edges, k=layout_k, lpa_rounds=4
+            ),
+        )
+        blocked_layout = stage(
+            "edges_blocked",
+            {"v": 1, "k": layout_k, "n_salt": 4},
+            lambda: blocked_edges(edges, pmap, n_salt=4),
+        )
 
     # 5. PageRank to convergence — CheckpointManager makes every
     # checkpoint_every-th ITERATION durable; a mid-stage kill resumes there
     def _pagerank():
         ckpt = CheckpointManager(spark, os.path.join(args.work, "pagerank_ckpt"))
-        res = pagerank(
-            vertices.select("id"),
-            edges,
-            tol=args.tol,
-            max_iter=args.max_iter,
-            checkpoint=ckpt,
-            checkpoint_every=args.checkpoint_every,
-        )
+        if layout == "pid":
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            prebuilt = (
+                blocked_layout.repartition(n_part, "spid", "salt").persist()
+            )
+            prebuilt.count()
+            res = blocked_pagerank(
+                vertices.select("id"),
+                edges,
+                pmap,
+                tol=args.tol,
+                max_iter=args.max_iter,
+                checkpoint=ckpt,
+                checkpoint_every=args.checkpoint_every,
+                prebuilt_edges=prebuilt,
+            )
+            prebuilt.unpersist()
+        else:
+            res = pagerank(
+                vertices.select("id"),
+                edges,
+                tol=args.tol,
+                max_iter=args.max_iter,
+                checkpoint=ckpt,
+                checkpoint_every=args.checkpoint_every,
+            )
         report["pagerank_iterations"] = res.iterations
         report["pagerank_delta"] = res.delta
         return res.ranks
 
     ranks = stage(
         "pagerank",
-        {"v": 1, "tol": args.tol, "max_iter": args.max_iter},
+        {"v": 1, "tol": args.tol, "max_iter": args.max_iter, "layout": layout},
         _pagerank,
     )
 
@@ -218,6 +264,23 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--mixture", default="en:1.0,ja:1.0,de:1.0,fr:1.0,es:1.0")
     ap.add_argument("--max-tokens", type=int, default=2048)
+    ap.add_argument(
+        "--id-mode", default="hash", choices=("hash", "dense", "surt"),
+        help="vertex id dictionary: hash (no global sort), dense (url "
+        "order), surt (WebGraph-style reversed-host order — a domain's "
+        "pages get contiguous ids, shrinking adjacency gaps)",
+    )
+    ap.add_argument(
+        "--layout", default="classic", choices=("classic", "pid"),
+        help="pagerank execution layout: classic (hash-partitioned on "
+        "src) or pid (community partition map + pid-clustered durable "
+        "edge layout + layout-aware iteration loop — fewer map-side "
+        "combine partials per shuffle)",
+    )
+    ap.add_argument(
+        "--layout-k", type=int, default=32,
+        help="partition count for --layout pid",
+    )
     args = ap.parse_args()
     print(json.dumps(run(args)))
 
