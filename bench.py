@@ -917,7 +917,14 @@ def run_single_pagerank() -> dict:
     from amanogawa_spark.session import get_spark
 
     work_dir = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/amanogawa_scaling")
-    spark = get_spark(cpus=CPUS, app_name=f"pr_scaling_{CPUS}")
+    # shuffle-partition override (default = cpus): lets the ladder hold the
+    # task decomposition CONSTANT across legs, so only parallelism varies —
+    # the cluster-faithful experiment (a real N→4N resize keeps the
+    # partitioning of a written table)
+    sp = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")) or None
+    spark = get_spark(
+        cpus=CPUS, app_name=f"pr_scaling_{CPUS}", shuffle_partitions=sp
+    )
     # fixed-work host-speed probes bracketing the measured leg: a leg whose
     # calibration departs the quiet band (0.35-0.45 s) ran in a noisy host
     # window and the cross-leg efficiency ratio is not interpretable without

@@ -236,3 +236,34 @@ def test_analytics_cli_mc_pagerank_and_gini(spark, tmp_path, capsys):
     row = spark.read.parquet(f"{g}/gini").collect()[0]
     assert 0.0 <= row["gini_r"] <= 1.0
     assert row["top10pct_share_r"] >= 0.10 - 1e-9
+
+
+def test_analytics_cli_partition_modes(spark, tmp_path, capsys):
+    from amanogawa_spark.fixtures.pages import generate_pages
+    from amanogawa_spark.graph.build import build_edges, build_vertices
+
+    pages = spark.createDataFrame(generate_pages(n_pages=150, seed=7).pages)
+    v = build_vertices(pages)
+    e = build_edges(pages, v)
+    v.write.mode("overwrite").parquet(str(tmp_path / "g" / "vertices"))
+    e.write.mode("overwrite").parquet(str(tmp_path / "g" / "edges"))
+    g = str(tmp_path / "g")
+    n_verts = v.count()
+
+    # default partitioner = community_partition
+    meta = _run(
+        ["--graph", g, "--algo", "partition", "--out", f"{g}/part", "--k", "4"],
+        capsys,
+    )
+    assert meta["rows"] == n_verts and 0.0 <= meta["cut_frac"] <= 1.0
+    part = spark.read.parquet(f"{g}/part")
+    pids = {r["pid"] for r in part.select("pid").distinct().collect()}
+    assert pids <= set(range(4))
+
+    # flat spinner kept as the explicit refinement-kernel mode
+    meta = _run(
+        ["--graph", g, "--algo", "partition_spinner", "--out", f"{g}/parts",
+         "--k", "4", "--max-iter", "4"],
+        capsys,
+    )
+    assert meta["rows"] == n_verts and 0.0 <= meta["cut_frac"] <= 1.0

@@ -20,7 +20,10 @@ query_id seed column switches to the batched multi-query path), ego
 diameter (double-sweep exact lower bound; one summary row), mc_pagerank
 (Monte-Carlo complete-path ranks; walks/vertex via --k, cap via
 --max-iter), degree_gini (out-degree concentration profile: Gini +
-top-1%/10% share; one summary row).
+top-1%/10% share; one summary row), partition (the DEFAULT balanced
+partitioner: community_partition — LPA communities + bounded-driver FFD
+pack; k via --k), partition_spinner (flat Spinner refinement kernel for
+locality-free graphs).
 """
 
 from __future__ import annotations
@@ -186,6 +189,30 @@ def main() -> None:
             F.count("*").cast("double").alias("score")
         )
         out = concentration_profile(deg, "score", "src_id")
+    elif args.algo == "partition":
+        # the DEFAULT partitioner: community-driven (LPA + bounded-driver
+        # FFD pack) — on web-shaped graphs the natural communities ARE the
+        # good partition (cut 0.171 vs flat Spinner's 0.665 on the
+        # locality bench corpus). k via --k; --max-iter caps LPA rounds.
+        from amanogawa_spark.graph.partition import community_partition, edge_cut
+
+        out = community_partition(
+            vertices.select("id"), edges, k=max(args.k, 2),
+            lpa_rounds=min(args.max_iter, 8),
+        )
+        cut = edge_cut(edges, out).collect()[0]
+        meta["cut_frac"] = float(cut["cut_frac_r"])
+    elif args.algo == "partition_spinner":
+        # flat Spinner — the refinement kernel, kept for locality-free
+        # graphs; prefer --algo partition on web corpora
+        from amanogawa_spark.graph.partition import edge_cut, spinner_partition
+
+        out = spinner_partition(
+            vertices.select("id"), edges, k=max(args.k, 2),
+            max_rounds=args.max_iter, stop_moves_frac=0.01,
+        )
+        cut = edge_cut(edges, out).collect()[0]
+        meta["cut_frac"] = float(cut["cut_frac_r"])
     else:
         raise SystemExit(f"unknown --algo {args.algo!r}")
 
