@@ -732,8 +732,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         1.0 - br["warm_iters"] / br["cold_iters"], 4
     )
     # gate record: 1.0 = default path auto-skipped the warm start here
+    # (_metric suffix keeps both rows out of the suite-seconds sum)
     results["blockrank_gate_auto_skip_metric"] = float(not gate["warm_start"])
-    results["blockrank_gate_min_edges"] = float(gate["warm_min_edges"])
+    results["blockrank_gate_min_edges_metric"] = float(gate["warm_min_edges"])
     for fr in (br_blocks, br_verts, br_edges):
         fr.unpersist()
 
